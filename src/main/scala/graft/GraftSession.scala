@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory for the graft engine.
+  *
+  * Mirrors the posture a 1000-executor cluster deployment would use:
+  * AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+  * explicit shuffle parallelism (local[32] → 32; on a real cluster set
+  * spark.sql.shuffle.partitions ≈ 2–3 × total cores), UTC session time
+  * zone for engine-portable timestamp semantics.
+  */
+object GraftSession {
+  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
