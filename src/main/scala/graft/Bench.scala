@@ -1,23 +1,59 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline suite on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Queries are forced through the noop sink — unlike count(), that
+  * evaluates every projected expression (count() lets Catalyst prune
+  * the aggregates away and would flatter the numbers).
+  */
 object Bench {
+
+  /** Headline set: the reference's own grade (TPC-H) + the operator
+    * shapes that dominate 100 TB pipelines (joins, windows, dedup,
+    * ANN). BENCH_ALL=1 widens to the full inventory.
+    */
+  val headline: Seq[String] = Seq(
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q12",
+    "tpch_q18", "tpch_q19",
+    "q06_theta_join", "q07_groupjoin", "q13_window_rank", "q31_asof_join",
+    "q32_range_join",
+    "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash",
+    "s01_cosine_topk", "t02_quality_score", "st02_sessionize")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names =
+      if (sys.env.get("BENCH_ALL").contains("1")) SparkEntry.queries.keys.toSeq.sorted
+      else headline.filter(SparkEntry.queries.contains)
+
+    // one warm-up pass over the smallest query to JIT/codegen-warm the
+    // session so the first measured query isn't charged for startup
+    SparkEntry.queries("q16_distinct")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

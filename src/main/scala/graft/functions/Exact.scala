@@ -40,4 +40,26 @@ object Exact {
 
   def dsum0Sql(expr: String, scale: Int = 2): String =
     s"COALESCE(CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE), 0.0)"
+
+  /** TPC-H revenue / charge as PURE decimal arithmetic.
+    *
+    * Casting a COMPUTED double like `price*(1-disc)*(1+tax)` to decimal
+    * is not portable: its true value has 6 decimals, the double carries
+    * ~1e-11 error, and engines disagree on near-half-way rounding at
+    * scale 4 (Spark rounds the shortest decimal repr HALF_UP; DuckDB
+    * effectively double-rounds). Instead cast only the BASE columns
+    * (2-decimal values — exactly recoverable from their doubles) and
+    * multiply in decimal, which is exact in every engine.
+    */
+  def revenue(price: Column, discount: Column): Column =
+    price.cast(DecimalType(12, 2)) * (lit(1) - discount.cast(DecimalType(4, 2)))
+
+  val revenueSql: String =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+  def charge(price: Column, discount: Column, tax: Column): Column =
+    revenue(price, discount) * (lit(1) + tax.cast(DecimalType(4, 2)))
+
+  val chargeSql: String =
+    s"$revenueSql * (1 + CAST(l_tax AS DECIMAL(4,2)))"
 }

@@ -1,0 +1,115 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines.
+  *
+  * Scale posture: every variant is candidate-generation-by-blocking —
+  * exact dedup shuffles on a content hash; MinHash/SimHash shuffle on
+  * LSH band / block keys. Nothing ever forms the full O(n²) pair space;
+  * self-join pairs always carry `idA < idB` to halve work and kill
+  * self-pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the min-id representative per content hash.
+    * One shuffle on the (256-bit) hash; collision-safe in practice.
+    */
+  def exact(df: DataFrame, id: Column, content: Column): DataFrame =
+    df.groupBy(sha2(content.cast("binary"), 256).as("content_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash+LSH near-dup candidate pairs with estimated jaccard.
+    *
+    * shingle → minhash(numHashes) → band(bands × rowsPerBand) →
+    * explode band keys → self-equi-join on (band, bandHash) →
+    * estimate jaccard from signature agreement → threshold.
+    *
+    * The only shuffle is the band-key join; at 100 TB band buckets are
+    * the unit of parallelism and AQE splits skewed buckets (boilerplate
+    * docs). Signature agreement is an O(numHashes) zip per candidate.
+    */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 5, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = df
+      .select(col(idCol).as("id"),
+        TextOps.shingleHashes(
+          TextOps.charShingles(col(textCol), shingleSize)).as("hs"))
+      .select(col("id"), TextOps.minhashFromHashes(col("hs"), numHashes).as("sig"))
+
+    // Band join on NARROW (id, bandKey) rows only — the wide signature
+    // arrays never enter the candidate-pair shuffle (at scale that is
+    // the difference between shuffling ids and shuffling the corpus).
+    val banded = sig.select(
+      col("id"), explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
+    val pairs = banded.select(col("id").as("id_a"), col("bk"))
+      .join(banded.select(col("id").as("id_b"), col("bk")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // same pair can collide in several bands
+
+    // Re-attach signatures to the (deduped, much smaller) pair set and
+    // estimate jaccard from signature agreement.
+    pairs
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: fingerprint → 4×16-bit blocks → join on
+    * any equal block (pigeonhole guarantees recall for hamming ≤ 3) →
+    * verify exact hamming.
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = df
+      .select(col(idCol).as("id"),
+        TextOps.tokenHashes(TextOps.wordTokens(col(textCol))).as("hs"))
+      .select(col("id"), TextOps.simhashBlocks(col("hs")).as("blocks"))
+    val exploded = fp.select(
+      col("id"), col("blocks"),
+      posexplode(col("blocks")).as(Seq("block_idx", "block_val")))
+    val a = exploded.select(col("id").as("id_a"), col("blocks").as("blocks_a"),
+      col("block_idx"), col("block_val"))
+    val b = exploded.select(col("id").as("id_b"), col("blocks").as("blocks_b"),
+      col("block_idx"), col("block_val"))
+    a.join(b, Seq("block_idx", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextOps.simhashHamming(col("blocks_a"), col("blocks_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs, blocked by a cheap key
+    * (e.g. language + length bucket) so the pair space stays bounded.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, blockKey: Column,
+      n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val grams = df.select(
+      col(idCol).as("id"), blockKey.as("bk"),
+      array_distinct(TextOps.wordShingles(
+        TextOps.wordTokens(col(textCol)), n)).as("grams"))
+    val a = grams.select(col("id").as("id_a"), col("grams").as("grams_a"), col("bk"))
+    val b = grams.select(col("id").as("id_b"), col("grams").as("grams_b"), col("bk"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .withColumn("uni", size(col("grams_a")) + size(col("grams_b")) - col("inter"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / greatest(col("uni"), lit(1))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — one scan, map-side partial
+  * top-k (TakeOrderedAndProject), no shuffle of the corpus. Scale
+  * path: random-hyperplane LSH bucketing — candidates come from one
+  * bucket (plus optional multi-probe), turning 100 TB scans into
+  * bucket-local work.
+  */
+object Similarity {
+
+  /** Dot product of two float vectors, accumulated left-to-right in
+    * double — deterministic and portable (same order both engines).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against one query vector (supplied as a
+    * one-row frame, broadcast — no driver collect). Plans as scan +
+    * BroadcastNestedLoopJoin(1 row) + TakeOrderedAndProject: each
+    * partition keeps its local top-k, the driver merges k·p rows.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    corpus
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
+      .select(col(idCol),
+        cosine(col(vecCol), col("__qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes (seeded) for sign-LSH. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: fold over hyperplanes, acc*2 + signBit.
+    * Cosine-similar vectors land in the same bucket w.h.p.
+    */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.foldLeft(lit(0L)) { (acc, p) =>
+      acc * 2 + when(dot(vec, typedlit(p)) >= 0, 1L).otherwise(0L)
+    }
+
+  /** LSH-bucketed ANN: hash corpus + query to buckets, equi-join on
+    * bucket (the only shuffle — and with a broadcast query side, none
+    * for the corpus), rank candidates by exact cosine. Recall is
+    * tunable via nBits (fewer bits → bigger buckets → higher recall).
+    */
+  def annTopK(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      query: DataFrame, queryVecCol: String,
+      k: Int, nBits: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nBits, dim)
+    val c = corpus.withColumn("__bucket", lshBucket(col(vecCol), planes))
+    val q = query.select(col(queryVecCol).as("__qv"),
+      lshBucket(col(queryVecCol), planes).as("__bucket"))
+    c.join(broadcast(q), Seq("__bucket"))
+      .select(col(idCol), cosine(col(vecCol), col("__qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, blocked
+    * by an equi key (label, LSH bucket, …) to bound the pair space.
+    */
+  def nearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, blockKey: Column,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), blockKey.as("bk"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("bk"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("bk"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

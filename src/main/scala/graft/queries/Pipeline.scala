@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.sources.Catalog
+
+/** LLM-pipeline operators L1–L12 (SURVEY §2.5) over the documents and
+  * embeddings tables. SQL oracles where DuckDB can express the same
+  * computation; rows-only for hash/LSH internals (their correctness is
+  * asserted by ScalaTest specs instead — see PipelineSpec).
+  */
+object Pipeline {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  val defs: Seq[QDef] = Seq(
+
+    // L1: exact dedup via content hash (SQL-checkable end to end).
+    QDef.sql("d01_dedup_exact",
+      """SELECT sha256(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        | COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY sha256(text)
+        |ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .select(col("content_hash"), col("keep_id").cast("bigint").as("keep_id"),
+          col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    // L2: MinHash+LSH near-dedup candidate pairs.
+    QDef.rowsOnly("d02_dedup_minhash") { (s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // L3: SimHash near-dedup pairs (hamming ≤ 3 on 64-bit fingerprints).
+    QDef.rowsOnly("d03_dedup_simhash") { (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // L4: exact n-gram Jaccard over blocked candidate pairs.
+    QDef.rowsOnly("d04_ngram_jaccard") { (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          blockKey = col("lang"), n = 3, threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // L5: embedding-cosine near-dup pairs, blocked by label.
+    QDef.rowsOnly("d05_embed_neardup") { (s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          blockKey = col("label"), threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // L6: brute-force cosine top-k ANN — SQL-checkable: DuckDB's
+    // list_cosine_similarity against the same query vector.
+    QDef.sql("s01_cosine_topk",
+      """WITH sims AS (
+        | SELECT e.vec_id,
+        |  list_sum(list_transform(list_zip(e.embedding, q.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos_sim
+        | FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+        |SELECT vec_id, cos_sim FROM sims
+        |ORDER BY cos_sim DESC, vec_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          emb, "embedding", "vec_id",
+          emb.filter(col("vec_id") === 0), "embedding", k = 10)
+        .select(col("vec_id"), col("cos_sim"))
+    },
+
+    // L7: LSH-bucketed ANN (the 100 TB path: bucket-local candidates).
+    QDef.rowsOnly("s02_ann_lsh") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.annTopK(
+        emb, "embedding", "vec_id",
+        emb.filter(col("vec_id") === 0), "embedding",
+        k = 10, nBits = 4, dim = 64)
+    },
+
+    // L8: language-ID heuristic (stopword profiles, argmax).
+    QDef.rowsOnly("t01_lang_id") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // L9: text quality scoring — fully SQL-expressible.
+    QDef.sql("t02_quality_score",
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars2,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+        | CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is)\b')) AS BIGINT) AS n_stop,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+        |   / (CAST(length(text) AS DOUBLE) + 1.0) AS token_density
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val nTokens = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("bigint")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars2"),
+        nTokens.as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[^\\w\\s]"), lit(0))).cast("bigint").as("n_punct"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("\\b(the|and|of|to|in|a|is)\\b"), lit(0))).cast("bigint").as("n_stop"),
+        (nTokens.cast("double") / (length(col("text")).cast("double") + 1.0))
+          .as("token_density"))
+        .orderBy(col("doc_id"))
+    },
+
+    // L10: token counting — whitespace + BPE-ish regex segmentation.
+    QDef.sql("t03_token_count",
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("bigint").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("bigint").as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // L11: winnowing fingerprint (rolling-hash document id).
+    QDef.rowsOnly("t04_fingerprint") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // L12: multimodal plumbing — binary payloads + typed metadata →
+    // partition-batched feature extraction (decode STUBbed, see
+    // graft.llm.Multimodal).
+    QDef.rowsOnly("m01_multimodal") { (s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.mediaFrame(s, t(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("n_bytes"), col("content_hash"),
+          col("head_hex"), element_at(col("feature"), 1).as("f0"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

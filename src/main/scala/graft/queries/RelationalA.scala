@@ -20,10 +20,9 @@ object RelationalA {
 
   private val decQty = DecimalType(18, 2)
 
-  /** l_extendedprice * (1 - l_discount) as exact decimal for summing. */
-  private def revDec(): Column =
-    (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(18, 4))
-  private val revSql = "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))"
+  /** l_extendedprice * (1 - l_discount) in pure decimal arithmetic. */
+  private def revDec(): Column = revenue(col("l_extendedprice"), col("l_discount"))
+  private val revSql = revenueSql
 
   val defs: Seq[QDef] = Seq(
 
@@ -174,13 +173,15 @@ object RelationalA {
         .orderBy(col("c_custkey"))
     },
 
-    // R9: left anti join (NOT EXISTS).
+    // R9: left anti join (NOT EXISTS) — customers with no large order.
     QDef.sql("q09_anti_join",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     },
@@ -339,21 +340,22 @@ object RelationalA {
         .orderBy(col("k"))
     },
 
-    // R19: EXCEPT (set semantics).
+    // R19: EXCEPT (set semantics) — custkeys minus large-order custkeys.
     QDef.sql("q19_except",
       """SELECT c_custkey AS k FROM customer
         |EXCEPT
-        |SELECT o_custkey AS k FROM orders
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000.0
         |ORDER BY k""".stripMargin) { (s, dir) =>
       t(s, dir, "customer").select(col("c_custkey").as("k"))
-        .except(t(s, dir, "orders").select(col("o_custkey").as("k")))
+        .except(t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey").as("k")))
         .orderBy(col("k"))
     },
 
     // R20: conditional aggregation (TPC-H Q14 promo-share shape).
     QDef.sql("q20_case_agg",
       s"""SELECT
-         | 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revSql ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         | 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revSql END) AS DOUBLE)
          |   / CAST(SUM($revSql) AS DOUBLE) AS promo_share
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin) { (s, dir) =>
@@ -363,8 +365,7 @@ object RelationalA {
         .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .agg(
           (lit(100.0) *
-            sum(when(col("p_type") === "PROMO", revDec())
-              .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double") /
+            sum(when(col("p_type") === "PROMO", revDec())).cast("double") /
             sum(revDec()).cast("double")).as("promo_share"))
     }
   )

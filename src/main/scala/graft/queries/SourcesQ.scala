@@ -1,0 +1,87 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Catalog
+
+/** Source/sink surface S2–S5 (SURVEY §2.4): CSV and JSON round-trips
+  * with explicit schemas, hive-partitioned parquet writes, and the SQL
+  * view front door. Round-trips land in a per-run temp dir (the
+  * correctness signal is the values surviving the format round-trip).
+  */
+object SourcesQ {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val defs: Seq[QDef] = Seq(
+
+    // S2: typed CSV round-trip; header + explicit schema on read (never
+    // inferSchema at scale — schema inference is a full extra pass).
+    QDef.sql("s02_csv_roundtrip",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val path = tmp("graft_csv")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      s.read
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .option("header", "true").csv(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), graft.functions.Exact.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // S3: JSON lines round-trip.
+    QDef.sql("s03_json_roundtrip",
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val path = tmp("graft_json")
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .write.mode(SaveMode.Overwrite).json(path)
+      s.read
+        .schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
+        .json(path)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), graft.functions.Exact.dsum(col("c_acctbal")).as("bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // S4: hive-style partitioned write + partition-pruned read-back.
+    // At 100 TB this is the layout that makes partition pruning work;
+    // the read below only touches one partition directory.
+    QDef.sql("s04_partitioned_write",
+      """SELECT o_orderstatus AS st, COUNT(*) AS n FROM orders
+        |WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val path = tmp("graft_part")
+      t(s, dir, "orders")
+        .write.mode(SaveMode.Overwrite).partitionBy("o_orderstatus").parquet(path)
+      s.read.parquet(path)
+        .filter(col("o_orderstatus") === "F") // partition-pruned scan
+        .groupBy(col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("st").cast("string").as("st"), col("n"))
+    },
+
+    // S5: SQL front door over registered views.
+    {
+      val q =
+        """SELECT n_name, COUNT(*) AS n_cust
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin
+      QDef.sql("s05_sql_view", q) { (s, dir) =>
+        Catalog.registerAll(s, dir)
+        s.sql(q)
+      }
+    }
+  )
+}

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Catalog
+import graft.streaming.StreamingOps
+
+/** Streaming-shaped operators ST1–ST3 (SURVEY §2.6), run here in batch
+  * mode against the same plans StreamingOps executes incrementally
+  * (StreamingSpec proves batch/stream equivalence on st01).
+  */
+object StreamingQ {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  val defs: Seq[QDef] = Seq(
+
+    // ST1: tumbling-window aggregation (same plan as the readStream
+    // version; window start == date_trunc hour for 1h tumbling).
+    QDef.sql("st01_window_agg",
+      """SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY DATE_TRUNC('hour', ts), event_type
+        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      StreamingOps.windowedAgg(t(s, dir, "events"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    // ST2: gap-based sessionization (30 min inactivity ends a session).
+    QDef.sql("st02_sessionize",
+      """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+        |FROM (
+        |  SELECT user_id,
+        |   CASE WHEN LAG(ts) OVER w IS NULL
+        |         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") - lag(col("ts"), 1).over(w) > expr("INTERVAL 30 MINUTE"), 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).cast("bigint").as("n_sessions"))
+        .orderBy(col("user_id"))
+    },
+
+    // ST3: stream-batch (fact-dim) join shape: events enriched with a
+    // broadcast dim — in streaming mode the identical plan is a
+    // stream-static join.
+    QDef.sql("st03_stream_join",
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .join(broadcast(t(s, dir, "customer")), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    }
+  )
+}

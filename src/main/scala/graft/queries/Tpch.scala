@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Exact._
+import graft.sources.Catalog
+
+/** TPC-H headline suite (SURVEY §2.2), adapted to the reduced test
+  * schema (no comment/address/shipmode columns; dates are timestamps).
+  * These are the reference's own benchmark grade
+  * (/root/reference/benchmark/tpch) re-expressed as Catalyst plans.
+  */
+object Tpch {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  private def revDec(): Column = revenue(col("l_extendedprice"), col("l_discount"))
+  private val revSql = revenueSql
+
+  private def ts(d: String): Column = lit(d).cast("timestamp")
+
+  val defs: Seq[QDef] = Seq(
+
+    // Q1: pricing summary. One shuffle; everything else map-side.
+    QDef.sql("tpch_q1",
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         | CAST(SUM($revSql) AS DOUBLE) AS sum_disc_price,
+         | CAST(SUM($chargeSql) AS DOUBLE) AS sum_charge,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price,
+         | CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_disc,
+         | COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("2001-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revDec()).cast("double").as("sum_disc_price"),
+          sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax")))
+            .cast("double").as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Q3: shipping priority (fact-fact shuffle join + broadcast filter dim).
+    QDef.sql("tpch_q3",
+      s"""SELECT l_orderkey, CAST(SUM($revSql) AS DOUBLE) AS revenue,
+         | CAST(o_orderdate AS DATE) AS order_date
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         | JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'MACHINERY'
+         | AND o_orderdate < TIMESTAMP '1997-06-01'
+         | AND l_shipdate > TIMESTAMP '1997-06-01'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_mktsegment") === "MACHINERY")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < ts("1997-06-01"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > ts("1997-06-01"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(revDec()).cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), to_date(col("o_orderdate")).as("order_date"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Q5: local supplier volume (snowflake join, broadcast dims).
+    QDef.sql("tpch_q5",
+      s"""SELECT n_name, CAST(SUM($revSql) AS DOUBLE) AS revenue
+         |FROM customer
+         | JOIN orders ON c_custkey = o_custkey
+         | JOIN lineitem ON l_orderkey = o_orderkey
+         | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         | JOIN nation ON s_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'EUROPE'
+         | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revDec()).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Q6: forecast revenue — pure scan+filter+agg; predicates must all
+    // push to parquet.
+    QDef.sql("tpch_q6",
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        | AND l_discount >= 0.05 AND l_discount <= 0.07
+        | AND l_quantity < 24.0""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01")
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24.0)
+        .agg(sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(18, 4)))
+          .cast("double").as("revenue"))
+    },
+
+    // Q10: returned-items ranking.
+    QDef.sql("tpch_q10",
+      s"""SELECT c_custkey, c_name, CAST(SUM($revSql) AS DOUBLE) AS revenue,
+         | c_acctbal, n_name
+         |FROM customer
+         | JOIN orders ON c_custkey = o_custkey
+         | JOIN lineitem ON l_orderkey = o_orderkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+         | AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-07-01"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(revDec()).cast("double").as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // Q12 shape (schema has no shipmode → priority split by linestatus).
+    QDef.sql("tpch_q12",
+      """SELECT l_linestatus,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+            .cast("bigint").as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+            .cast("bigint").as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // Q18: large-volume customers — GroupJoin shape at TPC-H scale:
+    // the per-order aggregate (few survivors after HAVING) broadcasts
+    // into the orders/customer join.
+    QDef.sql("tpch_q18",
+      """SELECT c_custkey, c_name, o_orderkey,
+        | CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val bigOrders = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("__sq"))
+        .filter(col("__sq") > 300)
+        .select(col("l_orderkey").as("__bigkey"))
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(bigOrders), col("o_orderkey") === col("__bigkey"), "left_semi")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("order_date"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // Q19 shape: disjunctive predicates inside the join condition —
+    // the equi key still carries the join; the OR-block evaluates
+    // post-match (no nested loop).
+    QDef.sql("tpch_q19",
+      s"""SELECT CAST(SUM($revSql) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
+         |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin) { (s, dir) =>
+      val pred =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+          && col("l_quantity") >= 1 && col("l_quantity") <= 21) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(10, 30)
+          && col("l_quantity") >= 10 && col("l_quantity") <= 30) ||
+        (col("p_brand") === "Brand#14" && col("p_size").between(20, 50)
+          && col("l_quantity") >= 20 && col("l_quantity") <= 40)
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("p_partkey") === col("l_partkey"))
+        .filter(pred)
+        .agg(sum(revDec()).cast("double").as("revenue"))
+    }
+  )
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY §2.6) over the events stream.
+  *
+  * Each transform is written against an unbounded DataFrame so the SAME
+  * plan runs in batch (for the DuckDB-checked oracle queries) and as a
+  * readStream (exercised in StreamingSpec with a memory sink). This is
+  * the Spark-native equivalence the engine leans on: one declarative
+  * plan, two execution modes.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts/sums per event type with a watermark for
+    * state cleanup (10 min lateness at 1 h windows keeps state bounded
+    * regardless of input volume).
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Open a file stream over a directory of events parquet (schema must
+    * be supplied for streaming reads; maxFilesPerTrigger paces replay).
+    */
+  def readEventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** Run a streaming frame into an in-memory sink until input drains —
+    * the batch-equivalence harness used by the specs.
+    */
+  def runToMemory(df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Append()): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

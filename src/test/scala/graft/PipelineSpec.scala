@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Similarity, TextOps}
+
+/** Semantic tests for the LLM-pipeline operators: plant known
+  * duplicates / neighbors and assert they are found (the rows-only
+  * items the DuckDB oracle can't check).
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private lazy val docs = graft.sources.Catalog.table(spark, sfDir, "documents")
+
+  test("minhash LSH finds planted near-duplicates") {
+    // copy 3 docs with a tiny edit; ids offset by 10000
+    val mutated = docs.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionAll(mutated)
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    for (i <- 0L until 3L)
+      assert(pairs.contains((i, i + 10000)), s"planted pair $i not found")
+  }
+
+  test("minhash estimate tracks exact jaccard for identical docs") {
+    val twin = docs.filter(col("doc_id") === 0)
+      .select(lit(20000L).as("doc_id"), col("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionAll(twin)
+    val est = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.9)
+      .filter(col("id_a") === 0 && col("id_b") === 20000)
+      .select("est_jaccard").as[Double].collect()
+    assert(est.length == 1 && est.head == 1.0)
+  }
+
+  test("simhash finds exact duplicates at hamming 0") {
+    val twin = docs.filter(col("doc_id") < 2)
+      .select((col("doc_id") + 30000).as("doc_id"), col("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionAll(twin)
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 30000L)) && pairs.contains((1L, 30001L)))
+  }
+
+  test("ngram jaccard is 1.0 for identical docs") {
+    val j = Dedup.ngramJaccardPairs(
+        docs.select(col("doc_id"), col("text"), lit("x").as("blk"))
+          .unionAll(docs.filter(col("doc_id") === 5)
+            .select(lit(40000L).as("doc_id"), col("text"), lit("x").as("blk"))),
+        "doc_id", "text", blockKey = col("blk"), threshold = 0.99)
+      .filter(col("id_a") === 5 && col("id_b") === 40000)
+      .select("jaccard").as[Double].collect()
+    assert(j.length == 1 && j.head == 1.0)
+  }
+
+  test("brute-force top-k: query vector is its own nearest neighbor") {
+    val emb = graft.sources.Catalog.table(spark, sfDir, "embeddings")
+    val top = Similarity.bruteForceTopK(
+        emb, "embedding", "vec_id",
+        emb.filter(col("vec_id") === 0), "embedding", k = 3)
+      .select("vec_id").as[Long].collect()
+    assert(top.head == 0L, s"expected self as top-1, got ${top.toSeq}")
+  }
+
+  test("LSH ANN candidates include the query vector itself") {
+    val emb = graft.sources.Catalog.table(spark, sfDir, "embeddings")
+    val top = Similarity.annTopK(
+        emb, "embedding", "vec_id",
+        emb.filter(col("vec_id") === 0), "embedding",
+        k = 5, nBits = 4, dim = 64)
+      .select("vec_id").as[Long].collect()
+    assert(top.contains(0L))
+  }
+
+  test("langId picks the profiled language on clean samples") {
+    val samples = Seq(
+      ("the cat and the dog of the house is in a tree", "en"),
+      ("der hund und die katze ist nicht ein tier zu haus", "de"),
+      ("le chat et la maison est dans les arbres pour un jour", "fr"),
+      ("el gato y la casa es en los arboles por un dia", "es")
+    ).toDF("text", "expected")
+    val got = samples
+      .select(col("expected"), TextOps.langId(col("text")).as("pred"))
+      .filter(col("expected") === col("pred")).count()
+    assert(got == 4, "langId misclassified a clean sample")
+  }
+
+  test("fingerprint is edit-stable on prefix but unique across docs") {
+    val fps = docs.limit(50)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect()
+    assert(fps.map(_._2).distinct.length == fps.length, "fingerprint collision")
+  }
+
+  test("multimodal stub features are deterministic") {
+    val f1 = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
+    val f2 = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
+    assert(f1.sameElements(f2))
+  }
+}
