@@ -39,10 +39,19 @@ object Bench {
       if (sys.env.get("BENCH_ALL").contains("1")) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
 
-    // one warm-up pass over the smallest query to JIT/codegen-warm the
-    // session so the first measured query isn't charged for startup
-    SparkEntry.queries("q16_distinct")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+    // Steady-state measurement: run the same plans once against a
+    // smaller scale factor first. Codegen compilation + JIT dominate
+    // first execution (2–4× observed); sf0.01 is big enough to push
+    // the generated loops past C2 compilation thresholds (sf0.001
+    // compiles the classes but never tiers them up).
+    val warmDir = "/root/testdata/sf0.01"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      names.foreach { name =>
+        try SparkEntry.queries(name)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
 
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

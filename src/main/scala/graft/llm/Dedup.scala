@@ -38,8 +38,7 @@ object Dedup {
     val r = numHashes / bands
     val sig = df
       .select(col(idCol).as("id"),
-        TextOps.shingleHashes(
-          TextOps.charShingles(col(textCol), shingleSize)).as("hs"))
+        TextOps.charShingleHashes(col(textCol), shingleSize).as("hs"))
       .select(col("id"), TextOps.minhashFromHashes(col("hs"), numHashes).as("sig"))
 
     // Band join on NARROW (id, bandKey) rows only — the wide signature

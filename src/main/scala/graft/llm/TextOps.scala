@@ -45,6 +45,14 @@ object TextOps {
   def shingleHashes(shingles: Column): Column =
     transform(array_distinct(shingles), sh => pmod(xxhash64(sh), lit(MersenneP)))
 
+  /** Fused shingle+hash+dedup of byte k-grams straight from the text
+    * column — one allocation-free rolling-hash pass per row (see
+    * [[graft.plans.CharShingleHashes]]); the fast path for minhash.
+    */
+  def charShingleHashes(text: Column, k: Int): Column =
+    graft.plans.HashExpressions.columnOf(
+      graft.plans.CharShingleHashes(graft.plans.HashExpressions.exprOf(text), k))
+
   /** MinHash signature from pre-hashed shingles: sig[i] =
     * min over h of ((a_i*h + b_i) mod p), p = 2^31-1. Runs as the
     * custom [[graft.plans.MinHashSignature]] expression — one tight

@@ -26,6 +26,62 @@ object HashExpressions {
   def exprOf(c: Column): Expression = GraftBridge.exprOf(c)
 }
 
+/** Distinct 31-bit rolling hashes of the byte k-grams of a string —
+  * the shingle+hash+dedup pipeline fused into one allocation-free pass
+  * (a `transform(sequence…substr)` expression tree allocates a
+  * substring per position and evaluates interpreted). Polynomial
+  * rolling hash: h(i+1) derives from h(i) in O(1), so total work is
+  * O(bytes), not O(bytes·k).
+  */
+case class CharShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  import HashExpressions.MersenneP
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private val B = 1315423911L // odd polynomial base
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = bytes.length
+    val m = if (n <= k) 1 else n - k + 1
+    val hs = new Array[Long](m)
+    if (n <= k) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = h * B + (bytes(i) & 0xff); i += 1 }
+      hs(0) = (h & Long.MaxValue) % MersenneP
+    } else {
+      // B^(k-1) with wraparound (consistent everywhere)
+      var bk = 1L
+      var e = 0
+      while (e < k - 1) { bk *= B; e += 1 }
+      var h = 0L
+      var i = 0
+      while (i < k) { h = h * B + (bytes(i) & 0xff); i += 1 }
+      hs(0) = (h & Long.MaxValue) % MersenneP
+      var p = 1
+      while (p < m) {
+        h = (h - (bytes(p - 1) & 0xff) * bk) * B + (bytes(p + k - 1) & 0xff)
+        hs(p) = (h & Long.MaxValue) % MersenneP
+        p += 1
+      }
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < m) {
+      if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharShingleHashes =
+    copy(child = c)
+}
+
 /** sig[i] = min over shingle-hashes h of ((a(i)*h + b(i)) mod p).
   * Input: array<long> of 31-bit shingle hashes. Output: array<long>.
   */

@@ -95,7 +95,7 @@ object RelationalA {
         .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(revDec()).cast("double").as("revenue"))
+        .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
           to_date(col("o_orderdate")).as("order_date"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -124,7 +124,7 @@ object RelationalA {
         .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(revDec()).cast("double").as("revenue"))
+        .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -365,8 +365,9 @@ object RelationalA {
         .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .agg(
           (lit(100.0) *
-            sum(when(col("p_type") === "PROMO", revDec())).cast("double") /
-            sum(revDec()).cast("double")).as("promo_share"))
+            sumRevenueWhere(col("p_type") === "PROMO",
+              col("l_extendedprice"), col("l_discount")) /
+            sumRevenue(col("l_extendedprice"), col("l_discount"))).as("promo_share"))
     }
   )
 }

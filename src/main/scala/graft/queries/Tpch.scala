@@ -44,7 +44,7 @@ object Tpch {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(revDec()).cast("double").as("sum_disc_price"),
+          sumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
           sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax")))
             .cast("double").as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
@@ -72,7 +72,7 @@ object Tpch {
         .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > ts("1997-06-01"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(revDec()).cast("double").as("revenue"))
+        .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), to_date(col("o_orderdate")).as("order_date"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -101,7 +101,7 @@ object Tpch {
         .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(revDec()).cast("double").as("revenue"))
+        .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -141,7 +141,7 @@ object Tpch {
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(sum(revDec()).cast("double").as("revenue"))
+        .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
@@ -220,7 +220,7 @@ object Tpch {
       t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")), col("p_partkey") === col("l_partkey"))
         .filter(pred)
-        .agg(sum(revDec()).cast("double").as("revenue"))
+        .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
     }
   )
 }

@@ -11,12 +11,52 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = graft.GraftSession.get()
-    val docs = graft.sources.Catalog.table(spark, sfDir, "documents")
 
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+
+    args.drop(1).toList match {
+      case "q" :: names =>
+        // repeat-time named queries (3 runs each) + formatted plan
+        names.foreach { n =>
+          val fn = graft.SparkEntry.queries(n)
+          (1 to 3).foreach { i =>
+            time(s"$n run$i")(
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          }
+          if (sys.env.get("PROBE_EXPLAIN").contains("1"))
+            fn(spark, sfDir).explain("formatted")
+        }
+        spark.stop(); return
+      case "q1b" :: _ =>
+        val li = graft.sources.Catalog.table(spark, sfDir, "lineitem")
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        (1 to 2).foreach { i =>
+          time(s"scan+count r$i")(noop(li.groupBy(col("l_returnflag")).count()))
+          time(s"double sums r$i")(noop(
+            li.groupBy(col("l_returnflag"), col("l_linestatus"))
+              .agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
+                sum(col("l_extendedprice") * col("l_discount")))))
+          time(s"decimal sums r$i")(noop(
+            li.groupBy(col("l_returnflag"), col("l_linestatus"))
+              .agg(sum(col("l_quantity").cast("decimal(18,2)")),
+                sum(col("l_extendedprice").cast("decimal(18,2)")),
+                sum(graft.functions.Exact.revenue(col("l_extendedprice"), col("l_discount"))))))
+          time(s"long-cent sums r$i")(noop(
+            li.groupBy(col("l_returnflag"), col("l_linestatus"))
+              .agg(sum(round(col("l_quantity") * 100).cast("bigint")),
+                sum(round(col("l_extendedprice") * 100).cast("bigint")),
+                sum(round(col("l_extendedprice") * 100).cast("bigint") *
+                    (lit(100L) - round(col("l_discount") * 100).cast("bigint"))))))
+        }
+        spark.stop(); return
+      case _ => ()
+    }
+
+    val docs = graft.sources.Catalog.table(spark, sfDir, "documents")
 
     val hs = docs.select(col("doc_id").as("id"),
       TextOps.shingleHashes(TextOps.charShingles(col("text"), 5)).as("hs"))
