@@ -13,4 +13,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e)
   def exprOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Physical-plan string (for plan-shape audits). */
+  def explainString(df: Dataset[_], mode: String = "formatted"): String =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString(mode))
 }
