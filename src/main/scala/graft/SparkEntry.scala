@@ -11,7 +11,8 @@ object SparkEntry {
     * DuckDB oracle. Assembled from the per-area modules.
     */
   def allDefs: Seq[QDef] =
-    RelationalA.defs ++ RelationalB.defs ++ Tpch.defs ++ Tpch2.defs ++
+    RelationalA.defs ++ RelationalB.defs ++ RelationalC.defs ++
+      Tpch.defs ++ Tpch2.defs ++
       FunctionsQ.defs ++ SourcesQ.defs ++ Pipeline.defs ++ StreamingQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

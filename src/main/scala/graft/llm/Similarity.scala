@@ -77,6 +77,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: a coarse quantizer (centroids = deterministic data
+    * seeds, k-medoids flavor) partitions the corpus into inverted
+    * lists; a query probes only the `nprobe` nearest lists.
+    *
+    * Scale shape: assignment is a broadcast(centroids) pass over the
+    * corpus (no corpus shuffle) done ONCE and reusable across queries
+    * (the inverted-list table is the index); each query then touches
+    * nprobe/K of the data. Recall tunes with nprobe.
+    */
+  def ivfAssign(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      centroidStride: Long): DataFrame = {
+    val centroids = corpus
+      .filter(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    corpus
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol),
+        col("centroid_id"), cosine(col(vecCol), col("cv")).as("__ccos"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("centroid_id"), col("__ccos")).as("centroid_id"),
+        first(col(vecCol)).as(vecCol))
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      query: DataFrame, queryVecCol: String,
+      k: Int, centroidStride: Long, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, vecCol, idCol, centroidStride)
+    val centroids = corpus
+      .filter(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    val q = query.select(col(queryVecCol).as("__qv"))
+    val probed = centroids
+      .crossJoin(broadcast(q))
+      .select(col("centroid_id"), cosine(col("cv"), col("__qv")).as("__pc"))
+      .orderBy(col("__pc").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    assigned
+      .join(broadcast(probed), Seq("centroid_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col(idCol), cosine(col(vecCol), col("__qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, blocked
     * by an equi key (label, LSH bucket, …) to bound the pair space.
     */

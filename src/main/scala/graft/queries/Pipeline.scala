@@ -86,6 +86,15 @@ object Pipeline {
         k = 10, nBits = 4, dim = 64)
     },
 
+    // L7b: IVF ANN — inverted-list index, nprobe-bounded search.
+    QDef.rowsOnly("s03_ann_ivf") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb, "embedding", "vec_id",
+        emb.filter(col("vec_id") === 0), "embedding",
+        k = 10, centroidStride = 37, nprobe = 4)
+    },
+
     // L8: language-ID heuristic (stopword profiles, argmax).
     QDef.rowsOnly("t01_lang_id") { (s, dir) =>
       t(s, dir, "documents")
@@ -147,6 +156,22 @@ object Pipeline {
         .select(col("doc_id"), col("kind"), col("n_bytes"), col("content_hash"),
           col("head_hex"), element_at(col("feature"), 1).as("f0"))
         .orderBy(col("doc_id"))
+    },
+
+    // L12b: video frame sampling — each video expands to frame rows
+    // with per-frame (stub) features; the explode keeps frames
+    // data-parallel for downstream per-frame models.
+    QDef.rowsOnly("m02_frame_sample") { (s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.mediaFrame(s, t(s, dir, "documents")))
+        .toDF()
+        .filter(col("kind") === "video")
+        .select(col("doc_id"), col("content_hash"),
+          explode(sequence(lit(0), lit(9))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          (pmod(xxhash64(col("content_hash"), col("frame_idx")), lit(1000000L))
+            .cast("double") / 1e6).as("frame_feature"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }
   )
 }
