@@ -11,7 +11,7 @@ object SparkEntry {
     * DuckDB oracle. Assembled from the per-area modules.
     */
   def allDefs: Seq[QDef] =
-    RelationalA.defs ++ RelationalB.defs ++ RelationalC.defs ++
+    RelationalA.defs ++ RelationalB.defs ++ RelationalC.defs ++ RelationalD.defs ++
       Tpch.defs ++ Tpch2.defs ++
       FunctionsQ.defs ++ SourcesQ.defs ++ Pipeline.defs ++ StreamingQ.defs
 
