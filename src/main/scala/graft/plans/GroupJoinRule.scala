@@ -100,5 +100,6 @@ object GroupJoinRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => GroupJoinRule)
+    e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }

@@ -89,6 +89,25 @@ object RelationalD {
       QDef.sql("q52_null_ordering", q)((s, dir) => viaSql(s, dir, q))
     },
 
+    // R53: top-K per group on the CUSTOM bounded-heap operator
+    // (graft.plans.TopKPerGroupExec) — same oracle as a window+filter,
+    // exercised through the injected planner strategy.
+    QDef.sql("q53_topk_custom",
+      """SELECT s_nationkey, s_suppkey, s_acctbal FROM (
+        |  SELECT s_nationkey, s_suppkey, s_acctbal,
+        |   ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rn
+        |  FROM supplier)
+        |WHERE rn <= 2
+        |ORDER BY s_nationkey, s_acctbal DESC, s_suppkey""".stripMargin) { (s, dir) =>
+      graft.operators.TopK.perGroup(
+          t(s, dir, "supplier"),
+          keys = Seq(col("s_nationkey")),
+          order = Seq(col("s_acctbal").desc, col("s_suppkey")),
+          k = 2)
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"))
+        .orderBy(col("s_nationkey"), col("s_acctbal").desc, col("s_suppkey"))
+    },
+
     // F12: epoch/format/round-trip time functions.
     QDef.sql("f12_time_funcs",
       """SELECT o_orderkey,
