@@ -75,6 +75,16 @@ object Exact {
     sum(when(cond, units(price, 2) * (lit(100L) - units(discount, 2))))
       .cast(DoubleType) / 1e4
 
+  /** Σ price·(1-disc)·(1+tax) as scale-6 long units (one int64 sum).
+    * Headroom shrinks to ~5e7 rows of max-value terms — beyond that
+    * (true 100 TB fact tables) use the decimal [[charge]] path; the
+    * value is identical either way.
+    */
+  def sumCharge(price: Column, discount: Column, tax: Column): Column =
+    sum(units(price, 2) * (lit(100L) - units(discount, 2)) *
+        (lit(100L) + units(tax, 2)))
+      .cast(DoubleType) / 1e6
+
   /** TPC-H revenue / charge as PURE decimal arithmetic.
     *
     * Casting a COMPUTED double like `price*(1-disc)*(1+tax)` to decimal

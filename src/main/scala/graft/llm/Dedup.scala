@@ -91,8 +91,33 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Exact word n-gram Jaccard verification of an (id_a, id_b)
+    * candidate-pair table: re-attach the two texts, intersect distinct
+    * n-gram sets. The 100 TB composition is
+    * `jaccardVerify(minhashPairs(...), ...)` — LSH proposes, exact
+    * Jaccard disposes; the pair table stays ids-only until here.
+    */
+  def jaccardVerify(
+      pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextOps.wordShingles(
+        TextOps.wordTokens(col(textCol)), n)).as("grams"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(grams.select(col("id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .withColumn("uni", size(col("grams_a")) + size(col("grams_b")) - col("inter"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / greatest(col("uni"), lit(1))).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard for candidate pairs, blocked by a cheap key
     * (e.g. language + length bucket) so the pair space stays bounded.
+    * For unblockable corpora prefer [[jaccardVerify]] over LSH
+    * candidates — blocking caps the pair space only when the key is
+    * selective.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockKey: Column,

@@ -101,17 +101,15 @@ object TextOps {
       zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
-  /** Winnowing-style document fingerprint: k-gram hashes → min hash of
-    * each sliding window of w → distinct sorted mins → one 64-bit id.
-    * Robust to small edits (the classic MOSS scheme, simplified).
+  /** Winnowing-style document fingerprint: k-gram rolling hashes → min
+    * of each sliding window of w → distinct sorted mins → one 64-bit
+    * id. Robust to small edits (the classic MOSS scheme, simplified);
+    * fused into [[graft.plans.WinnowFingerprint]] (the expression-tree
+    * form was interpreted and ~100× slower).
     */
-  def fingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val hashes = transform(charShingles(text, k), sh => xxhash64(sh))
-    val wins = transform(
-      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
-      i => array_min(slice(hashes, i, lit(w))))
-    xxhash64(array_sort(array_distinct(wins)))
-  }
+  def fingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.plans.HashExpressions.columnOf(
+      graft.plans.WinnowFingerprint(graft.plans.HashExpressions.exprOf(text), k, w))
 
   /** Stopword profiles for the language-ID heuristic. */
   val stopwordProfiles: Map[String, Seq[String]] = Map(

@@ -82,6 +82,69 @@ case class CharShingleHashes(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Winnowing fingerprint (MOSS-style, simplified) fused into one pass:
+  * k-gram rolling hashes → min of each sliding window of w → distinct
+  * sorted mins → one mixed 64-bit id. The expression-tree formulation
+  * (transform + slice + array_min per window) evaluates interpreted
+  * and quadratic-ish; this is O(bytes · w) primitive ops.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  private val B = 1315423911L
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = bytes.length
+    val m = if (n <= k) 1 else n - k + 1
+    val hs = new Array[Long](m)
+    if (n <= k) {
+      var h = 0L; var i = 0
+      while (i < n) { h = h * B + (bytes(i) & 0xff); i += 1 }
+      hs(0) = h
+    } else {
+      var bk = 1L; var e = 0
+      while (e < k - 1) { bk *= B; e += 1 }
+      var h = 0L; var i = 0
+      while (i < k) { h = h * B + (bytes(i) & 0xff); i += 1 }
+      hs(0) = h
+      var p = 1
+      while (p < m) {
+        h = (h - (bytes(p - 1) & 0xff) * bk) * B + (bytes(p + k - 1) & 0xff)
+        hs(p) = h
+        p += 1
+      }
+    }
+    val wm = if (m <= w) 1 else m - w + 1
+    val mins = new Array[Long](wm)
+    var i = 0
+    while (i < wm) {
+      var mn = hs(i)
+      var j = i + 1
+      val end = math.min(i + w, m)
+      while (j < end) { if (hs(j) < mn) mn = hs(j); j += 1 }
+      mins(i) = mn
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var fp = 0xcbf29ce484222325L
+    var r = 0
+    while (r < wm) {
+      if (r == 0 || mins(r) != mins(r - 1)) {
+        fp ^= mins(r); fp *= 0x100000001b3L
+      }
+      r += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprint =
+    copy(child = c)
+}
+
 /** sig[i] = min over shingle-hashes h of ((a(i)*h + b(i)) mod p).
   * Input: array<long> of 31-bit shingle hashes. Output: array<long>.
   */

@@ -43,10 +43,14 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // L4: exact n-gram Jaccard over blocked candidate pairs.
+    // L4: exact n-gram Jaccard — LSH proposes candidates, exact
+    // Jaccard verifies them (all-pairs never materializes; the only
+    // big shuffles carry ids + band keys).
     QDef.rowsOnly("d04_ngram_jaccard") { (s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          blockKey = col("lang"), n = 3, threshold = 0.2)
+      val docs = t(s, dir, "documents")
+      val candidates = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.35)
+      Dedup.jaccardVerify(candidates, docs, "doc_id", "text", n = 3)
         .orderBy(col("id_a"), col("id_b"))
     },
 

@@ -45,8 +45,8 @@ object Tpch {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
           sumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
-          sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax")))
-            .cast("double").as("sum_charge"),
+          sumCharge(col("l_extendedprice"), col("l_discount"), col("l_tax"))
+            .as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount"), 4).as("avg_disc"),

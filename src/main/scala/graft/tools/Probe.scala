@@ -30,6 +30,14 @@ object Probe {
             fn(spark, sfDir).explain("formatted")
         }
         spark.stop(); return
+      case "d04" :: _ =>
+        val docs = graft.sources.Catalog.table(spark, sfDir, "documents")
+        Seq(0.2, 0.35, 0.5).foreach { thr =>
+          val n = graft.llm.Dedup.minhashPairs(docs, "doc_id", "text",
+            numHashes = 64, bands = 16, shingleSize = 5, threshold = thr).count()
+          println(s"[probe] pairs est>=$thr: $n")
+        }
+        spark.stop(); return
       case "q1b" :: _ =>
         val li = graft.sources.Catalog.table(spark, sfDir, "lineitem")
         def noop(df: org.apache.spark.sql.DataFrame): Unit =
