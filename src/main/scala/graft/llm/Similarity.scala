@@ -25,8 +25,16 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
+  /** Cosine via the custom [[graft.plans.CosineSimilarity]] expression
+    * (primitive loop; the HOF zip_with/aggregate form evaluates
+    * interpreted). Identical left-to-right double accumulation, so the
+    * DuckDB list_sum oracle parity is preserved.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.plans.HashExpressions.columnOf(
+      graft.plans.CosineSimilarity(
+        graft.plans.HashExpressions.exprOf(a),
+        graft.plans.HashExpressions.exprOf(b)))
 
   /** Brute-force cosine top-k against one query vector (supplied as a
     * one-row frame, broadcast — no driver collect). Plans as scan +
@@ -86,12 +94,25 @@ object Similarity {
     * (the inverted-list table is the index); each query then touches
     * nprobe/K of the data. Recall tunes with nprobe.
     */
+  /** Deterministic centroid seeds, BOUNDED in number: stride grows
+    * with the corpus so assignment stays O(n·K), K ≈ maxCentroids —
+    * not O(n²/stride) (a fixed stride quietly turns quadratic as the
+    * corpus grows).
+    */
+  private def centroidsOf(corpus: DataFrame, vecCol: String, idCol: String,
+                          maxCentroids: Int): DataFrame = {
+    val n = corpus.count() // index-build-time job, amortized over queries
+    val stride = math.max(1L, n / maxCentroids)
+    corpus
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+      .limit(maxCentroids)
+  }
+
   def ivfAssign(
       corpus: DataFrame, vecCol: String, idCol: String,
-      centroidStride: Long): DataFrame = {
-    val centroids = corpus
-      .filter(pmod(col(idCol), lit(centroidStride)) === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+      maxCentroids: Int): DataFrame = {
+    val centroids = centroidsOf(corpus, vecCol, idCol, maxCentroids)
     corpus
       .crossJoin(broadcast(centroids))
       .select(col(idCol), col(vecCol),
@@ -104,11 +125,9 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, vecCol: String, idCol: String,
       query: DataFrame, queryVecCol: String,
-      k: Int, centroidStride: Long, nprobe: Int): DataFrame = {
-    val assigned = ivfAssign(corpus, vecCol, idCol, centroidStride)
-    val centroids = corpus
-      .filter(pmod(col(idCol), lit(centroidStride)) === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+      k: Int, maxCentroids: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, vecCol, idCol, maxCentroids)
+    val centroids = centroidsOf(corpus, vecCol, idCol, maxCentroids)
     val q = query.select(col(queryVecCol).as("__qv"))
     val probed = centroids
       .crossJoin(broadcast(q))

@@ -82,6 +82,37 @@ case class CharShingleHashes(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Cosine similarity of two float vectors, accumulated left-to-right
+  * in double (engine-portable: same order ⇒ same bits as DuckDB's
+  * list_sum-over-list_transform form). One primitive loop instead of
+  * three interpreted higher-order lambdas per row — the difference
+  * between O(n·d) boxed ops and a vectorizable loop on ANN paths.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val xd = x(i).toDouble; val yd = y(i).toDouble
+      dot += xd * yd; nx += xd * xd; ny += yd * yd
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
 /** Winnowing fingerprint (MOSS-style, simplified) fused into one pass:
   * k-gram rolling hashes → min of each sliding window of w → distinct
   * sorted mins → one mixed 64-bit id. The expression-tree formulation

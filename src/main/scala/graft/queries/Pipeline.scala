@@ -96,7 +96,7 @@ object Pipeline {
       Similarity.ivfTopK(
         emb, "embedding", "vec_id",
         emb.filter(col("vec_id") === 0), "embedding",
-        k = 10, centroidStride = 37, nprobe = 4)
+        k = 10, maxCentroids = 16, nprobe = 4)
     },
 
     // L8: language-ID heuristic (stopword profiles, argmax).

@@ -25,7 +25,7 @@ class ApproxSpec extends AnyFunSuite {
     val emb = graft.sources.Catalog.table(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") === 0)
     val ivf = Similarity.ivfTopK(emb, "embedding", "vec_id", q, "embedding",
-      k = 10, centroidStride = 37, nprobe = 4)
+      k = 10, maxCentroids = 16, nprobe = 4)
       .select("vec_id").as[Long].collect().toSet
     val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, "embedding", 10)
       .select("vec_id").as[Long].collect().toSet
@@ -35,7 +35,7 @@ class ApproxSpec extends AnyFunSuite {
 
   test("IVF assignment covers every vector exactly once") {
     val emb = graft.sources.Catalog.table(spark, sfDir, "embeddings")
-    val assigned = Similarity.ivfAssign(emb, "embedding", "vec_id", 37)
+    val assigned = Similarity.ivfAssign(emb, "embedding", "vec_id", 16)
     assert(assigned.count() == emb.count())
     assert(assigned.select("vec_id").distinct().count() == emb.count())
   }
