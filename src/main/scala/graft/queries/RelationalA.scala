@@ -270,8 +270,9 @@ object RelationalA {
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
       t(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"),
-          row_number().over(w).as("rn"), rank().over(w).as("rnk"),
-          dense_rank().over(w).as("drnk"))
+          row_number().over(w).cast("bigint").as("rn"),
+          rank().over(w).cast("bigint").as("rnk"),
+          dense_rank().over(w).cast("bigint").as("drnk"))
         .orderBy(col("c_nationkey"), col("rn"))
     },
 

@@ -37,7 +37,7 @@ object RelationalC {
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
       t(s, dir, "customer").select(
         col("c_custkey"), col("c_mktsegment"),
-        ntile(4).over(w).as("quartile"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"),
         first(col("c_custkey")).over(w).as("first_k"),
