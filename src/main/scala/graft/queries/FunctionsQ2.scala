@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Catalog
+
+/** Function-surface extensions F15–F17: remaining string utilities,
+  * list/array utilities, and formatted output — rounding out the
+  * DuckDB scalar-function coverage.
+  */
+object FunctionsQ2 {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef.sql("f15_string_more",
+      """SELECT p_partkey,
+        | repeat(p_brand, 2) AS doubled,
+        | translate(p_type, 'AEIOU', 'aeiou') AS lowered_vowels,
+        | left(p_name, 4) AS l4,
+        | right(p_name, 4) AS r4,
+        | CAST(contains(p_name, 'widget') AS BOOLEAN) AS has_widget,
+        | CAST(starts_with(p_name, 'cold') AS BOOLEAN) AS is_cold,
+        | CAST(ends_with(p_name, 'bolt') AS BOOLEAN) AS is_bolt,
+        | CAST(ascii(p_brand) AS INT) AS first_code,
+        | chr(65 + CAST(p_size % 26 AS INT)) AS size_letter,
+        | CAST(strpos(p_name, 'o') AS INT) AS first_o
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        repeat(col("p_brand"), 2).as("doubled"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("lowered_vowels"),
+        substring(col("p_name"), 1, 4).as("l4"),
+        expr("right(p_name, 4)").as("r4"),
+        col("p_name").contains("widget").as("has_widget"),
+        col("p_name").startsWith("cold").as("is_cold"),
+        col("p_name").endsWith("bolt").as("is_bolt"),
+        ascii(col("p_brand")).cast("int").as("first_code"),
+        chr(lit(65) + (col("p_size") % 26).cast("int")).as("size_letter"),
+        instr(col("p_name"), "o").cast("int").as("first_o"))
+        .orderBy(col("p_partkey"))
+    },
+
+    QDef.sql("f16_list_more",
+      """SELECT vec_id,
+        | CAST(list_contains(list_transform(embedding, x -> x > 0), true) AS BOOLEAN) AS any_pos,
+        | CAST(embedding[5] AS DOUBLE) AS fifth,
+        | CAST(len(embedding[1:8]) AS INT) AS head8_len,
+        | CAST(list_transform(list_reverse(embedding), x -> CAST(x AS DOUBLE))[1] AS DOUBLE) AS last_elem,
+        | CAST(list_position(list_transform(embedding, x -> x > 0), true) AS INT) AS first_pos_idx
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings").filter(col("vec_id") < 50).select(
+        col("vec_id"),
+        array_contains(transform(col("embedding"), x => x > 0f), true).as("any_pos"),
+        element_at(col("embedding"), 5).cast("double").as("fifth"),
+        size(slice(col("embedding"), 1, 8)).cast("int").as("head8_len"),
+        element_at(reverse(col("embedding")), 1).cast("double").as("last_elem"),
+        array_position(transform(col("embedding"), x => x > 0f), true)
+          .cast("int").as("first_pos_idx"))
+        .orderBy(col("vec_id"))
+    },
+
+    QDef.sql("f17_format",
+      """SELECT o_orderkey,
+        | printf('%d:%s', o_orderkey, o_orderstatus) AS tagged,
+        | CAST(format('{:.2f}', ROUND(o_totalprice, 2)) AS VARCHAR) AS price_2dp,
+        | lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded_key
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        format_string("%d:%s", col("o_orderkey"), col("o_orderstatus")).as("tagged"),
+        format_string("%.2f", round(col("o_totalprice"), 2)).as("price_2dp"),
+        lpad(col("o_orderkey").cast("string"), 10, "0").as("padded_key"))
+        .orderBy(col("o_orderkey"))
+    }
+  )
+}
