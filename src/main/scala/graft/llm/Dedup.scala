@@ -33,12 +33,26 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16,
-      shingleSize: Int = 5, threshold: Double = 0.5): DataFrame = {
+      shingleSize: Int = 5, threshold: Double = 0.5,
+      maxBucket: Int = 256): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = df
-      .select(col(idCol).as("id"),
-        TextOps.charShingleHashes(col(textCol), shingleSize).as("hs"))
+
+    // Exact duplicates collapse to one representative FIRST. A cluster
+    // of m identical documents would otherwise put m copies into every
+    // band bucket → m² candidate pairs per cluster; real corpora have
+    // huge boilerplate clusters, so the self-join turns quadratic
+    // (observed 18× wall-clock at 10× data before this step). Exact
+    // copies are `exact()`'s job; this operator reports near-dup pairs
+    // among DISTINCT contents.
+    val reps = df
+      .groupBy(sha2(col(textCol).cast("binary"), 256).as("__h"))
+      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
+      .select(col("id"), col("__text"))
+
+    val sig = reps
+      .select(col("id"),
+        TextOps.charShingleHashes(col("__text"), shingleSize).as("hs"))
       .select(col("id"), TextOps.minhashFromHashes(col("hs"), numHashes).as("sig"))
 
     // Band join on NARROW (id, bandKey) rows only — the wide signature
@@ -46,8 +60,18 @@ object Dedup {
     // the difference between shuffling ids and shuffling the corpus).
     val banded = sig.select(
       col("id"), explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
-    val pairs = banded.select(col("id").as("id_a"), col("bk"))
-      .join(banded.select(col("id").as("id_b"), col("bk")), Seq("bk"))
+
+    // Stop-band cap: a band hash shared by >maxBucket distinct docs is
+    // boilerplate (the LSH analog of a stopword) — m² pairs of low
+    // individual value. Dropping those buckets bounds worst-case work;
+    // members still pair through their other, more selective bands.
+    val okBuckets = banded.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select(col("bk"))
+    val capped = banded.join(okBuckets, Seq("bk"))
+
+    val pairs = capped.select(col("id").as("id_a"), col("bk"))
+      .join(capped.select(col("id").as("id_b"), col("bk")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct() // same pair can collide in several bands

@@ -31,11 +31,14 @@ object Catalog {
     */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsIsNanos = raw.schema("ts").dataType == LongType
     raw.select(raw.columns.map {
-      case "ts" => expr("timestamp_micros(ts div 1000)").as("ts")
-      case c    => col(c)
+      // already µs timestamps (e.g. re-encoded copies): pass through
+      case "ts" if tsIsNanos => expr("timestamp_micros(ts div 1000)").as("ts")
+      case c                 => col(c)
     }: _*)
   }
 

@@ -27,14 +27,20 @@ class PipelineSpec extends AnyFunSuite {
       assert(pairs.contains((i, i + 10000)), s"planted pair $i not found")
   }
 
-  test("minhash estimate tracks exact jaccard for identical docs") {
+  test("minhash estimate is high for tiny edits; exact twins collapse") {
     val twin = docs.filter(col("doc_id") === 0)
-      .select(lit(20000L).as("doc_id"), col("text"))
-    val corpus = docs.select(col("doc_id"), col("text")).unionAll(twin)
-    val est = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.9)
-      .filter(col("id_a") === 0 && col("id_b") === 20000)
+      .select(lit(20000L).as("doc_id"), col("text")) // exact copy
+    val near = docs.filter(col("doc_id") === 1)
+      .select(lit(20001L).as("doc_id"),
+        concat(col("text"), lit(" x")).as("text")) // tiny edit
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionAll(twin).unionAll(near)
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.7)
+    // exact duplicates are exact()'s job — collapsed to a representative
+    assert(pairs.filter(col("id_a") === 0 && col("id_b") === 20000).count() == 0)
+    val est = pairs.filter(col("id_a") === 1 && col("id_b") === 20001)
       .select("est_jaccard").as[Double].collect()
-    assert(est.length == 1 && est.head == 1.0)
+    assert(est.length == 1 && est.head >= 0.7, est.toSeq.toString)
   }
 
   test("simhash finds exact duplicates at hamming 0") {
