@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Collapse exact duplicates to (min-id representative, text) —
+    * the standard prelude to every near-dup operator: duplicate
+    * clusters otherwise make candidate generation quadratic.
+    */
+  def representatives(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol).cast("binary"), 256).as("__h"))
+      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
+      .select(col("id"), col("__text"))
+
   /** Exact dedup: keep the min-id representative per content hash.
     * One shuffle on the (256-bit) hash; collision-safe in practice.
     */
@@ -45,10 +54,7 @@ object Dedup {
     // (observed 18× wall-clock at 10× data before this step). Exact
     // copies are `exact()`'s job; this operator reports near-dup pairs
     // among DISTINCT contents.
-    val reps = df
-      .groupBy(sha2(col(textCol).cast("binary"), 256).as("__h"))
-      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
-      .select(col("id"), col("__text"))
+    val reps = representatives(df, idCol, textCol)
 
     val sig = reps
       .select(col("id"),
@@ -95,17 +101,25 @@ object Dedup {
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val fp = df
-      .select(col(idCol).as("id"),
-        TextOps.tokenHashes(TextOps.wordTokens(col(textCol))).as("hs"))
+      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    // same duplicate-cluster defense as minhashPairs: exact copies
+    // collapse to a representative, oversized blocks are dropped
+    val reps = representatives(df, idCol, textCol)
+    val fp = reps
+      .select(col("id"),
+        TextOps.tokenHashes(TextOps.wordTokens(col("__text"))).as("hs"))
       .select(col("id"), TextOps.simhashBlocks(col("hs")).as("blocks"))
     val exploded = fp.select(
       col("id"), col("blocks"),
       posexplode(col("blocks")).as(Seq("block_idx", "block_val")))
-    val a = exploded.select(col("id").as("id_a"), col("blocks").as("blocks_a"),
+    val okBlocks = exploded.groupBy(col("block_idx"), col("block_val"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select(col("block_idx"), col("block_val"))
+    val capped = exploded.join(okBlocks, Seq("block_idx", "block_val"))
+    val a = capped.select(col("id").as("id_a"), col("blocks").as("blocks_a"),
       col("block_idx"), col("block_val"))
-    val b = exploded.select(col("id").as("id_b"), col("blocks").as("blocks_b"),
+    val b = capped.select(col("id").as("id_b"), col("blocks").as("blocks_b"),
       col("block_idx"), col("block_val"))
     a.join(b, Seq("block_idx", "block_val"))
       .filter(col("id_a") < col("id_b"))
@@ -124,10 +138,11 @@ object Dedup {
   def jaccardVerify(
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
+    // grams compared as 64-bit hashes (collision-negligible): one
+    // fused pass per doc instead of an interpreted split/slice tree
     val grams = df.select(
       col(idCol).as("id"),
-      array_distinct(TextOps.wordShingles(
-        TextOps.wordTokens(col(textCol)), n)).as("grams"))
+      TextOps.wordNgramHashes(col(textCol), n).as("grams"))
     pairs.select(col("id_a"), col("id_b"))
       .join(grams.select(col("id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
       .join(grams.select(col("id").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))

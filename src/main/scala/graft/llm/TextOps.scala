@@ -80,6 +80,14 @@ object TextOps {
         b.as("band"),
         xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bh")))
 
+  /** Distinct word n-gram hashes straight from text — fused pass
+    * (see [[graft.plans.WordNgramHashes]]); the fast path for exact
+    * Jaccard verification over hashed grams.
+    */
+  def wordNgramHashes(text: Column, n: Int): Column =
+    graft.plans.HashExpressions.columnOf(
+      graft.plans.WordNgramHashes(graft.plans.HashExpressions.exprOf(text), n))
+
   /** Token hashes for simhash — materialize once (`withColumn`) so the
     * string hashing isn't re-evaluated per bit position.
     */

@@ -82,6 +82,68 @@ case class CharShingleHashes(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Distinct hashes of the word n-grams of a string — tokenize
+  * (whitespace, ASCII-lowercased), hash each token, combine n
+  * consecutive token hashes, dedupe. One allocation-light pass;
+  * replaces split+transform+slice+concat_ws trees (interpreted) for
+  * exact-Jaccard verification, where comparing gram HASHES instead of
+  * gram strings is both faster and collision-negligible at 64 bits.
+  */
+case class WordNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private val B = 1315423911L
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    // token hashes
+    val toks = new java.util.ArrayList[java.lang.Long]()
+    var h = 0L
+    var in = false
+    var i = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i)
+      val ws = b0 == ' ' || b0 == '\t' || b0 == '\n' || b0 == '\r'
+      if (ws) {
+        if (in) { toks.add(h); in = false; h = 0L }
+      } else {
+        val lc = if (b0 >= 'A' && b0 <= 'Z') (b0 + 32).toByte else b0
+        h = h * B + (lc & 0xff)
+        in = true
+      }
+      i += 1
+    }
+    if (in) toks.add(h)
+    val t = toks.size
+    val m = math.max(1, t - n + 1)
+    val out = new Array[Long](if (t == 0) 0 else m)
+    var p = 0
+    while (p < out.length) {
+      var g = 0L
+      var j = 0
+      val end = math.min(p + n, t)
+      var q = p
+      while (q < end) { g = g * 0x9e3779b97f4a7c15L + toks.get(q); q += 1; j += 1 }
+      out(p) = g
+      p += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordNgramHashes =
+    copy(child = c)
+}
+
 /** Cosine similarity of two float vectors, accumulated left-to-right
   * in double (engine-portable: same order ⇒ same bits as DuckDB's
   * list_sum-over-list_transform form). One primitive loop instead of

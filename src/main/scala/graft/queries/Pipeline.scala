@@ -50,7 +50,10 @@ object Pipeline {
       val docs = t(s, dir, "documents")
       val candidates = Dedup.minhashPairs(docs, "doc_id", "text",
         numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.35)
-      Dedup.jaccardVerify(candidates, docs, "doc_id", "text", n = 3)
+      // verify against representatives — candidate ids are rep ids, so
+      // gram hashing never touches the duplicate copies
+      val reps = Dedup.representatives(docs, "doc_id", "text")
+      Dedup.jaccardVerify(candidates, reps, "id", "__text", n = 3)
         .orderBy(col("id_a"), col("id_b"))
     },
 

@@ -43,13 +43,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(est.length == 1 && est.head >= 0.7, est.toSeq.toString)
   }
 
-  test("simhash finds exact duplicates at hamming 0") {
-    val twin = docs.filter(col("doc_id") < 2)
-      .select((col("doc_id") + 30000).as("doc_id"), col("text"))
-    val corpus = docs.select(col("doc_id"), col("text")).unionAll(twin)
-    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 0)
+  test("simhash finds near-duplicates; exact twins collapse") {
+    val near = docs.filter(col("doc_id") < 2)
+      .select((col("doc_id") + 30000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionAll(near)
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((0L, 30000L)) && pairs.contains((1L, 30001L)))
+    assert(pairs.contains((0L, 30000L)) && pairs.contains((1L, 30001L)),
+      pairs.toString)
   }
 
   test("ngram jaccard is 1.0 for identical docs") {
