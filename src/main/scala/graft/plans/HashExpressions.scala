@@ -257,7 +257,12 @@ case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long])
       val h = hs(j)
       var i = 0
       while (i < n) {
-        val v = (as(i) * h + bs(i)) % MersenneP
+        // mod 2^31-1 via Mersenne folding (≡ %, ~2× cheaper):
+        // x mod (2^31-1) = fold(x & p + x >>> 31) until < p
+        var v = as(i) * h + bs(i)
+        v = (v & MersenneP) + (v >>> 31)
+        v = (v & MersenneP) + (v >>> 31)
+        if (v >= MersenneP) v -= MersenneP
         if (v < mins(i)) mins(i) = v
         i += 1
       }
