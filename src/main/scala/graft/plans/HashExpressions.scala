@@ -242,11 +242,42 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   * Input: array<long> of 31-bit shingle hashes. Output: array<long>.
   */
 case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import HashExpressions.MersenneP
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
+
+  /** Full codegen (no fallback): the permutation loop is emitted
+    * directly into the stage's generated class, so the hot path pays
+    * no per-row virtual call or boxed hand-off.
+    */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val asRef = ctx.addReferenceObj("mhAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+      long[] mhHs = $c.toLongArray();
+      int mhN = $asRef.length;
+      long[] mhMins = new long[mhN];
+      java.util.Arrays.fill(mhMins, Long.MAX_VALUE);
+      for (int mhJ = 0; mhJ < mhHs.length; mhJ++) {
+        long mhH = mhHs[mhJ];
+        for (int mhI = 0; mhI < mhN; mhI++) {
+          long mhV = $asRef[mhI] * mhH + $bsRef[mhI];
+          mhV = (mhV & ${MersenneP}L) + (mhV >>> 31);
+          mhV = (mhV & ${MersenneP}L) + (mhV >>> 31);
+          if (mhV >= ${MersenneP}L) mhV -= ${MersenneP}L;
+          if (mhV < mhMins[mhI]) mhMins[mhI] = mhV;
+        }
+      }
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mhMins);
+      """
+    })
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData].toLongArray()
