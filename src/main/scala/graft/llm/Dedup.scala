@@ -83,15 +83,18 @@ object Dedup {
       .distinct() // same pair can collide in several bands
 
     // Re-attach signatures to the (deduped, much smaller) pair set and
-    // estimate jaccard from signature agreement.
+    // estimate jaccard from signature agreement (fused ArrayAgreeCount
+    // — one primitive loop, stays in codegen).
+    def agree(a: Column, b: Column): Column =
+      graft.plans.HashExpressions.columnOf(
+        graft.plans.ArrayAgreeCount(
+          graft.plans.HashExpressions.exprOf(a),
+          graft.plans.HashExpressions.exprOf(b)))
     pairs
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes).as("est_jaccard"))
+        (agree(col("sig_a"), col("sig_b")).cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 

@@ -58,13 +58,18 @@ object Similarity {
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-LSH bucket id: fold over hyperplanes, acc*2 + signBit.
-    * Cosine-similar vectors land in the same bucket w.h.p.
+  /** Sign-LSH bucket id: MSB-first fold over hyperplanes of the dot
+    * product's sign bit. Cosine-similar vectors land in the same
+    * bucket w.h.p. Runs as the custom [[graft.plans.HyperplaneSigns]]
+    * expression — all nBits dot products in one codegen'd primitive
+    * loop per row (the fold-of-HOF-dots formulation evaluated nBits
+    * interpreted lambda trees per row).
     */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.foldLeft(lit(0L)) { (acc, p) =>
-      acc * 2 + when(dot(vec, typedlit(p)) >= 0, 1L).otherwise(0L)
-    }
+    graft.plans.HashExpressions.columnOf(
+      graft.plans.HyperplaneSigns(
+        graft.plans.HashExpressions.exprOf(vec),
+        planes.map(_.toArray).toArray))
 
   /** LSH-bucketed ANN: hash corpus + query to buckets, equi-join on
     * bucket (the only shuffle — and with a broadcast query side, none
@@ -89,46 +94,62 @@ object Similarity {
     * seeds, k-medoids flavor) partitions the corpus into inverted
     * lists; a query probes only the `nprobe` nearest lists.
     *
-    * Scale shape: assignment is a broadcast(centroids) pass over the
-    * corpus (no corpus shuffle) done ONCE and reusable across queries
-    * (the inverted-list table is the index); each query then touches
-    * nprobe/K of the data. Recall tunes with nprobe.
+    * Scale shape: the centroid set is BOUNDED (≤ maxCentroids rows) and
+    * collected once to the driver — exactly what Spark's own broadcast
+    * does — then assignment is a pure projection (custom
+    * [[graft.plans.NearestCentroid]] expression over the in-task
+    * centroid matrix): ZERO corpus shuffles, one scan, no count().
+    * The assigned frame is the index, reusable across queries; each
+    * query then touches nprobe/K of the data. Recall tunes with nprobe.
     */
-  /** Deterministic centroid seeds, BOUNDED in number: stride grows
-    * with the corpus so assignment stays O(n·K), K ≈ maxCentroids —
-    * not O(n²/stride) (a fixed stride quietly turns quadratic as the
-    * corpus grows).
+  final case class CentroidSet(ids: Array[Long], vecs: Array[Array[Float]])
+
+  /** Deterministic, bounded centroid seeds. A hash filter spreads the
+    * picks across the id space; LocalLimit stops each scan early, so
+    * even at 100 TB this reads only until maxCentroids rows are found
+    * (no full-corpus count to derive a stride).
     */
-  private def centroidsOf(corpus: DataFrame, vecCol: String, idCol: String,
-                          maxCentroids: Int): DataFrame = {
-    val n = corpus.count() // index-build-time job, amortized over queries
-    val stride = math.max(1L, n / maxCentroids)
-    corpus
-      .filter(pmod(col(idCol), lit(stride)) === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+  def centroidSeeds(corpus: DataFrame, vecCol: String, idCol: String,
+                    maxCentroids: Int): CentroidSet = {
+    val rows = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(7)) === 0)
+      .select(col(idCol).cast("long").as("centroid_id"), col(vecCol).as("cv"))
       .limit(maxCentroids)
+      .collect()
+    require(rows.nonEmpty, "centroidSeeds: empty corpus sample")
+    CentroidSet(
+      rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Float](1).toArray))
   }
+
+  private def nearestCentroid(vec: Column, cs: CentroidSet): Column =
+    graft.plans.HashExpressions.columnOf(
+      graft.plans.NearestCentroid(
+        graft.plans.HashExpressions.exprOf(vec), cs.ids, cs.vecs))
+
+  /** Assignment with a prebuilt centroid set: a shuffle-free projection. */
+  def ivfAssign(corpus: DataFrame, vecCol: String, idCol: String,
+                cs: CentroidSet): DataFrame =
+    corpus.select(col(idCol), col(vecCol),
+      nearestCentroid(col(vecCol), cs).as("centroid_id"))
 
   def ivfAssign(
       corpus: DataFrame, vecCol: String, idCol: String,
-      maxCentroids: Int): DataFrame = {
-    val centroids = centroidsOf(corpus, vecCol, idCol, maxCentroids)
-    corpus
-      .crossJoin(broadcast(centroids))
-      .select(col(idCol), col(vecCol),
-        col("centroid_id"), cosine(col(vecCol), col("cv")).as("__ccos"))
-      .groupBy(col(idCol))
-      .agg(max_by(col("centroid_id"), col("__ccos")).as("centroid_id"),
-        first(col(vecCol)).as(vecCol))
-  }
+      maxCentroids: Int): DataFrame =
+    ivfAssign(corpus, vecCol, idCol,
+      centroidSeeds(corpus, vecCol, idCol, maxCentroids))
 
   def ivfTopK(
       corpus: DataFrame, vecCol: String, idCol: String,
       query: DataFrame, queryVecCol: String,
       k: Int, maxCentroids: Int, nprobe: Int): DataFrame = {
-    val assigned = ivfAssign(corpus, vecCol, idCol, maxCentroids)
-    val centroids = centroidsOf(corpus, vecCol, idCol, maxCentroids)
+    import corpus.sparkSession.implicits._
+    val cs = centroidSeeds(corpus, vecCol, idCol, maxCentroids) // built ONCE
+    val assigned = ivfAssign(corpus, vecCol, idCol, cs)
     val q = query.select(col(queryVecCol).as("__qv"))
+    // centroid table is a LocalRelation (already on the driver) — the
+    // probe ranking never rescans the corpus
+    val centroids = cs.ids.zip(cs.vecs).toSeq.toDF("centroid_id", "cv")
     val probed = centroids
       .crossJoin(broadcast(q))
       .select(col("centroid_id"), cosine(col("cv"), col("__qv")).as("__pc"))

@@ -103,11 +103,15 @@ object TextOps {
     graft.plans.HashExpressions.columnOf(
       graft.plans.SimHashBlocks(graft.plans.HashExpressions.exprOf(hashes)))
 
-  /** Hamming distance between two simhash block arrays. */
+  /** Hamming distance between two simhash block arrays — one fused
+    * loop (see [[graft.plans.BlockHamming]]) instead of an interpreted
+    * zip_with + aggregate pair.
+    */
   def simhashHamming(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    graft.plans.HashExpressions.columnOf(
+      graft.plans.BlockHamming(
+        graft.plans.HashExpressions.exprOf(a),
+        graft.plans.HashExpressions.exprOf(b)))
 
   /** Winnowing-style document fingerprint: k-gram rolling hashes → min
     * of each sliding window of w → distinct sorted mins → one 64-bit

@@ -28,21 +28,60 @@ object Joins {
   def thetaJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
     left.join(broadcast(right), cond, "inner")
 
-  /** ASOF backward join: for each left row, match right rows with
-    * rightTime <= leftTime on the same key and keep only the latest.
-    * Implemented as a single equi-shuffle on the key + max-aggregation
-    * — one shuffle, partial-aggregated map-side, no sort of the union.
-    * Left rows with no match survive with NULLs (LEFT ASOF semantics).
+  /** ASOF backward join with payload: for each left row, attach the
+    * payload columns of the latest right row with rightTime <= leftTime
+    * on the same key (LEFT ASOF semantics — unmatched left rows keep
+    * NULL payloads). Matches DuckDB's `ASOF LEFT JOIN` (reference
+    * /root/reference/src/execution/operator/join/physical_asof_join.cpp
+    * semantics; that operator partitions by key and sorts by time —
+    * the same plan shape used here).
+    *
+    * Plan: union the two sides tagged left/right, then one running
+    * `last(payload, ignoreNulls)` window per payload column over
+    * (PARTITION BY key ORDER BY time, rightFirst ROWS UNBOUNDED
+    * PRECEDING). ONE shuffle + one sort, zero pair space — a hot key
+    * with 10⁵ left × 10⁴ right rows costs 1.1×10⁵ sorted rows, not
+    * 10⁹ intermediate pairs (the join+max formulation this replaces).
+    *
+    * For a deterministic payload make the right side unique per
+    * (key, time) first (e.g. pre-aggregate with max_by) — same
+    * requirement DuckDB's ASOF has for a well-defined tie answer.
     */
-  def asofLastTimestamp(
+  def asofJoin(
       left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
-      leftOut: Seq[Column], asOfAlias: String): DataFrame = {
-    left
-      .join(right, leftKey === rightKey && rightTime <= leftTime, "left")
-      .groupBy(leftOut: _*)
-      .agg(max(rightTime).as(asOfAlias))
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__k", leftKey)
+      .withColumn("__t", leftTime.cast("timestamp"))
+      .withColumn("__isl", lit(1))
+    val lWithNulls = payload.foldLeft(l) { (df, p) =>
+      df.withColumn(p, lit(null).cast(right.schema(p).dataType))
+    }
+    val r = right
+      .withColumn("__k", rightKey)
+      .withColumn("__t", rightTime.cast("timestamp"))
+      .withColumn("__isl", lit(0))
+      .select(Seq(col("__k"), col("__t"), col("__isl")) ++
+        payload.map(col) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val u = lWithNulls
+      .select(Seq(col("__k"), col("__t"), col("__isl")) ++
+        payload.map(col) ++ leftCols.map(col): _*)
+      .unionByName(r)
+    // right rows sort BEFORE left rows at equal time (__isl 0 < 1), so
+    // rightTime == leftTime matches — the `<=` in ASOF.
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__isl"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(u) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__isl") === 1)
+      .select(leftCols.map(col) ++ payload.map(col): _*)
   }
 
   /** Range (interval) join: pairs where `lo <= probe < hi` on the same
@@ -56,16 +95,25 @@ object Joins {
   /** POSITIONAL join: zip two frames by row position under an explicit
     * total order. Row position is only well-defined given a sort key —
     * same contract DuckDB's POSITIONAL JOIN has on ordered scans.
-    * Note: a global row_number needs a single-partition window; use
-    * only on dim-sized inputs (for big frames use zipWithIndex on a
-    * sorted RDD — not needed for the reference surface).
+    *
+    * Positions come from `zipWithIndex` over a range-partitioned sort:
+    * the sort distributes (no single-partition window), and
+    * zipWithIndex numbers rows with one lightweight count-per-partition
+    * job — positions stay globally correct on a fact-sized input.
     */
   def positionalJoin(left: DataFrame, leftOrder: Column,
                      right: DataFrame, rightOrder: Column): DataFrame = {
-    val wl = Window.orderBy(leftOrder)
-    val wr = Window.orderBy(rightOrder)
-    val l = left.withColumn("__pos", row_number().over(wl))
-    val r = right.withColumn("__pos", row_number().over(wr))
-    l.join(r, "__pos").drop("__pos")
+    def withPos(df: DataFrame, order: Column): DataFrame = {
+      val sorted = df.orderBy(order)
+      val spark = df.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+
+          org.apache.spark.sql.types.StructField("__pos", org.apache.spark.sql.types.LongType, nullable = false))
+      val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
+      }
+      spark.createDataFrame(rdd, schema)
+    }
+    withPos(left, leftOrder).join(withPos(right, rightOrder), "__pos").drop("__pos")
   }
 }

@@ -60,7 +60,16 @@ object GroupJoinRule extends Rule[LogicalPlan] {
       left: LogicalPlan, right: LogicalPlan,
       a: AttributeReference, b: AttributeReference,
       hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint): LogicalPlan = {
-    val pushed = Aggregate(groupExprs, aggExprs, left, aggHint)
+    // The rewritten join condition references the left key — if the
+    // select list doesn't project it (e.g. GROUP BY f.k with only
+    // SUM(x) selected), append it to the pushed aggregate's output and
+    // strip it again in the outer Project (otherwise the condition
+    // binds to an attribute missing from both join children).
+    val lk = if (left.outputSet.contains(a)) a else b
+    val pushedAggs =
+      if (aggExprs.exists(_.toAttribute.semanticEquals(lk))) aggExprs
+      else aggExprs :+ lk
+    val pushed = Aggregate(groupExprs, pushedAggs, left, aggHint)
     Project(
       aggExprs.map(_.toAttribute),
       Join(pushed, right, Inner, Some(EqualTo(a, b)), hint))

@@ -1,0 +1,316 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Primitive-loop kernels behind the custom expressions.
+  *
+  * Each kernel is a single JIT-friendly pass shared by BOTH the
+  * interpreted path (`nullSafeEval`) and the codegen path: the
+  * expressions' `doGenCode` emits one static call into the generated
+  * class (Scala objects get static forwarders), so every expression
+  * participates in whole-stage codegen with zero boxing and no
+  * Janino-fragile inline loop bodies. This is the same pattern Spark's
+  * own string/date expressions use (generated code calling into
+  * `UTF8StringUtils` etc.).
+  */
+object HashKernels {
+  /** 2^31-1; universal hashing modulus (keeps a*h+b under 2^62). */
+  val MersenneP: Long = 2147483647L
+
+  private val B = 1315423911L // odd polynomial base
+
+  /** Distinct 31-bit rolling hashes of the byte k-grams of a string —
+    * shingle+hash+dedup fused into one allocation-light pass.
+    * Polynomial rolling hash: h(i+1) derives from h(i) in O(1), so
+    * total work is O(bytes), not O(bytes·k).
+    */
+  def charShingleHashes(input: UTF8String, k: Int): ArrayData = {
+    val bytes = input.getBytes
+    val n = bytes.length
+    val m = if (n <= k) 1 else n - k + 1
+    val hs = new Array[Long](m)
+    if (n <= k) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = h * B + (bytes(i) & 0xff); i += 1 }
+      hs(0) = (h & Long.MaxValue) % MersenneP
+    } else {
+      // B^(k-1) with wraparound (consistent everywhere)
+      var bk = 1L
+      var e = 0
+      while (e < k - 1) { bk *= B; e += 1 }
+      var h = 0L
+      var i = 0
+      while (i < k) { h = h * B + (bytes(i) & 0xff); i += 1 }
+      hs(0) = (h & Long.MaxValue) % MersenneP
+      var p = 1
+      while (p < m) {
+        h = (h - (bytes(p - 1) & 0xff) * bk) * B + (bytes(p + k - 1) & 0xff)
+        hs(p) = (h & Long.MaxValue) % MersenneP
+        p += 1
+      }
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < m) {
+      if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** Distinct hashes of the word n-grams of a string — tokenize
+    * (whitespace, ASCII-lowercased), hash each token, combine n
+    * consecutive token hashes, dedupe. Comparing gram HASHES instead
+    * of gram strings is collision-negligible at 64 bits.
+    */
+  def wordNgramHashes(input: UTF8String, n: Int): ArrayData = {
+    val bytes = input.getBytes
+    val toks = new java.util.ArrayList[java.lang.Long]()
+    var h = 0L
+    var in = false
+    var i = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i)
+      val ws = b0 == ' ' || b0 == '\t' || b0 == '\n' || b0 == '\r'
+      if (ws) {
+        if (in) { toks.add(h); in = false; h = 0L }
+      } else {
+        val lc = if (b0 >= 'A' && b0 <= 'Z') (b0 + 32).toByte else b0
+        h = h * B + (lc & 0xff)
+        in = true
+      }
+      i += 1
+    }
+    if (in) toks.add(h)
+    val t = toks.size
+    val m = math.max(1, t - n + 1)
+    val out = new Array[Long](if (t == 0) 0 else m)
+    var p = 0
+    while (p < out.length) {
+      var g = 0L
+      val end = math.min(p + n, t)
+      var q = p
+      while (q < end) { g = g * 0x9e3779b97f4a7c15L + toks.get(q); q += 1 }
+      out(p) = g
+      p += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Cosine similarity of two float vectors, accumulated left-to-right
+    * in double (engine-portable: same order ⇒ same bits as DuckDB's
+    * list_sum-over-list_transform form). Zero-norm inputs yield 0.0
+    * (not NaN — NaN poisons threshold filters and orderBy); a
+    * dimension mismatch is a data bug and fails loudly instead of
+    * being silently truncated.
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray()
+    val y = b.toFloatArray()
+    if (x.length != y.length) {
+      throw new IllegalArgumentException(
+        s"cosine: embedding dimension mismatch (${x.length} vs ${y.length})")
+    }
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < x.length) {
+      val xd = x(i).toDouble; val yd = y(i).toDouble
+      dot += xd * yd; nx += xd * xd; ny += yd * yd
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  /** Winnowing fingerprint (MOSS-style, simplified) fused into one
+    * pass: k-gram rolling hashes → min of each sliding window of w →
+    * distinct sorted mins → one mixed 64-bit id.
+    */
+  def winnowFingerprint(input: UTF8String, k: Int, w: Int): Long = {
+    val bytes = input.getBytes
+    val n = bytes.length
+    val m = if (n <= k) 1 else n - k + 1
+    val hs = new Array[Long](m)
+    if (n <= k) {
+      var h = 0L; var i = 0
+      while (i < n) { h = h * B + (bytes(i) & 0xff); i += 1 }
+      hs(0) = h
+    } else {
+      var bk = 1L; var e = 0
+      while (e < k - 1) { bk *= B; e += 1 }
+      var h = 0L; var i = 0
+      while (i < k) { h = h * B + (bytes(i) & 0xff); i += 1 }
+      hs(0) = h
+      var p = 1
+      while (p < m) {
+        h = (h - (bytes(p - 1) & 0xff) * bk) * B + (bytes(p + k - 1) & 0xff)
+        hs(p) = h
+        p += 1
+      }
+    }
+    val wm = if (m <= w) 1 else m - w + 1
+    val mins = new Array[Long](wm)
+    var i = 0
+    while (i < wm) {
+      var mn = hs(i)
+      var j = i + 1
+      val end = math.min(i + w, m)
+      while (j < end) { if (hs(j) < mn) mn = hs(j); j += 1 }
+      mins(i) = mn
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var fp = 0xcbf29ce484222325L
+    var r = 0
+    while (r < wm) {
+      if (r == 0 || mins(r) != mins(r - 1)) {
+        fp ^= mins(r); fp *= 0x100000001b3L
+      }
+      r += 1
+    }
+    fp
+  }
+
+  /** sig[i] = min over shingle-hashes h of ((a(i)*h + b(i)) mod p),
+    * p = 2^31-1 via Mersenne folding (≡ %, ~2× cheaper).
+    */
+  def minhash(input: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val hs = input.toLongArray()
+    val n = as.length
+    val mins = new Array[Long](n)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < hs.length) {
+      val h = hs(j)
+      var i = 0
+      while (i < n) {
+        var v = as(i) * h + bs(i)
+        v = (v & MersenneP) + (v >>> 31)
+        v = (v & MersenneP) + (v >>> 31)
+        if (v >= MersenneP) v -= MersenneP
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** SimHash fingerprint over token hashes as 4×16-bit blocks (the
+    * pigeonhole blocking unit for hamming ≤ 3 joins): majority vote
+    * per bit, MSB-first fold within each block.
+    */
+  def simhashBlocks(input: ArrayData): ArrayData = {
+    val hs = input.toLongArray()
+    val ones = new Array[Int](64)
+    var j = 0
+    while (j < hs.length) {
+      val h = hs(j)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) ones(i) += 1
+        i += 1
+      }
+      j += 1
+    }
+    val half = hs.length
+    val blocks = new Array[Long](4)
+    var b = 0
+    while (b < 4) {
+      var acc = 0L
+      var i = 0
+      while (i < 16) {
+        acc = acc * 2 + (if (ones(b * 16 + i) * 2 > half) 1L else 0L)
+        i += 1
+      }
+      blocks(b) = acc
+      b += 1
+    }
+    new GenericArrayData(blocks)
+  }
+
+  /** Number of positions where two long arrays agree (minhash
+    * signature agreement → estimated jaccard).
+    */
+  def agreeCount(a: ArrayData, b: ArrayData): Long = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    val n = math.min(x.length, y.length)
+    var c = 0L
+    var i = 0
+    while (i < n) { if (x(i) == y(i)) c += 1; i += 1 }
+    c
+  }
+
+  /** Total hamming distance between two simhash block arrays. */
+  def blockHamming(a: ArrayData, b: ArrayData): Long = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    val n = math.min(x.length, y.length)
+    var d = 0L
+    var i = 0
+    while (i < n) { d += java.lang.Long.bitCount(x(i) ^ y(i)); i += 1 }
+    d
+  }
+
+  /** Sign-LSH bucket id: MSB-first fold over hyperplanes of the dot
+    * product's sign bit. One primitive loop per row — replaces nBits
+    * interpreted zip_with/aggregate dot products.
+    */
+  def hyperplaneBucket(vec: ArrayData, planes: Array[Array[Double]]): Long = {
+    val x = vec.toFloatArray()
+    var acc = 0L
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      var d = 0.0
+      var i = 0
+      val n = math.min(x.length, pl.length)
+      while (i < n) { d += x(i).toDouble * pl(i); i += 1 }
+      acc = acc * 2 + (if (d >= 0) 1L else 0L)
+      p += 1
+    }
+    acc
+  }
+
+  /** Id of the centroid with the highest cosine similarity to `vec`
+    * (ties → smallest centroid id, deterministic). One projection per
+    * row over the (bounded, broadcast) centroid matrix — the
+    * shuffle-free IVF assignment step.
+    */
+  def nearestCentroid(vec: ArrayData, ids: Array[Long],
+                      cents: Array[Array[Float]]): Long = {
+    val x = vec.toFloatArray()
+    var best = -1
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val y = cents(c)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val xd = x(i).toDouble; val yd = y(i).toDouble
+        dot += xd * yd; nx += xd * xd; ny += yd * yd
+        i += 1
+      }
+      val cos = if (nx == 0.0 || ny == 0.0) 0.0
+                else dot / (math.sqrt(nx) * math.sqrt(ny))
+      if (cos > bestCos || (cos == bestCos && best >= 0 && ids(c) < ids(best))) {
+        bestCos = cos; best = c
+      }
+      c += 1
+    }
+    ids(best)
+  }
+}

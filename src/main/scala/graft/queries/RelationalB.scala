@@ -170,19 +170,32 @@ object RelationalB {
       QDef.sql("q30_mark_join", q)((s, dir) => viaSql(s, dir, q))
     },
 
-    // R31: ASOF join — latest order at-or-before each event timestamp.
+    // R31: ASOF join — latest order at-or-before each event timestamp,
+    // WITH the matched order's payload columns (true ASOF semantics,
+    // oracled against DuckDB's native ASOF LEFT JOIN). The right side
+    // is made unique per (key, time) first so the payload is
+    // deterministic under ties — same requirement DuckDB has.
     QDef.sql("q31_asof_join",
-      """SELECT e.event_id, e.user_id, CAST(MAX(o.o_orderdate) AS DATE) AS last_od
-        |FROM events e LEFT JOIN orders o
-        |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-        |GROUP BY e.event_id, e.user_id
+      """WITH ou AS (
+        |  SELECT o_custkey, o_orderdate,
+        |         MAX(o_orderkey) AS last_ok,
+        |         ARG_MAX(o_totalprice, o_orderkey) AS last_tp
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, CAST(ou.o_orderdate AS DATE) AS last_od,
+        |       ou.last_ok, ou.last_tp
+        |FROM events e ASOF LEFT JOIN ou
+        |  ON e.user_id = ou.o_custkey AND e.ts >= ou.o_orderdate
         |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
-      val e = t(s, dir, "events")
-      val o = t(s, dir, "orders")
-      Joins.asofLastTimestamp(e, o,
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val ou = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_ok"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("last_tp"))
+      Joins.asofJoin(e, ou,
           col("user_id"), col("o_custkey"), col("ts"), col("o_orderdate"),
-          leftOut = Seq(col("event_id"), col("user_id")), asOfAlias = "__asof")
-        .select(col("event_id"), col("user_id"), to_date(col("__asof")).as("last_od"))
+          payload = Seq("o_orderdate", "last_ok", "last_tp"))
+        .select(col("event_id"), col("user_id"),
+          to_date(col("o_orderdate")).as("last_od"), col("last_ok"), col("last_tp"))
         .orderBy(col("event_id"))
     },
 

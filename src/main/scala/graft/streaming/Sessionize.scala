@@ -46,7 +46,9 @@ object Sessionize {
             sorted.foreach { t =>
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                  // a cross-batch late event may predate the open
+                  // session's start — extend the start bound too
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   closed += Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
                   cur = Some(SessionState(t, t, 1))

@@ -49,6 +49,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.sameElements(expect))
   }
 
+  test("rule fuses when the group key is NOT in the select list") {
+    // GROUP BY o_custkey with only SUM(x) projected: the rewritten
+    // join condition references o_custkey, which must be appended to
+    // the pushed aggregate's output (and stripped by the outer
+    // Project) or the plan fails to bind.
+    val o = graft.sources.Catalog.table(spark, sfDir, "orders")
+    val c = graft.sources.Catalog.table(spark, sfDir, "customer")
+    def q() = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .select(col("cents"))
+    val expect = withRule(false)(q().orderBy("cents").collect())
+    val got = withRule(true)(q().orderBy("cents").collect())
+    assert(got.sameElements(expect))
+    val opt = optimized(withRule(true)(GraftBridge.explainString(
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")), "extended")))
+    val joinIdx = opt.indexOf("Join")
+    val aggIdx = opt.indexOf("Aggregate")
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"expected fusion with unprojected key:\n$opt")
+  }
+
   test("rule leaves non-fusable aggregates alone (agg over dim column)") {
     val o = graft.sources.Catalog.table(spark, sfDir, "orders")
     val c = graft.sources.Catalog.table(spark, sfDir, "customer")

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Joins
+
+/** ASOF and positional join semantics against small brute-force
+  * oracles (ties, equal timestamps, unmatched rows), plus the
+  * scale-shape guarantees (no pair blowup, no single-partition
+  * window).
+  */
+class JoinsSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin matches a brute-force backward ASOF, incl. ties and no-match") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 10L, ts("2024-01-01 09:00:00")), // before every right row
+      (4L, 20L, ts("2024-01-02 00:00:00")),
+      (5L, 30L, ts("2024-01-02 00:00:00"))  // key with no right rows
+    ).toDF("eid", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), "a"), // equal ts → must match eid=1
+      (10L, ts("2024-01-01 11:30:00"), "b"),
+      (20L, ts("2024-01-01 23:59:59"), "c")
+    ).toDF("k2", "rt", "payload")
+
+    val got = Joins.asofJoin(left, right,
+        col("k"), col("k2"), col("t"), col("rt"), payload = Seq("payload"))
+      .select("eid", "payload").as[(Long, Option[String])]
+      .collect().toMap
+
+    assert(got(1L).contains("a"), "equal timestamp must match (<= semantics)")
+    assert(got(2L).contains("b"))
+    assert(got(3L).isEmpty, "left row before all right rows keeps NULL payload")
+    assert(got(4L).contains("c"))
+    assert(got(5L).isEmpty, "unmatched key keeps NULL payload (LEFT ASOF)")
+  }
+
+  test("asofJoin stays flat on a skewed hot key (no per-key pair space)") {
+    // one hot key: 5k left × 2k right would be 10M pairs in the old
+    // join+max plan; the union+window plan sorts 7k rows. If the pair
+    // space came back this test would blow past the timeout.
+    val left = spark.range(5000).select(
+      col("id").as("eid"), lit(1L).as("k"),
+      timestamp_seconds(lit(1700000000L) + col("id")).as("t"))
+    val right = spark.range(2000).select(
+      col("id").as("k2p"), lit(1L).as("k2"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 2).as("rt"))
+    val out = Joins.asofJoin(left, right,
+      col("k"), col("k2"), col("t"), col("rt"), payload = Seq("k2p"))
+    assert(out.count() == 5000)
+    // spot-check: eid=100 at t0+100 → latest right at t0+100 is k2p=50
+    val v = out.filter(col("eid") === 100).select("k2p").as[Long].head()
+    assert(v == 50L, s"expected 50, got $v")
+  }
+
+  test("positionalJoin zips by rank without a single-partition window") {
+    val l = spark.range(100).select(col("id").as("a"))
+    val r = spark.range(100).select((col("id") * 10).as("b"))
+    val j = Joins.positionalJoin(l, col("a").desc, r, col("b"))
+    // highest a (99) pairs with lowest b (0)
+    val m = j.select("a", "b").as[(Long, Long)].collect().toMap
+    assert(m(99L) == 0L && m(0L) == 990L && m.size == 100)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window operator expected:\n$plan")
+  }
+}

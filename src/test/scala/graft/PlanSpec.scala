@@ -87,4 +87,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") &&
       p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("IVF assignment is a pure projection — zero corpus shuffles") {
+    val emb = graft.sources.Catalog.table(spark, sfDir, "embeddings")
+    val assigned = graft.llm.Similarity.ivfAssign(emb, "embedding", "vec_id", 8)
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"ivfAssign must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"ivfAssign must not join:\n$p")
+  }
+
+  test("asof join carries no pair space (no join before the window)") {
+    val p = plan("q31_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), s"expected running-window asof plan:\n$p")
+  }
 }
