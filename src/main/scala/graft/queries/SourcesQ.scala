@@ -82,6 +82,61 @@ object SourcesQ {
         Catalog.registerAll(s, dir)
         s.sql(q)
       }
+    },
+
+    // S6: CREATE TABLE AS SELECT — the reference's CTAS/persistence
+    // surface (/root/reference/src/execution/operator/persistent/
+    // physical_insert.cpp drives CTAS there). External parquet table
+    // in a per-run location; correctness = aggregating the READ-BACK
+    // table matches the oracle over the source table.
+    QDef.sql("s06_ctas",
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Catalog.registerAll(s, dir)
+      val path = tmp("graft_ctas")
+      s.sql("DROP TABLE IF EXISTS g_ctas_seg")
+      s.sql(s"CREATE TABLE g_ctas_seg USING parquet LOCATION '$path' " +
+        "AS SELECT c_mktsegment, c_acctbal FROM customer")
+      s.sql(
+        """SELECT c_mktsegment, COUNT(*) AS n,
+          | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+          |FROM g_ctas_seg GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+
+    // S7: INSERT INTO ... SELECT append semantics (two appends, then
+    // read back) — physical_insert.cpp's append path re-expressed as
+    // catalog-table INSERTs.
+    QDef.sql("s07_insert_append",
+      """WITH u AS (
+        |  SELECT r_regionkey, r_name FROM region
+        |  UNION ALL
+        |  SELECT r_regionkey + 100, r_name || '_2' FROM region)
+        |SELECT COUNT(*) AS n, CAST(SUM(r_regionkey) AS BIGINT) AS key_sum FROM u""".stripMargin) { (s, dir) =>
+      Catalog.registerAll(s, dir)
+      val path = tmp("graft_ins")
+      s.sql("DROP TABLE IF EXISTS g_ins_region")
+      s.sql(s"CREATE TABLE g_ins_region (r_regionkey INT, r_name STRING) " +
+        s"USING parquet LOCATION '$path'")
+      s.sql("INSERT INTO g_ins_region SELECT r_regionkey, r_name FROM region")
+      s.sql("INSERT INTO g_ins_region SELECT r_regionkey + 100, concat(r_name, '_2') FROM region")
+      s.sql("SELECT COUNT(*) AS n, CAST(SUM(r_regionkey) AS BIGINT) AS key_sum FROM g_ins_region")
+    },
+
+    // S8: COPY TO (csv export) + full-fidelity read-back: every row
+    // survives the text round-trip byte-exact
+    // (physical_copy_to_file.cpp's surface).
+    QDef.sql("s08_copy_csv",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val path = tmp("graft_copy")
+      t(s, dir, "nation")
+        .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      s.read
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true").csv(path)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
     }
   )
 }

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Catalog
+
+/** TPC-DS-shape starter set (10 queries) adapted to the test star
+  * schema — the query SHAPES of the reference's TPC-DS suite
+  * (/root/reference/benchmark/tpcds/) re-targeted at the tables that
+  * exist here: returns-vs-average correlated filters (q1), date-dim
+  * grouped sales (q3), channel ROLLUP (q5), multi-metric averages
+  * (q7), order-count banding (q34), top revenue segments (q42),
+  * year-over-year LAG (q47), cumulative windows (q51),
+  * below-class-average items (q65), ratio-to-class windows (q98).
+  *
+  * Query text is IDENTICAL on both engines (ANSI subset both parse);
+  * money goes through DECIMAL(18,2) sums before any DOUBLE cast and
+  * averages are SUM/COUNT (never AVG(decimal) — engine result types
+  * differ), so hashes match exactly.
+  */
+object Tpcds {
+
+  private def mk(name: String, q: String): QDef =
+    QDef.sql(name, q) { (s: SparkSession, dir: String) =>
+      Catalog.registerAll(s, dir)
+      s.sql(q)
+    }
+
+  val defs: Seq[QDef] = Seq(
+
+    // DS q1 shape: entities above 1.2× the average of a derived metric.
+    mk("tpcds_q01",
+      """WITH ret AS (
+        |  SELECT o_custkey, COUNT(*) AS nret
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R' GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, nret FROM ret JOIN customer ON c_custkey = o_custkey
+        |WHERE nret > (SELECT SUM(nret) * 1.2 / COUNT(*) FROM ret)
+        |ORDER BY nret DESC, c_custkey LIMIT 100""".stripMargin),
+
+    // DS q3 shape: date-part grouped brand sales.
+    mk("tpcds_q03",
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS d_year, p_brand,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_agg
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'PROMO'
+        |GROUP BY year(l_shipdate), p_brand
+        |ORDER BY d_year, sum_agg DESC, p_brand""".stripMargin),
+
+    // DS q5 shape: multi-channel UNION ALL + ROLLUP summary.
+    mk("tpcds_q05",
+      """WITH ch AS (
+        |  SELECT 'orders' AS channel, o_orderpriority AS grp, CAST(o_totalprice AS DECIMAL(18,2)) AS amt FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem' AS channel, l_returnflag AS grp, CAST(l_extendedprice AS DECIMAL(18,2)) AS amt FROM lineitem)
+        |SELECT COALESCE(channel, 'ALL') AS channel, COALESCE(grp, 'ALL') AS grp,
+        | CAST(SUM(amt) AS DOUBLE) AS sales, COUNT(*) AS n
+        |FROM ch GROUP BY ROLLUP(channel, grp) ORDER BY channel, grp""".stripMargin),
+
+    // DS q7 shape: multi-metric averages under a date filter.
+    mk("tpcds_q07",
+      """SELECT p_type,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        | COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY p_type ORDER BY p_type""".stripMargin),
+
+    // DS q34 shape: entities whose activity count falls in a band.
+    mk("tpcds_q34",
+      """WITH cnt AS (
+        |  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+        |  HAVING COUNT(*) BETWEEN 13 AND 20)
+        |SELECT c_custkey, c_name, n FROM customer JOIN cnt ON c_custkey = o_custkey
+        |ORDER BY n DESC, c_custkey""".stripMargin),
+
+    // DS q42 shape: top revenue by (year, segment).
+    mk("tpcds_q42",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS d_year, c_mktsegment,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY rev DESC, d_year, c_mktsegment LIMIT 20""".stripMargin),
+
+    // DS q47 shape: month-series LAG per brand.
+    mk("tpcds_q47",
+      """WITH m AS (
+        |  SELECT p_brand, CAST(year(l_shipdate) AS BIGINT) AS yr, CAST(month(l_shipdate) AS BIGINT) AS mo,
+        |   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT p_brand, yr, mo, sales,
+        | LAG(sales) OVER (PARTITION BY p_brand ORDER BY yr, mo) AS prev_sales
+        |FROM m ORDER BY p_brand, yr, mo""".stripMargin),
+
+    // DS q51 shape: running cumulative totals per entity.
+    mk("tpcds_q51",
+      """WITH daily AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, d,
+        | SUM(amt) OVER (PARTITION BY o_custkey ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum
+        |FROM daily ORDER BY o_custkey, d LIMIT 1000""".stripMargin),
+
+    // DS q65 shape: items below a fraction of their class average —
+    // the class average stays in exact decimal until one final cast.
+    mk("tpcds_q65",
+      """WITH pr AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY l_partkey),
+        |j AS (SELECT p_type, p_partkey, rev FROM pr JOIN part ON p_partkey = l_partkey),
+        |a AS (SELECT p_type AS a_type, CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS avg_rev FROM j GROUP BY p_type)
+        |SELECT p_type, p_partkey, CAST(rev AS DOUBLE) AS rev
+        |FROM j JOIN a ON p_type = a_type
+        |WHERE CAST(rev AS DOUBLE) < 0.8 * avg_rev ORDER BY p_type, p_partkey""".stripMargin),
+
+    // DS q98 shape: item revenue as a ratio of its class total
+    // (aggregate-of-aggregate window).
+    mk("tpcds_q98",
+      """WITH r AS (
+        |  SELECT p_type, p_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS itemrev,
+        |   CAST(SUM(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))) OVER (PARTITION BY p_type) AS DOUBLE) AS classrev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_type, p_partkey)
+        |SELECT p_type, p_partkey, itemrev, itemrev * 100.0 / classrev AS ratio
+        |FROM r ORDER BY p_type, p_partkey""".stripMargin)
+  )
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+import graft.sources.Catalog
+
+/** Statistical contracts for the sampling operators (the parts a SQL
+  * oracle can't check): reservoir size exactness + unbiasedness,
+  * bernoulli rate, determinism under a fixed seed.
+  */
+class SamplingSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("reservoir returns exactly n rows and is seed-deterministic") {
+    val li = Catalog.table(spark, sfDir, "lineitem")
+    val s1 = Sampling.reservoir(li, 200, seed = 7L)
+    assert(s1.count() == 200)
+    val a = s1.agg(sum("l_orderkey")).head().getLong(0)
+    val b = Sampling.reservoir(li, 200, seed = 7L).agg(sum("l_orderkey")).head().getLong(0)
+    assert(a == b, "same seed must give the same sample")
+  }
+
+  test("reservoir sample mean tracks the population mean") {
+    val li = Catalog.table(spark, sfDir, "lineitem")
+    val pop = li.agg(avg("l_quantity")).head().getDouble(0)
+    val samp = Sampling.reservoir(li, 500, seed = 11L)
+      .agg(avg("l_quantity")).head().getDouble(0)
+    // l_quantity ∈ [1,50]; 500-row mean is within ~3σ ≈ 2.0 of pop
+    assert(math.abs(samp - pop) < 2.5, s"sample mean $samp vs population $pop")
+  }
+
+  test("bernoulli keeps roughly p of the rows") {
+    val o = Catalog.table(spark, sfDir, "orders")
+    val n = o.count().toDouble
+    val k = Sampling.bernoulli(o, 0.1, seed = 3L).count().toDouble
+    assert(k / n > 0.07 && k / n < 0.13, s"rate ${k / n}")
+  }
+
+  test("bernoulli adds no shuffle (scan-side filter)") {
+    val o = Catalog.table(spark, sfDir, "orders")
+    val p = Sampling.bernoulli(o, 0.1).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+}
