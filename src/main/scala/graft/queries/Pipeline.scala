@@ -153,31 +153,28 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
-    // L12: multimodal plumbing — binary payloads + typed metadata →
-    // partition-batched feature extraction (decode STUBbed, see
-    // graft.llm.Multimodal).
+    // L12: multimodal decode — binary payloads (real PNG/PCM bytes,
+    // synthesized deterministically) + typed metadata → REAL
+    // javax.imageio / PCM decode in partition batches; decoded
+    // dimensions and stats are verified against the generator's
+    // closed form in MultimodalSpec.
     QDef.rowsOnly("m01_multimodal") { (s, dir) =>
       Multimodal.extractFeatures(
           Multimodal.mediaFrame(s, t(s, dir, "documents")))
         .toDF()
-        .select(col("doc_id"), col("kind"), col("n_bytes"), col("content_hash"),
-          col("head_hex"), element_at(col("feature"), 1).as("f0"))
+        .select(col("doc_id"), col("kind"), col("n_bytes"), col("width"),
+          col("height"), col("channels"), col("mean_signal"),
+          element_at(col("feature"), 1).as("f0"))
         .orderBy(col("doc_id"))
     },
 
-    // L12b: video frame sampling — each video expands to frame rows
-    // with per-frame (stub) features; the explode keeps frames
-    // data-parallel for downstream per-frame models.
+    // L12b: video frame sampling — each video payload expands to its
+    // sampled frames, each REALLY decoded (ImageIO) with per-frame
+    // brightness; frames stay data-parallel for per-frame models.
     QDef.rowsOnly("m02_frame_sample") { (s, dir) =>
-      Multimodal.extractFeatures(
-          Multimodal.mediaFrame(s, t(s, dir, "documents")))
+      Multimodal.sampleFrames(
+          Multimodal.mediaFrame(s, t(s, dir, "documents")), every = 2)
         .toDF()
-        .filter(col("kind") === "video")
-        .select(col("doc_id"), col("content_hash"),
-          explode(sequence(lit(0), lit(9))).as("frame_idx"))
-        .select(col("doc_id"), col("frame_idx"),
-          (pmod(xxhash64(col("content_hash"), col("frame_idx")), lit(1000000L))
-            .cast("double") / 1e6).as("frame_feature"))
         .orderBy(col("doc_id"), col("frame_idx"))
     }
   )

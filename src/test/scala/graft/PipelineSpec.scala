@@ -104,7 +104,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(fps.map(_._2).distinct.length == fps.length, "fingerprint collision")
   }
 
-  test("multimodal stub features are deterministic") {
+  test("multimodal decoded features are deterministic") {
     val f1 = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     val f2 = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(f1.sameElements(f2))

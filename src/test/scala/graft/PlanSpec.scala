@@ -96,6 +96,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"ivfAssign must not join:\n$p")
   }
 
+  test("topK custom operator runs a partial heap pass before the shuffle") {
+    val p = plan("q53_topk_custom")
+    val partial = p.indexOf("TopKPerGroupPartial")
+    val exchange = p.indexOf("Exchange", 0)
+    assert(partial >= 0, s"expected map-side partial top-K:\n$p")
+    assert(exchange >= 0 && partial > exchange,
+      s"partial pass must sit below the exchange:\n$p")
+  }
+
   test("asof join carries no pair space (no join before the window)") {
     val p = plan("q31_asof_join")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
