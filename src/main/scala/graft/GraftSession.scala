@@ -20,6 +20,18 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Broadcast threshold stays at Spark's 10 MB default: measured
+      // at sf1, forcing 30–50 MB sides to broadcast LOST time — the
+      // single-threaded driver hash build beats the distributed
+      // sort-merge join only on a real cluster where the exchange
+      // crosses a network, not on local[32]'s in-memory shuffle.
+      // Split scans finer than the 128 MB default: at bench scale the
+      // tables are a few MB per file and the default packs a whole
+      // table into 1–2 partitions — single-threaded scans on a 32-core
+      // box. 16 MB keeps every core busy; a 100 TB deployment would
+      // override back to 128m+ (fewer, bigger tasks).
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

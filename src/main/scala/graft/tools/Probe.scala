@@ -17,6 +17,13 @@ object Probe {
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
+    // runtime conf overrides for tuning sweeps: PROBE_CONF="k=v;k=v"
+    sys.env.get("PROBE_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+      println(s"[probe] conf $k=$v")
+    })
+
     args.drop(1).toList match {
       case "q" :: names =>
         // repeat-time named queries (3 runs each) + formatted plan
