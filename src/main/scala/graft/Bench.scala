@@ -34,23 +34,17 @@ object Bench {
       if (sys.env.get("BENCH_ALL").contains("1")) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
 
-    // Steady-state measurement: one unmeasured warm-up execution of
-    // every query AT THE TARGET scale factor, then measure. First
-    // execution pays codegen compilation, C2 tiering, file-listing and
-    // parquet-footer reads (5× observed at sf1) — one-time costs the
-    // warm DuckDB baseline (tools/bench_baseline.py, best-of-3 after
-    // warm-up) never pays. Steady state is the honest comparison.
-    names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
-
-    // A failed query must not flatter the numbers: it reports -1 in the
-    // queries map, lands in "errors", and is excluded from the total.
-    // Each query reports the min of 2 measured runs: cross-query noise
-    // (concurrent shuffle-file cleanup, GC from the previous query's
-    // garbage) lands on one run far more often than on both.
+    // Steady-state measurement, interleaved per query: warm-up run →
+    // GC settle → two measured runs (min). The warm-up pays the
+    // one-time costs (codegen compilation, C2 tiering, file listing,
+    // parquet footers — 5× observed at sf1) that the warm DuckDB
+    // baseline (tools/bench_baseline.py, best-of-3 after warm-up)
+    // never pays. Interleaving matters: a single global warm-up pass
+    // puts the multi-GB dedup pipelines between every other query's
+    // warm-up and measurement, and the resulting GC debris measured
+    // 2–4× slowdowns on queries that run in 5 s from a clean heap.
+    // A failed query must not flatter the numbers: it reports -1 in
+    // the queries map, lands in "errors", and is excluded from total.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       var ok = true
@@ -61,6 +55,8 @@ object Bench {
           System.err.println(s"[bench] $name failed: $e"); ok = false }
         (System.nanoTime() - t0) / 1e9
       }
+      once() // warm-up (unmeasured)
+      System.gc() // drain the previous query's garbage before timing
       val t = math.min(once(), once())
       (name, t, ok)
     }

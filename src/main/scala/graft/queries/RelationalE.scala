@@ -50,6 +50,60 @@ object RelationalE {
         .pivot("l_returnflag") // no value list: discovery pass, like DuckDB
         .agg(sum(col("l_quantity").cast(DecimalType(18, 2))))
         .orderBy(col("l_linestatus"))
+    },
+
+    // R54: case-insensitive COLLATE in a filter (the reference's
+    // collation_binding surface — /root/reference/src/planner/
+    // collation_binding.cpp). Spark 4 ships real collation support:
+    // UTF8_LCASE compares case-insensitively inside codegen, no
+    // lower() rewrite. A mixed-case segment column is derived so the
+    // comparison is actually exercised; DuckDB's NOCASE is the oracle.
+    QDef.sql("q54_collation_filter",
+      """SELECT c_custkey, seg FROM (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg
+        |  FROM customer)
+        |WHERE seg COLLATE NOCASE = 'bUiLdInG'
+        |ORDER BY c_custkey LIMIT 50""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+            .otherwise(col("c_mktsegment")).as("seg"))
+        .filter(collate(col("seg"), "UTF8_LCASE") === "bUiLdInG")
+        .orderBy(col("c_custkey")).limit(50)
+    },
+
+    // R54b: case-insensitive COLLATE in ORDER BY — equal-under-collation
+    // strings ('Automobile' vs 'AUTOMOBILE') are real ties, broken by a
+    // deterministic secondary key so both engines emit identical order.
+    QDef.sql("q54b_collation_order",
+      """SELECT c_custkey, seg FROM (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg
+        |  FROM customer)
+        |ORDER BY seg COLLATE NOCASE, c_custkey LIMIT 50""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+            .otherwise(col("c_mktsegment")).as("seg"))
+        .orderBy(collate(col("seg"), "UTF8_LCASE"), col("c_custkey"))
+        .limit(50)
+    },
+
+    // R55: approximate quantiles (the reference's approx_quantile
+    // t-digest — /root/reference/src/core_functions/aggregate/holistic/
+    // approx_quantile.cpp). Spark's GK sketch and DuckDB's t-digest
+    // give different approximations by design → rows-only entry; the
+    // |approx − exact| ≤ 1% relative bound is asserted in SamplingSpec.
+    // This is the 100 TB path for percentiles: mergeable fixed-size
+    // sketches, one narrow shuffle of sketch state, never a global sort.
+    QDef.rowsOnly("q38b_approx_quantile") { (s, dir) =>
+      t(s, dir, "orders")
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.25, 10000)").as("q25"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("q50"),
+          expr("approx_percentile(o_totalprice, 0.75, 10000)").as("q75"),
+          expr("approx_percentile(o_totalprice, 0.99, 10000)").as("q99"))
     }
   )
 }

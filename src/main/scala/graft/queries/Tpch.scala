@@ -184,9 +184,12 @@ object Tpch {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin) { (s, dir) =>
       val li = t(s, dir, "lineitem")
+      // HAVING sum > 300 in long fixed-point units (30000 hundredths):
+      // same exact comparison, ~3× cheaper than the decimal sum over a
+      // 15 M-group aggregate (the dominant stage of this query).
       val bigOrders = li.groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("__sq"))
-        .filter(col("__sq") > 300)
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("__sq"))
+        .filter(col("__sq") > 30000)
         .select(col("l_orderkey").as("__bigkey"))
       t(s, dir, "customer")
         .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))

@@ -52,4 +52,21 @@ object StreamingOps {
     q.processAllAvailable()
     q
   }
+
+  /** Durable file sink: append-mode parquet with a checkpoint — the
+    * production sink shape (exactly-once via the sink's transaction log
+    * + WAL offsets; a restart resumes from the checkpoint without
+    * duplicating output files). Runs until current input drains.
+    */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    q.processAllAvailable()
+    q
+  }
 }

@@ -43,4 +43,26 @@ class SamplingSpec extends AnyFunSuite {
     val p = Sampling.bernoulli(o, 0.1).queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p)
   }
+
+  test("approx_percentile stays within 1% relative of the exact quantile") {
+    val o = Catalog.table(spark, sfDir, "orders")
+    val r = o.agg(
+      expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.99), 10000)").as("a"),
+      expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.99))").as("e")).head()
+    val approx = r.getSeq[Double](0)
+    val exact = r.getSeq[Double](1)
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) <= 0.01 * math.abs(e), s"approx $a vs exact $e")
+    }
+  }
+
+  test("collated comparison is case-insensitive and codegen-friendly") {
+    val c = Catalog.table(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")).as("seg"))
+    val ci = c.filter(collate(col("seg"), "UTF8_LCASE") === "bUiLdInG").count()
+    val viaLower = c.filter(lower(col("seg")) === "building").count()
+    assert(ci == viaLower && ci > 0, s"collated $ci vs lower() $viaLower")
+  }
 }
