@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in ONE JVM: at 8g the unified
+  // memory pool leaves ~150 MB per task, so wide-row joins spill and
+  // full GCs land erratically (measured 2–4× run-to-run variance at
+  // sf10). 48g on this 128 GiB box ≈ 1.5g/core — the same per-core
+  // memory a sane cluster deployment gives each executor.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -98,6 +98,56 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Star-edge LSH candidates: each bucket member pairs ONLY with the
+    * bucket's min id — O(m) edges per bucket instead of all-pairs
+    * O(m²). This is the 100 TB candidate generator for CLUSTER dedup:
+    * a boilerplate cluster of 10⁵ near-identical documents emits 10⁵
+    * spanning edges (per band) instead of 5·10⁹ pairs, and connected
+    * components recovers the same clusters from the spanning subgraph
+    * (star edges are a subset of the all-pairs candidate set, and each
+    * member still gets `bands` independent chances to attach). Use
+    * [[minhashPairs]] when the product is the PAIR LIST itself (pair
+    * similarity analytics); use this + [[connectedComponents]] when
+    * the product is cluster membership.
+    */
+  def minhashStarPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 5, threshold: Double = 0.5,
+      maxBucket: Int = 4096): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val reps = representatives(df, idCol, textCol)
+    val sig = reps
+      .select(col("id"),
+        TextOps.charShingleHashes(col("__text"), shingleSize).as("hs"))
+      .select(col("id"), TextOps.minhashFromHashes(col("hs"), numHashes).as("sig"))
+    val banded = sig.select(
+      col("id"), explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
+    // star edges are linear in bucket size, so the stop-band cap can sit
+    // far higher than the all-pairs variant's — big boilerplate clusters
+    // are precisely what cluster dedup must keep, not drop
+    val bucketRep = banded.groupBy(col("bk"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select(col("bk"), col("rep"))
+    val pairs = banded.join(bucketRep, Seq("bk"))
+      .filter(col("rep") < col("id"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    def agree(a: Column, b: Column): Column =
+      graft.plans.HashExpressions.columnOf(
+        graft.plans.ArrayAgreeCount(
+          graft.plans.HashExpressions.exprOf(a),
+          graft.plans.HashExpressions.exprOf(b)))
+    pairs
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")).hint("merge"), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")).hint("merge"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (agree(col("sig_a"), col("sig_b")).cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** SimHash near-dup pairs: fingerprint → 4×16-bit blocks → join on
     * any equal block (pigeonhole guarantees recall for hamming ≤ 3) →
     * verify exact hamming.
@@ -146,10 +196,22 @@ object Dedup {
     val grams = df.select(
       col(idCol).as("id"),
       TextOps.wordNgramHashes(col(textCol), n).as("grams"))
+    // merge-join hint: gram arrays run to KBs per row, so a hashed
+    // build side means multi-hundred-MB maps per partition — measured
+    // 60% slower + GC-noisy at sf10 when the session-level shuffled-
+    // hash preference picks them. Sort-merge streams the wide rows.
+    // intersection via fused merge scan over the (sorted distinct)
+    // hash arrays — array_intersect builds a per-row hash set, which
+    // at millions of pairs × KB-sized arrays is allocation-bound
+    def inter(a: Column, b: Column): Column =
+      graft.plans.HashExpressions.columnOf(
+        graft.plans.SortedIntersectCount(
+          graft.plans.HashExpressions.exprOf(a),
+          graft.plans.HashExpressions.exprOf(b)))
     pairs.select(col("id_a"), col("id_b"))
-      .join(grams.select(col("id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
-      .join(grams.select(col("id").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .join(grams.select(col("id").as("id_a"), col("grams").as("grams_a")).hint("merge"), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("grams").as("grams_b")).hint("merge"), Seq("id_b"))
+      .withColumn("inter", inter(col("grams_a"), col("grams_b")).cast("int"))
       .withColumn("uni", size(col("grams_a")) + size(col("grams_b")) - col("inter"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / greatest(col("uni"), lit(1))).as("jaccard"))
@@ -177,5 +239,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / greatest(col("uni"), lit(1))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Connected components over a near-dup pair table: every node gets
+    * the minimum id reachable from it as its cluster label — the step
+    * that turns pairwise near-dup evidence into "keep one document per
+    * cluster" (pair emission alone under-deduplicates: a~b and b~c
+    * must collapse a,b,c together even when a~c was never emitted).
+    *
+    * Hash-min label propagation: per round, each node takes the min of
+    * its own and its neighbors' labels. Rounds = cluster diameter, and
+    * near-dup clusters are shallow (dozens of members, diameter ≤ ~3),
+    * so 3–5 ids-only shuffle rounds settle 100 TB of pairs; the
+    * pathological long-chain case would want large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce"), which no
+    * near-dup workload exhibits. `localCheckpoint` truncates the plan
+    * each round — without it the lineage doubles per iteration and
+    * optimizer time explodes by round 8.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbr"))
+        .select(col("src").as("id"), col("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
+        .localCheckpoint(true)
+      changed = next.filter(col("next") < col("label")).count()
+      labels = next.select(col("id"), col("next").as("label"))
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels
   }
 }

@@ -39,4 +39,19 @@ object Sampling {
     */
   def bernoulli(df: DataFrame, p: Double, seed: Long = 42L): DataFrame =
     df.sample(withReplacement = false, p, seed)
+
+  /** Stratified sampling: an independent bernoulli rate per stratum —
+    * the training-data-mixture primitive (e.g. downsample English to
+    * 10% while keeping low-resource languages whole). Strata absent
+    * from `fractions` are dropped. Still a pure scan-side filter: the
+    * per-row draw is compared against a rate looked up from the
+    * (broadcast-sized) fractions map — no shuffle, no per-stratum pass.
+    */
+  def stratified(df: DataFrame, strataCol: Column,
+                 fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+    val rate = fractions.foldLeft(lit(0.0)) { case (acc, (k, p)) =>
+      when(strataCol === k, p).otherwise(acc)
+    }
+    df.where(rand(seed) < rate)
+  }
 }

@@ -189,6 +189,27 @@ case class ArrayAgreeCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Intersection size of two sorted distinct long arrays (merge scan —
+  * see HashKernels.sortedIntersectCount for why not array_intersect).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import HashExpressions.kernels
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(
+      HashKernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kernels.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
 /** Total hamming distance between two simhash block arrays. */
 case class BlockHamming(left: Expression, right: Expression)
     extends BinaryExpression {

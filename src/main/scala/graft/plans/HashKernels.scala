@@ -252,6 +252,30 @@ object HashKernels {
     c
   }
 
+  /** Intersection size of two SORTED distinct long arrays — a merge
+    * scan, zero per-row allocation. Replaces array_intersect+size on
+    * the near-dup verify path: Spark's generic ArrayIntersect builds a
+    * hash set per invocation, and at millions of pairs × KB-sized gram
+    * arrays that allocation (and the GC it feeds) dominates the stage.
+    * Inputs must be sorted distinct — which wordNgramHashes and
+    * charShingleHashes already guarantee.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < x.length && j < y.length) {
+      val xi = x(i)
+      val yj = y(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Total hamming distance between two simhash block arrays. */
   def blockHamming(a: ArrayData, b: ArrayData): Long = {
     val x = a.toLongArray()

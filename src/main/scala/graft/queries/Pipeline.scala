@@ -57,6 +57,38 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // L13: near-dup pairs → canonical clusters. Pair emission alone
+    // under-deduplicates (a~b, b~c must collapse a,b,c); connected
+    // components assigns every doc its min reachable id. Verified by
+    // an independent Python union-find over the d04 pair dump
+    // (tools/check_dedup.py).
+    QDef.rowsOnly("d06_dedup_clusters") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val candidates = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.35)
+      val reps = Dedup.representatives(docs, "doc_id", "text")
+      val verified = Dedup.jaccardVerify(candidates, reps, "id", "__text", n = 3)
+        .filter(col("jaccard") >= 0.5)
+      Dedup.connectedComponents(verified, "id_a", "id_b")
+        .orderBy(col("id"))
+    },
+
+    // L13b: the 100 TB cluster-dedup path — star-edge candidates
+    // (O(m) per bucket, not all-pairs O(m²)) + jaccard verify +
+    // connected components. StarDedupSpec proves it recovers the same
+    // clusters as the all-pairs path on planted near-dup data.
+    QDef.rowsOnly("d07_dedup_star_clusters") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val stars = Dedup.minhashStarPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.35)
+      val reps = Dedup.representatives(docs, "doc_id", "text")
+      val verified = Dedup.jaccardVerify(
+          stars.select(col("id_a"), col("id_b")), reps, "id", "__text", n = 3)
+        .filter(col("jaccard") >= 0.5)
+      Dedup.connectedComponents(verified, "id_a", "id_b")
+        .orderBy(col("id"))
+    },
+
     // L5: embedding-cosine near-dup pairs, blocked by label.
     QDef.rowsOnly("d05_embed_neardup") { (s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",

@@ -36,6 +36,17 @@ object RelationalE {
           graft.functions.Exact.dsum(col("o_totalprice")).as("total"))
     },
 
+    // R34d: stratified sampling — per-stratum bernoulli rates (the
+    // training-data-mixture primitive). Counts are random → rows-only;
+    // per-stratum rate bounds are asserted in SamplingSpec.
+    QDef.rowsOnly("q34d_stratified_sample") { (s, dir) =>
+      Sampling.stratified(t(s, dir, "orders"), col("o_orderpriority"),
+          Map("1-URGENT" -> 1.0, "2-HIGH" -> 0.5, "3-MEDIUM" -> 0.1), seed = 42L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // R26b: dynamic PIVOT — pivot values DISCOVERED from the data
     // (Spark runs the distinct-value job; DuckDB's PIVOT does the
     // same), not a hard-coded list like q26. Aggregates stay DECIMAL

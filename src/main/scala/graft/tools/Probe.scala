@@ -45,6 +45,26 @@ object Probe {
           println(s"[probe] pairs est>=$thr: $n")
         }
         spark.stop(); return
+      case "d04stages" :: _ =>
+        // stage-by-stage wall-clock of the d04 pipeline (2 rounds)
+        import graft.llm.Dedup
+        val docs = graft.sources.Catalog.table(spark, sfDir, "documents")
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        (1 to 2).foreach { round =>
+          val reps = Dedup.representatives(docs, "doc_id", "text")
+          time(s"r$round reps")(noop(reps))
+          val sig = reps.select(col("id"),
+            TextOps.minhashFromHashes(
+              TextOps.charShingleHashes(col("__text"), 5), 64).as("sig"))
+          time(s"r$round signatures")(noop(sig))
+          val cands = Dedup.minhashPairs(docs, "doc_id", "text",
+            numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.35)
+          time(s"r$round candidates")(println(s"  n=${cands.count()}"))
+          val full = Dedup.jaccardVerify(cands, reps, "id", "__text", n = 3)
+          time(s"r$round verify(full)")(noop(full))
+        }
+        spark.stop(); return
       case "q1b" :: _ =>
         val li = graft.sources.Catalog.table(spark, sfDir, "lineitem")
         def noop(df: org.apache.spark.sql.DataFrame): Unit =

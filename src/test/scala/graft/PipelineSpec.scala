@@ -109,4 +109,28 @@ class PipelineSpec extends AnyFunSuite {
     val f2 = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(f1.sameElements(f2))
   }
+
+  test("star-edge cluster dedup recovers the all-pairs clusters") {
+    val allPairs = SparkEntry.queries("d06_dedup_clusters")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val star = SparkEntry.queries("d07_dedup_star_clusters")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    // same partition structure: every all-pairs cluster is recovered
+    // from the O(m)-per-bucket spanning edges
+    assert(star == allPairs,
+      s"star clusters differ: ${star.size} vs ${allPairs.size} nodes")
+  }
+
+  test("connected components collapse transitive near-dup chains") {
+    // chain 1-2-3-4-5 (diameter 4 → needs several propagation rounds),
+    // pair {10,11}, singleton edge {20,21}, and 6 isolated from all
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (21L, 20L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(got(_) == 1L))
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(!got.contains(6L))
+  }
 }

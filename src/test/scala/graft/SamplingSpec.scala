@@ -44,6 +44,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("stratified keeps per-stratum rates and drops unlisted strata") {
+    val o = Catalog.table(spark, sfDir, "orders")
+    val base = o.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Sampling.stratified(o, col("o_orderpriority"),
+        Map("1-URGENT" -> 1.0, "3-MEDIUM" -> 0.1), seed = 5L)
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("1-URGENT") == base("1-URGENT"), "rate-1.0 stratum must be kept whole")
+    val r = got("3-MEDIUM").toDouble / base("3-MEDIUM")
+    assert(r > 0.06 && r < 0.14, s"3-MEDIUM rate $r")
+    assert(!got.contains("2-HIGH"), "unlisted stratum must be dropped")
+  }
+
   test("approx_percentile stays within 1% relative of the exact quantile") {
     val o = Catalog.table(spark, sfDir, "orders")
     val r = o.agg(

@@ -118,6 +118,37 @@ def main(sf_dir, out_dir):
         failures.append(f"d03 precision@j>=0.3: {good}/{len(tj)}")
     print(f"d03: {len(d03)} pairs, precision@j>=0.3={good}/{len(tj)}")
 
+    # ---- d06: clusters == union-find over the verified pair graph ----
+    # independent transitive-closure check: the emitted (id, label)
+    # assignment must exactly equal Python union-find over the d04
+    # pairs with jaccard >= 0.5 (labels are min-reachable-id)
+    import os
+    if os.path.isdir(f"{out_dir}/d06_dedup_clusters"):
+        edges = [(a, b) for (a, b), j in d04.items() if j >= 0.5]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+        got = {r["id"]: r["label"]
+               for r in pq.read_table(f"{out_dir}/d06_dedup_clusters").to_pylist()}
+        if got != want:
+            bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            failures.append(f"d06 clusters differ from union-find on "
+                            f"{len(bad)} nodes (e.g. {sorted(bad)[:5]})")
+        n_clusters = len(set(want.values()))
+        print(f"d06: {len(got)} nodes, {n_clusters} clusters, "
+              f"union-find match={got == want}")
+
     if failures:
         print("\nDEDUP GATE FAILED:")
         for f in failures:
