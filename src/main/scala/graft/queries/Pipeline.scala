@@ -178,6 +178,25 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // L15: PII redaction — email/phone/IP patterns replaced with typed
+    // placeholders, a standard pre-training scrub pass. Pure
+    // projection (no shuffle); identical regex dialect in both engines
+    // makes it exactly oracle-checkable.
+    QDef.sql("t05_pii_redact",
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\+?\d[\d\-\s]{7,}\d', '<PHONE>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
+          lit("\\+?\\d[\\d\\-\\s]{7,}\\d"), lit("<PHONE>")),
+          lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"), lit("<IP>")).as("clean_text"))
+        .orderBy(col("doc_id"))
+    },
+
     // L11: winnowing fingerprint (rolling-hash document id).
     QDef.rowsOnly("t04_fingerprint") { (s, dir) =>
       t(s, dir, "documents")

@@ -27,8 +27,8 @@ HEADLINE = [
     "q06_theta_join", "q07_groupjoin", "q13_window_rank", "q31_asof_join",
     "q32_range_join", "q48_window_range", "q53_topk_custom",
     "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash",
-    "d04_ngram_jaccard", "s01_cosine_topk", "s03_ann_ivf",
-    "t02_quality_score", "t04_fingerprint", "st02_sessionize",
+    "d04_ngram_jaccard", "d07_dedup_star_clusters", "s01_cosine_topk",
+    "s03_ann_ivf", "t02_quality_score", "t04_fingerprint", "st02_sessionize",
 ]
 
 
