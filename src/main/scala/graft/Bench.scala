@@ -20,9 +20,13 @@ object Bench {
     "tpch_q18", "tpch_q19",
     "q06_theta_join", "q07_groupjoin", "q13_window_rank", "q31_asof_join",
     "q32_range_join", "q48_window_range", "q53_topk_custom",
-    "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash",
-    "d04_ngram_jaccard", "d07_dedup_star_clusters", "s01_cosine_topk",
-    "s03_ann_ivf", "t02_quality_score", "t04_fingerprint", "st02_sessionize")
+    "d01_dedup_exact", "s01_cosine_topk", "s03_ann_ivf",
+    "t02_quality_score", "t04_fingerprint", "st02_sessionize",
+    // the multi-GB pair-shuffle pipelines run LAST: their shuffle-file
+    // cleanup and storage churn measurably poison whatever runs next
+    // (t02 measured 4× slower immediately after d02/d04 at sf10)
+    "d02_dedup_minhash", "d03_dedup_simhash",
+    "d04_ngram_jaccard", "d07_dedup_star_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

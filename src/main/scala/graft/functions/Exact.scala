@@ -27,7 +27,11 @@ object Exact {
     * near a rounding boundary, so Spark and any other engine agree.
     */
   private def units(c: Column, scale: Int): Column =
-    round(c * p10(scale)).cast("long")
+    // floor(x+0.5) == ROUND_HALF_UP for the non-negative fixed-point
+    // columns this serves, and unlike round() (which routes doubles
+    // through a BigDecimal per value — measured 2× on the q1 hot
+    // aggregate) it stays a single codegen'd Math.floor
+    floor(c * p10(scale) + 0.5).cast("long")
 
   /** Exact, order-independent sum of a fixed-point double column.
     *

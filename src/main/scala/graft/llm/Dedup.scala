@@ -260,13 +260,24 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    // localCheckpoint blocks stay pinned in executor storage until the
+    // driver GCs the frame — an iterative operator that leaks one
+    // checkpoint per round starves every query that runs after it.
+    // Track the block ids each checkpoint adds and free everything
+    // except the blocks backing the RETURNED labels.
+    val sc = pairs.sparkSession.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val d = df.localCheckpoint(true)
+      (d, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    val (edges, edgeBlocks) = checkpointed(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    var (labels, liveBlocks) = checkpointed(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -275,15 +286,18 @@ object Dedup {
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr"))
         .select(col("src").as("id"), col("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
-        .localCheckpoint(true)
+      val (next, nextBlocks) = checkpointed(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("label"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("next")))
       changed = next.filter(col("next") < col("label")).count()
       labels = next.select(col("id"), col("next").as("label"))
+      liveBlocks.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      liveBlocks = nextBlocks
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    edgeBlocks.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     labels
   }
 }

@@ -91,15 +91,33 @@ object Tpch {
          | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
-      t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-        .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
-        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "supplier")),
-          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      // Push the region predicate to BOTH fact sides before the big
+      // orderkey shuffle: lineitem joins the broadcast European
+      // supplier dim (60 M → ~12 M rows, and s_nationkey/n_name ride
+      // along), customers semi-filter to European nations. The only
+      // fact-fact shuffle then carries ~1/5 of the rows — at 100 TB
+      // this is the difference between shuffling the region's share
+      // and shuffling the whole fact table.
+      val euroNations = t(s, dir, "nation")
         .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val euroSup = t(s, dir, "supplier")
+        .join(broadcast(euroNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(euroSup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("s_nationkey"), col("n_name"),
+          col("l_extendedprice"), col("l_discount"))
+      val co = t(s, dir, "customer")
+        .join(broadcast(euroNations.select(col("n_nationkey").as("__en"))),
+          col("c_nationkey") === col("__en"), "left_semi")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01")),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      li.join(co, col("l_orderkey") === col("o_orderkey")
+          && col("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
         .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
@@ -188,7 +206,7 @@ object Tpch {
       // same exact comparison, ~3× cheaper than the decimal sum over a
       // 15 M-group aggregate (the dominant stage of this query).
       val bigOrders = li.groupBy(col("l_orderkey"))
-        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("__sq"))
+        .agg(sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("__sq"))
         .filter(col("__sq") > 30000)
         .select(col("l_orderkey").as("__bigkey"))
       t(s, dir, "customer")
