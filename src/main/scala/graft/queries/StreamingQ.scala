@@ -68,6 +68,24 @@ object StreamingQ {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
         .orderBy(col("c_mktsegment"), col("event_type"))
+    },
+
+    // ST5: streaming dedup — at-least-once input (events delivered
+    // twice here) repaired to exactly-once by key. The batch plan is
+    // dropDuplicates over the duplicated union; the streaming plan
+    // (dropDuplicatesWithinWatermark, bounded state) is proven
+    // equivalent in StreamDedupSpec.
+    QDef.sql("st04_stream_dedup",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM (SELECT DISTINCT event_id, user_id FROM
+        |  (SELECT event_id, user_id FROM events
+        |   UNION ALL SELECT event_id, user_id FROM events))""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      StreamingOps.dedupWithinWatermark(
+          e.unionAll(e), Seq("event_id"), "ts", "10 minutes")
+        .agg(count(lit(1)).cast("bigint").as("n_events"),
+          count_distinct(col("user_id")).cast("bigint").as("n_users"))
     }
   )
 }

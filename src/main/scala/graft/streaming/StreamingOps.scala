@@ -53,6 +53,21 @@ object StreamingOps {
     q
   }
 
+  /** Streaming dedup: drop events whose key was already seen within
+    * the watermark horizon — the at-least-once → exactly-once repair
+    * stage of a streaming ingest pipeline. State stays bounded: keys
+    * older than the watermark are evicted, so duplicate delivery
+    * delayed past `lateness` is the (explicit, documented) miss window.
+    * Batch mode degrades to dropDuplicates — same plan, two modes.
+    */
+  def dedupWithinWatermark(events: DataFrame, idCols: Seq[String],
+                           eventTime: String, lateness: String): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(eventTime, lateness)
+        .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+    else
+      events.dropDuplicates(idCols.head, idCols.tail: _*)
+
   /** Durable file sink: append-mode parquet with a checkpoint — the
     * production sink shape (exactly-once via the sink's transaction log
     * + WAL offsets; a restart resumes from the checkpoint without
