@@ -164,6 +164,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF index: the centroid table plus the corpus
+    * partitioned BY centroid id (hive-style parquet) — the on-disk
+    * inverted lists. Build once, search many: at query time dynamic
+    * partition pruning turns the probe semi-join into "read only the
+    * nprobe list directories", so a search touches nprobe/K of 100 TB
+    * without any resident index structure.
+    */
+  def writeIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                    maxCentroids: Int, dir: String): Unit = {
+    import corpus.sparkSession.implicits._
+    val cs = centroidSeeds(corpus, vecCol, idCol, maxCentroids)
+    cs.ids.zip(cs.vecs.map(_.toSeq)).toSeq.toDF("centroid_id", "cv")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfAssign(corpus, vecCol, idCol, cs)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/lists")
+  }
+
+  /** Search a persisted IVF index (see [[writeIvfIndex]]): rank the
+    * (tiny) centroid table against the query, then scan only the
+    * probed lists. No corpus-wide scan, no driver-resident index.
+    */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     query: DataFrame, queryVecCol: String,
+                     idCol: String, vecCol: String,
+                     k: Int, nprobe: Int): DataFrame = {
+    val q = query.select(col(queryVecCol).as("__qv"))
+    val probed = spark.read.parquet(s"$dir/centroids")
+      .crossJoin(broadcast(q))
+      .select(col("centroid_id"), cosine(col("cv"), col("__qv")).as("__pc"))
+      .orderBy(col("__pc").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    spark.read.parquet(s"$dir/lists")
+      .join(broadcast(probed), Seq("centroid_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col(idCol), cosine(col(vecCol), col("__qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, blocked
     * by an equi key (label, LSH bucket, …) to bound the pair space.
     */

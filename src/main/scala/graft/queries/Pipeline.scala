@@ -134,6 +134,18 @@ object Pipeline {
         k = 10, maxCentroids = 16, nprobe = 4)
     },
 
+    // L7c: persisted IVF index — build-once inverted lists on disk
+    // (parquet partitioned by centroid), search via dynamic partition
+    // pruning. IvfIndexSpec proves full-probe search == brute force.
+    QDef.rowsOnly("s04_ann_ivf_index") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.hashCode.toHexString}"
+      Similarity.writeIvfIndex(emb, "embedding", "vec_id", maxCentroids = 16, idx)
+      Similarity.searchIvfIndex(s, idx,
+        emb.filter(col("vec_id") === 0), "embedding", "vec_id", "embedding",
+        k = 10, nprobe = 4)
+    },
+
     // L8: language-ID heuristic (stopword profiles, argmax).
     QDef.rowsOnly("t01_lang_id") { (s, dir) =>
       t(s, dir, "documents")

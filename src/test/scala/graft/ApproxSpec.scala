@@ -39,4 +39,24 @@ class ApproxSpec extends AnyFunSuite {
     assert(assigned.count() == emb.count())
     assert(assigned.select("vec_id").distinct().count() == emb.count())
   }
+
+  test("persisted IVF index with full probe equals brute force") {
+    val emb = graft.sources.Catalog.table(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Similarity.writeIvfIndex(emb, "embedding", "vec_id", maxCentroids = 16, dir)
+    // probing EVERY list makes the index search exhaustive — results
+    // must match brute force exactly (same ranking, same tie-break)
+    val full = Similarity.searchIvfIndex(spark, dir, q, "embedding",
+        "vec_id", "embedding", k = 10, nprobe = 16)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, "embedding", 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == brute, s"full-probe $full vs brute $brute")
+    // a narrow probe still finds the query vector itself
+    val narrow = Similarity.searchIvfIndex(spark, dir, q, "embedding",
+        "vec_id", "embedding", k = 10, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(narrow.contains(0L))
+  }
 }
