@@ -74,6 +74,44 @@ object FunctionsQ2 {
         format_string("%.2f", round(col("o_totalprice"), 2)).as("price_2dp"),
         lpad(col("o_orderkey").cast("string"), 10, "0").as("padded_key"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // F18: list transform utilities (sort/distinct/flatten) — results
+    // canonicalized through list_sort on both engines so ordering
+    // semantics can't drift.
+    QDef.sql("f18_list_transform",
+      """SELECT p_partkey,
+        | list_sort(string_split(p_name, ' ')) AS toks,
+        | list_sort(list_distinct(string_split(p_type, ' '))) AS type_toks,
+        | flatten([string_split(p_brand, '#'), string_split(p_type, ' ')]) AS flat
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        sort_array(split(col("p_name"), " ")).as("toks"),
+        sort_array(array_distinct(split(col("p_type"), " "))).as("type_toks"),
+        flatten(array(split(col("p_brand"), "#"), split(col("p_type"), " "))).as("flat"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // F19: bit manipulation (popcount, shifts, and/or/xor).
+    QDef.sql("f19_bit_ops",
+      """SELECT p_partkey,
+        | CAST(bit_count(CAST(p_size AS BIGINT)) AS INT) AS pop,
+        | CAST(p_size << 2 AS BIGINT) AS shl,
+        | CAST(p_size >> 1 AS BIGINT) AS shr,
+        | CAST(p_size & 15 AS BIGINT) AS and_v,
+        | CAST(p_size | 64 AS BIGINT) AS or_v,
+        | CAST(xor(CAST(p_size AS BIGINT), 21) AS BIGINT) AS xor_v
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        bit_count(col("p_size").cast("bigint")).cast("int").as("pop"),
+        shiftleft(col("p_size"), 2).cast("bigint").as("shl"),
+        shiftright(col("p_size"), 1).cast("bigint").as("shr"),
+        expr("p_size & 15").cast("bigint").as("and_v"),
+        expr("p_size | 64").cast("bigint").as("or_v"),
+        expr("CAST(p_size AS BIGINT) ^ 21").cast("bigint").as("xor_v"))
+        .orderBy(col("p_partkey"))
     }
   )
 }
