@@ -58,7 +58,8 @@ object ScaleSmoke {
     val names = Seq("tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18",
       "q07_groupjoin", "q31_asof_join", "d01_dedup_exact",
       "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
-      "s03_ann_ivf", "t04_fingerprint", "st02_sessionize")
+      "d07_dedup_star_clusters", "s03_ann_ivf", "s04_ann_ivf_index",
+      "t04_fingerprint", "t05_pii_redact", "st02_sessionize")
 
     def run(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
