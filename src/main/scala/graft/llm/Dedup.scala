@@ -113,8 +113,7 @@ object Dedup {
   def minhashStarPairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16,
-      shingleSize: Int = 5, threshold: Double = 0.5,
-      maxBucket: Int = 4096): DataFrame = {
+      shingleSize: Int = 5, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val reps = representatives(df, idCol, textCol)
@@ -124,12 +123,13 @@ object Dedup {
       .select(col("id"), TextOps.minhashFromHashes(col("hs"), numHashes).as("sig"))
     val banded = sig.select(
       col("id"), explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
-    // star edges are linear in bucket size, so the stop-band cap can sit
-    // far higher than the all-pairs variant's — big boilerplate clusters
-    // are precisely what cluster dedup must keep, not drop
+    // star edges are linear in bucket size, so NO stop-band cap here —
+    // a >4096-member boilerplate bucket is exactly the cluster this
+    // variant exists to collapse, and capping it would silently emit
+    // zero edges for the biggest clusters (the all-pairs variant caps
+    // because ITS cost is quadratic; this one's isn't)
     val bucketRep = banded.groupBy(col("bk"))
-      .agg(min(col("id")).as("rep"), count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
+      .agg(min(col("id")).as("rep"))
       .select(col("bk"), col("rep"))
     val pairs = banded.join(bucketRep, Seq("bk"))
       .filter(col("rep") < col("id"))

@@ -111,15 +111,22 @@ object Similarity {
     */
   def centroidSeeds(corpus: DataFrame, vecCol: String, idCol: String,
                     maxCentroids: Int): CentroidSet = {
-    val rows = corpus
-      .filter(pmod(xxhash64(col(idCol)), lit(7)) === 0)
+    def pick(filtered: DataFrame) = filtered
       .select(col(idCol).cast("long").as("centroid_id"), col(vecCol).as("cv"))
       .limit(maxCentroids)
       .collect()
-    require(rows.nonEmpty, "centroidSeeds: empty corpus sample")
+    val hashed = pick(corpus.filter(pmod(xxhash64(col(idCol)), lit(7)) === 0))
+    // tiny corpora can have NO id hashing to 0 mod 7 — fall back to an
+    // unfiltered bounded read rather than failing on non-empty input
+    val rows = if (hashed.nonEmpty) hashed else pick(corpus)
+    require(rows.nonEmpty, "centroidSeeds: empty corpus")
+    // which rows are picked depends on scan order (bounded read by
+    // design — no global sort at 100 TB), but the *index layout* is
+    // made deterministic per pick-set by sorting driver-side
+    val sorted = rows.sortBy(_.getLong(0))
     CentroidSet(
-      rows.map(_.getLong(0)),
-      rows.map(_.getSeq[Float](1).toArray))
+      sorted.map(_.getLong(0)),
+      sorted.map(_.getSeq[Float](1).toArray))
   }
 
   private def nearestCentroid(vec: Column, cs: CentroidSet): Column =

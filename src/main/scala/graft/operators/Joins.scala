@@ -46,6 +46,13 @@ object Joins {
     * For a deterministic payload make the right side unique per
     * (key, time) first (e.g. pre-aggregate with max_by) — same
     * requirement DuckDB's ASOF has for a well-defined tie answer.
+    *
+    * All payload columns are carried as ONE struct per right row, so
+    * the output always holds the *matched* right row's values — its
+    * genuine NULL payload fields included — exactly like DuckDB's
+    * ASOF LEFT JOIN. (Carrying each column through its own
+    * last(ignoreNulls) window would stitch together values from
+    * different right rows whenever the matched row has a NULL field.)
     */
   def asofJoin(
       left: DataFrame, right: DataFrame,
@@ -53,35 +60,35 @@ object Joins {
       leftTime: Column, rightTime: Column,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val mType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p)))
     val l = left
       .withColumn("__k", leftKey)
       .withColumn("__t", leftTime.cast("timestamp"))
       .withColumn("__isl", lit(1))
-    val lWithNulls = payload.foldLeft(l) { (df, p) =>
-      df.withColumn(p, lit(null).cast(right.schema(p).dataType))
-    }
+      // null struct on left rows → skipped by last(ignoreNulls)
+      .withColumn("__m", lit(null).cast(mType))
+      .select(Seq(col("__k"), col("__t"), col("__isl"), col("__m")) ++
+        leftCols.map(col): _*)
     val r = right
       .withColumn("__k", rightKey)
       .withColumn("__t", rightTime.cast("timestamp"))
       .withColumn("__isl", lit(0))
-      .select(Seq(col("__k"), col("__t"), col("__isl")) ++
-        payload.map(col) ++
+      // non-null struct on EVERY right row (fields may be null) → the
+      // matched row is attached wholesale, never mixed across rows
+      .withColumn("__m", struct(payload.map(col): _*))
+      .select(Seq(col("__k"), col("__t"), col("__isl"), col("__m")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val u = lWithNulls
-      .select(Seq(col("__k"), col("__t"), col("__isl")) ++
-        payload.map(col) ++ leftCols.map(col): _*)
-      .unionByName(r)
+    val u = l.unionByName(r)
     // right rows sort BEFORE left rows at equal time (__isl 0 < 1), so
     // rightTime == leftTime matches — the `<=` in ASOF.
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__isl"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(u) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    carried
+    u.withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
       .filter(col("__isl") === 1)
-      .select(leftCols.map(col) ++ payload.map(col): _*)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__m").getField(p).as(p)): _*)
   }
 
   /** Range (interval) join: pairs where `lo <= probe < hi` on the same

@@ -77,19 +77,23 @@ object FunctionsQ2 {
     },
 
     // F18: list transform utilities (sort/distinct/flatten) — results
-    // canonicalized through list_sort on both engines so ordering
-    // semantics can't drift.
+    // canonicalized through list_sort AND serialized to delimited
+    // strings on both engines: the driver's compare harness cannot
+    // sort rows containing array cells (pandas lexsort chokes on
+    // ndarray), so the list outputs are array_join'ed. The list ops
+    // themselves still run; only the final cell type is scalar.
     QDef.sql("f18_list_transform",
       """SELECT p_partkey,
-        | list_sort(string_split(p_name, ' ')) AS toks,
-        | list_sort(list_distinct(string_split(p_type, ' '))) AS type_toks,
-        | flatten([string_split(p_brand, '#'), string_split(p_type, ' ')]) AS flat
+        | array_to_string(list_sort(string_split(p_name, ' ')), ' ') AS toks,
+        | array_to_string(list_sort(list_distinct(string_split(p_type, ' '))), ' ') AS type_toks,
+        | array_to_string(flatten([string_split(p_brand, '#'), string_split(p_type, ' ')]), ' ') AS flat
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
       t(s, dir, "part").select(
         col("p_partkey"),
-        sort_array(split(col("p_name"), " ")).as("toks"),
-        sort_array(array_distinct(split(col("p_type"), " "))).as("type_toks"),
-        flatten(array(split(col("p_brand"), "#"), split(col("p_type"), " "))).as("flat"))
+        array_join(sort_array(split(col("p_name"), " ")), " ").as("toks"),
+        array_join(sort_array(array_distinct(split(col("p_type"), " "))), " ").as("type_toks"),
+        array_join(flatten(array(split(col("p_brand"), "#"), split(col("p_type"), " "))), " ")
+          .as("flat"))
         .orderBy(col("p_partkey"))
     },
 

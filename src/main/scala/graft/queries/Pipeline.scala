@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Dedup, FullText, Multimodal, Similarity, TextOps}
 import graft.sources.Catalog
 
 /** LLM-pipeline operators L1–L12 (SURVEY §2.5) over the documents and
@@ -75,7 +75,8 @@ object Pipeline {
 
     // L13b: the 100 TB cluster-dedup path — star-edge candidates
     // (O(m) per bucket, not all-pairs O(m²)) + jaccard verify +
-    // connected components. StarDedupSpec proves it recovers the same
+    // connected components. PipelineSpec ('star-edge cluster dedup recovers the
+    // all-pairs clusters') proves it recovers the same
     // clusters as the all-pairs path on planted near-dup data.
     QDef.rowsOnly("d07_dedup_star_clusters") { (s, dir) =>
       val docs = t(s, dir, "documents")
@@ -136,7 +137,8 @@ object Pipeline {
 
     // L7c: persisted IVF index — build-once inverted lists on disk
     // (parquet partitioned by centroid), search via dynamic partition
-    // pruning. IvfIndexSpec proves full-probe search == brute force.
+    // pruning. ApproxSpec ('persisted IVF index with full probe
+    // equals brute force') proves full-probe search == brute force.
     QDef.rowsOnly("s04_ann_ivf_index") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.hashCode.toHexString}"
@@ -144,6 +146,52 @@ object Pipeline {
       Similarity.searchIvfIndex(s, idx,
         emb.filter(col("vec_id") === 0), "embedding", "vec_id", "embedding",
         k = 10, nprobe = 4)
+    },
+
+    // L7d: BM25 full-text ranking (the reference's fts extension,
+    // extension/fts/fts_indexing.cpp) — index-free scoring path,
+    // hash-matched against a full brute-force BM25 in DuckDB SQL.
+    // Scores are integer micro-units so the per-doc sum is exact and
+    // order-independent on both engines (see FullText scaladoc).
+    QDef.sql("s05_fts_bm25",
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sized AS (
+        |  SELECT doc_id, len(toks) AS dl, toks FROM base),
+        |stats AS (
+        |  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM sized),
+        |tf AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM sized)
+        |  WHERE term IN ('spark', 'join', 'vector')
+        |  GROUP BY doc_id, dl, term),
+        |df AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(FLOOR(
+        |      ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+        |      * 1e6 + 0.5) AS BIGINT) AS s
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats)
+        |SELECT doc_id, SUM(s) AS score_micro
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      FullText.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("spark", "join", "vector"), k = 20)
+        .select(col("id").as("doc_id"), col("score_micro"))
+    },
+
+    // L7e: persisted full-text index — postings partitioned by
+    // term-hash bucket (the inverted-list layout the reference's fts
+    // PRAGMA builds); a search reads only its terms' buckets. FtsSpec
+    // proves index search == the index-free path on every ranked doc.
+    QDef.rowsOnly("s06_fts_index") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_fts_${dir.hashCode.toHexString}"
+      FullText.writeFtsIndex(docs, "doc_id", "text", idx, nBuckets = 16)
+      FullText.searchFtsIndex(s, idx,
+        terms = Seq("spark", "join", "vector"), k = 20, nBuckets = 16)
     },
 
     // L8: language-ID heuristic (stopword profiles, argmax).

@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.Sampling
 import graft.sources.Catalog
@@ -49,17 +48,20 @@ object RelationalE {
 
     // R26b: dynamic PIVOT — pivot values DISCOVERED from the data
     // (Spark runs the distinct-value job; DuckDB's PIVOT does the
-    // same), not a hard-coded list like q26. Aggregates stay DECIMAL
-    // end-to-end so both engines emit identical exact values.
+    // same), not a hard-coded list like q26. The measure is cast to
+    // DOUBLE *before* the pivot: SUM over a pivoted decimal widens
+    // differently per engine (Spark → DECIMAL(28,2), DuckDB →
+    // DECIMAL(38,2)) and the widened cells hash-differ; l_quantity is
+    // integral so the double sum is exact regardless of add order.
     QDef.sql("q26b_dynamic_pivot",
       """SELECT * FROM (
-        |  PIVOT (SELECT l_linestatus, l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS q FROM lineitem)
+        |  PIVOT (SELECT l_linestatus, l_returnflag, CAST(l_quantity AS DOUBLE) AS q FROM lineitem)
         |  ON l_returnflag USING SUM(q) GROUP BY l_linestatus)
         |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_linestatus"))
         .pivot("l_returnflag") // no value list: discovery pass, like DuckDB
-        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))))
+        .agg(sum(col("l_quantity").cast("double")))
         .orderBy(col("l_linestatus"))
     },
 

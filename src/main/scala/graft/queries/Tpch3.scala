@@ -28,7 +28,7 @@ object Tpch3 {
   private def psCte(intDiv: String, fourRows: String): String =
     s"""WITH partsupp AS (
        |  SELECT p_partkey AS ps_partkey,
-       |         CAST((p_partkey + i.i * (sc $intDiv 4 + p_partkey $intDiv sc)) % sc AS BIGINT) AS ps_suppkey,
+       |         CAST((p_partkey + i.i * (sc $intDiv 4 + p_partkey $intDiv sc)) % sc + 1 AS BIGINT) AS ps_suppkey,
        |         CAST((p_partkey * 4 + i.i) % 9999 + 1 AS BIGINT) AS ps_availqty,
        |         CAST((p_partkey * 73 + i.i * 127) % 99900 + 100 AS BIGINT) AS ps_supplycost_cents
        |  FROM part, (SELECT COUNT(*) AS sc FROM supplier), ($fourRows) i

@@ -44,6 +44,30 @@ class JoinsSpec extends AnyFunSuite {
     assert(got(5L).isEmpty, "unmatched key keeps NULL payload (LEFT ASOF)")
   }
 
+  test("asofJoin attaches the matched row wholesale — null payload fields stay null") {
+    // the matched (latest at-or-before) right row for eid=2 has a NULL
+    // payload value; a per-column last(ignoreNulls) carry would leak
+    // the OLDER row's 'a'/'x' into it. All columns must come from the
+    // single matched row, nulls included.
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:30:00")), // matches first right row
+      (2L, 10L, ts("2024-01-01 12:00:00"))  // matches second (null p1)
+    ).toDF("eid", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), Option("a"), Option("x")),
+      (10L, ts("2024-01-01 11:00:00"), None, Option("y"))
+    ).toDF("k2", "rt", "p1", "p2")
+
+    val got = Joins.asofJoin(left, right,
+        col("k"), col("k2"), col("t"), col("rt"), payload = Seq("p1", "p2"))
+      .select("eid", "p1", "p2").as[(Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    assert(got(1L) == ((Some("a"), Some("x"))))
+    assert(got(2L) == ((None, Some("y"))),
+      "matched row's NULL p1 must be preserved, not backfilled from an older row")
+  }
+
   test("asofJoin stays flat on a skewed hot key (no per-key pair space)") {
     // one hot key: 5k left × 2k right would be 10M pairs in the old
     // join+max plan; the union+window plan sorts 7k rows. If the pair
