@@ -1,0 +1,108 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.sources.{Catalog, Dml}
+
+/** Persistent DML surface U1–U3 (SURVEY §2.4b): UPDATE / DELETE /
+  * MERGE as copy-on-write parquet rewrites (graft.sources.Dml) — the
+  * reference's physical_update.cpp / physical_delete.cpp /
+  * ON CONFLICT surface. Each entry seeds a per-run copy of a base
+  * table (8 hash-keyed files so the file-pruned rewrite is
+  * exercised, not a trivial 1-file swap), mutates it, and aggregates
+  * the READ-BACK table; the oracle states the post-DML table as pure
+  * SQL over the original, so parity means the rewrite neither lost,
+  * duplicated, nor corrupted any row.
+  */
+object DmlQ {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  private def ts(d: String): Column = lit(d).cast("timestamp")
+
+  /** Seed a mutable copy: 8 files, hash-clustered on `key` so DML
+    * predicates on the key touch a strict subset of files.
+    */
+  private def seed(s: SparkSession, dir: String, table: String,
+                   key: String, prefix: String): String = {
+    val path = Files.createTempDirectory(prefix).toString
+    t(s, dir, table).repartition(8, col(key))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    path
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // U1: UPDATE with a carried-through remainder — hit files keep
+    // their non-matching rows, non-hit files are never rewritten.
+    // +100.0 stays on the 2-decimal grid (no cross-engine rounding
+    // edge; SURVEY §3 discipline).
+    QDef.sql("u01_update",
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         | ${Exact.dsumSql("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 100.0 ELSE o_totalprice END")} AS total
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val path = seed(s, dir, "orders", "o_orderkey", "graft_upd")
+      Dml.update(s, path,
+        cond = col("o_orderpriority") === "1-URGENT",
+        set = Map("o_totalprice" -> (col("o_totalprice") + 100.0)))
+      s.read.parquet(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // U2: DELETE — matching rows dropped, everything else intact.
+    QDef.sql("u02_delete",
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         | CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+         |FROM orders WHERE NOT (o_orderdate < TIMESTAMP '1993-06-01')
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val path = seed(s, dir, "orders", "o_orderkey", "graft_del")
+      Dml.delete(s, path, col("o_orderdate") < ts("1993-06-01"))
+      s.read.parquet(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // U3: MERGE upsert — WHEN MATCHED updates c_acctbal, WHEN NOT
+    // MATCHED inserts synthetic customers in a fresh NEWSEG segment,
+    // so both arms show up separately in the read-back aggregate.
+    QDef.sql("u03_merge",
+      s"""WITH upd AS (
+         |  SELECT c_custkey, c_name, c_nationkey,
+         |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 500.0 ELSE c_acctbal END AS c_acctbal,
+         |    c_mktsegment
+         |  FROM customer),
+         |ins AS (
+         |  SELECT c_custkey + 10000000 AS c_custkey, 'NEW_' || c_name AS c_name,
+         |    c_nationkey, 10.0 AS c_acctbal, 'NEWSEG' AS c_mktsegment
+         |  FROM customer WHERE c_custkey % 17 = 0),
+         |merged AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+         |SELECT c_mktsegment, COUNT(*) AS n,
+         | ${Exact.dsumSql("c_acctbal")} AS bal
+         |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val path = seed(s, dir, "customer", "c_custkey", "graft_mrg")
+      val c = t(s, dir, "customer")
+      val source = c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") + 500.0).as("c_acctbal"), col("c_mktsegment"))
+        .unionByName(
+          c.filter(col("c_custkey") % 17 === 0)
+            .select((col("c_custkey") + 10000000L).as("c_custkey"),
+              concat(lit("NEW_"), col("c_name")).as("c_name"),
+              col("c_nationkey"), lit(10.0).as("c_acctbal"),
+              lit("NEWSEG").as("c_mktsegment")))
+      Dml.merge(s, path, source, on = Seq("c_custkey"),
+        set = Map("c_acctbal" -> source("c_acctbal")))
+      s.read.parquet(path)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("c_acctbal")).as("bal"))
+        .orderBy(col("c_mktsegment"))
+    }
+  )
+}

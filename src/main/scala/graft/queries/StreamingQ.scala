@@ -42,12 +42,16 @@ object StreamingQ {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // epoch-micros lag/compare: the window sort key and the gap
+      // test are plain longs (exact µs, matching the oracle's
+      // interval compare), not timestamp/interval arithmetic
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
       t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ms"))
+        .withColumn("prev", lag(col("ms"), 1).over(w))
         .withColumn("new_sess",
-          when(lag(col("ts"), 1).over(w).isNull ||
-            col("ts") - lag(col("ts"), 1).over(w) > expr("INTERVAL 30 MINUTE"), 1)
-            .otherwise(0))
+          when(col("prev").isNull || col("ms") - col("prev") > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
         .groupBy(col("user_id"))
         .agg(sum(col("new_sess")).cast("bigint").as("n_sessions"))
         .orderBy(col("user_id"))

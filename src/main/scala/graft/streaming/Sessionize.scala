@@ -3,6 +3,8 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful gap-based sessionization via flatMapGroupsWithState — the
@@ -12,8 +14,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * further than `gap` from last-seen closes the session and emits it;
   * processing-time timeout flushes sessions when a user goes quiet.
   * The same function runs in batch mode (one group pass, no timeouts),
-  * which is what SessionizeSpec uses to cross-check the window-function
-  * formulation in StreamingQ.st02.
+  * which SessionizeSpec uses to cross-check [[sessionizeBatch]] — but
+  * batch callers should use [[sessionizeBatch]]: the stateful path
+  * sorts a user's entire history in executor memory, fine per
+  * micro-batch, an OOM straggler for a hot user in a 100 TB batch.
   */
 object Sessionize {
 
@@ -22,6 +26,43 @@ object Sessionize {
   case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int)
 
   val DefaultGapMs: Long = 30 * 60 * 1000L
+
+  /** Batch-mode sessionization as a window-function gap-id plan:
+    * lag → new-session flag → running sum = session id → one
+    * aggregation. This is THE batch path: unlike the stateful
+    * function below it never materializes a user's full history in
+    * executor memory (`toArray.sorted`), so a hot user at 100 TB is
+    * a big sort partition, not an OOM. Timestamps travel as epoch
+    * millis so the sort key and the gap compare are plain longs.
+    *
+    * The aggregation keys (user_id, sess_id) start with the window's
+    * partition key, so the groupBy reuses the window's hash
+    * partitioning — one shuffle total.
+    *
+    * SessionizeSpec proves this emits exactly the stateful path's
+    * sessions (start, end, n_events), not just matching counts.
+    */
+  def sessionizeBatch(events: Dataset[Event], gapMs: Long = DefaultGapMs)
+      : Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+    events.toDF()
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("prev", lag(col("ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("ms") - col("prev") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ms")).as("smin"), max(col("ms")).as("smax"),
+        count(lit(1)).cast("int").as("n_events"))
+      .select(col("user_id"),
+        timestamp_millis(col("smin")).as("start"),
+        timestamp_millis(col("smax")).as("end"),
+        col("n_events"))
+      .as[Session]
+  }
 
   def sessionize(events: Dataset[Event], gapMs: Long = DefaultGapMs,
                  timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Dml
+
+/** Copy-on-write DML: row-level outcomes, and the scale contract —
+  * only files containing matching rows are rewritten; everything
+  * else keeps its original part file byte-for-byte (same path).
+  */
+class DmlSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def seed(): String = {
+    val path = Files.createTempDirectory("dml").toString
+    // 4 files hash-clustered on k: a predicate on one k value hits
+    // exactly the file(s) holding that hash bucket
+    (1L to 100L).map(k => (k, s"v$k", k * 10.0)).toDF("k", "name", "amt")
+      .repartition(4, col("k"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    path
+  }
+
+  private def files(path: String): Set[String] =
+    new java.io.File(path).listFiles.map(_.getName)
+      .filter(_.endsWith(".parquet")).toSet
+
+  test("update rewrites only hit files; non-matching rows carried through") {
+    val path = seed()
+    val before = files(path)
+    val stats = Dml.update(spark, path,
+      cond = col("k") === 7L, set = Map("amt" -> (col("amt") + 1000.0)))
+    assert(stats.rowsRewritten == 1 && stats.hitFiles == 1)
+    val after = files(path)
+    // 3 of 4 original part files must survive untouched
+    assert((before intersect after).size == before.size - 1,
+      s"expected exactly one original file replaced; before=$before after=$after")
+    val got = spark.read.parquet(path).as[(Long, String, Double)].collect().toMap2
+    assert(got(7L) == (("v7", 1070.0)))
+    assert(got(8L) == (("v8", 80.0)))
+    assert(got.size == 100)
+  }
+
+  test("delete drops only matching rows and prunes files") {
+    val path = seed()
+    val stats = Dml.delete(spark, path, col("k") <= 10L)
+    assert(stats.rowsRewritten == 10)
+    assert(stats.hitFiles >= 1 && stats.hitFiles <= 4)
+    val ks = spark.read.parquet(path).select("k").as[Long].collect().toSet
+    assert(ks == (11L to 100L).toSet)
+  }
+
+  test("delete with no matches is a no-op (no rewrite at all)") {
+    val path = seed()
+    val before = files(path)
+    val stats = Dml.delete(spark, path, col("k") > 1000L)
+    assert(stats == Dml.DmlStats(0, 0, 0))
+    assert(files(path) == before)
+  }
+
+  test("merge updates matched, inserts unmatched, leaves the rest") {
+    val path = seed()
+    val source = Seq(
+      (7L, "seven", -1.0),    // matched → amt updated
+      (500L, "brand-new", 5.0) // not matched → inserted
+    ).toDF("k", "name", "amt")
+    val stats = Dml.merge(spark, path, source, on = Seq("k"),
+      set = Map("amt" -> source("amt"), "name" -> source("name")))
+    assert(stats.rowsRewritten == 1 && stats.rowsInserted == 1)
+    val got = spark.read.parquet(path).as[(Long, String, Double)].collect().toMap2
+    assert(got.size == 101)
+    assert(got(7L) == (("seven", -1.0)))
+    assert(got(500L) == (("brand-new", 5.0)))
+    assert(got(8L) == (("v8", 80.0)))
+  }
+
+  test("merge rejects a source with duplicate keys") {
+    val path = seed()
+    val dup = Seq((7L, "a", 1.0), (7L, "b", 2.0)).toDF("k", "name", "amt")
+    val e = intercept[IllegalArgumentException] {
+      Dml.merge(spark, path, dup, Seq("k"), Map("amt" -> dup("amt")))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("update is convergent: re-running the same conditional set is stable shape") {
+    val path = seed()
+    Dml.update(spark, path, col("k") === 7L, Map("amt" -> lit(1.0)))
+    Dml.update(spark, path, col("k") === 7L, Map("amt" -> lit(1.0)))
+    val got = spark.read.parquet(path).filter(col("k") === 7L)
+      .select("amt").as[Double].collect().toSeq
+    assert(got == Seq(1.0))
+  }
+
+  private implicit class Tup3Ops(rows: Array[(Long, String, Double)]) {
+    def toMap2: Map[Long, (String, Double)] =
+      rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}

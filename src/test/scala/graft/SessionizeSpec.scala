@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -29,6 +30,16 @@ class SessionizeSpec extends AnyFunSuite {
 
     assert(stateful == windowed,
       s"stateful=$stateful\nwindowed=$windowed")
+  }
+
+  test("window-function batch sessionizer emits exactly the stateful path's sessions") {
+    val events = Catalog.table(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"))
+      .as[Sessionize.Event]
+    def key(s: Dataset[Sessionize.Session]) =
+      s.collect().map(x => (x.user_id, x.start.getTime, x.end.getTime, x.n_events))
+        .sortBy(identity).toSeq
+    assert(key(Sessionize.sessionizeBatch(events)) == key(Sessionize.sessionize(events)))
   }
 
   test("session event counts sum to total events per user") {
