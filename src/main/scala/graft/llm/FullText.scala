@@ -26,8 +26,17 @@ import org.apache.spark.sql.functions._
   *
   * Scores are emitted as integer micro-units (floor(x*1e6+0.5)):
   * per-(doc,term) scores are deterministic double expressions, and the
-  * per-doc SUM is then exact integer arithmetic — order-independent,
-  * so ranking is reproducible across engines and partitionings.
+  * per-doc SUM is then exact integer arithmetic — order-independent
+  * WITHIN one engine, so ranking is reproducible across partitionings
+  * and reruns. It is NOT bit-reproducible across engines: `ln` and
+  * double division can differ in the last ulp between the JVM and
+  * another engine's libm, and any fixed-point grid turns a 1-ulp
+  * difference at a grid boundary into a ±1 integer difference. Cross-
+  * engine comparisons must therefore use [[bm25TopKPortable]], which
+  * ranks by the float score (distinct (tf, df, dl) inputs give scores
+  * separated far beyond one ulp, and exact ties are broken by doc id)
+  * but emits only exactly-portable integers: rank position, doc id,
+  * matched-term count, total tf, and dl.
   */
 object FullText {
 
@@ -79,6 +88,47 @@ object FullText {
       .agg(sum(col("s")).as("score_micro"))
       .orderBy(col("score_micro").desc, col("id"))
       .limit(k)
+  }
+
+  /** Cross-engine-portable BM25 top-k: same retrieval plan as
+    * [[bm25TopK]], but the output carries only integers that every
+    * engine computes identically — (rank, doc id, n_terms, tf_sum, dl)
+    * — while the ulp-sensitive float score is used ONLY to order.
+    * Ordering by the raw double is robust: docs with different
+    * (tf, df, dl) tuples score apart by far more than one ulp, and
+    * docs with identical tuples score exactly equal in each engine and
+    * fall to the doc-id tiebreak. The 20-row rank window runs AFTER
+    * TakeOrderedAndProject, so the single-partition sort it implies
+    * only ever sees k rows.
+    */
+  def bm25TopKPortable(docs: DataFrame, idCol: String, textCol: String,
+                       terms: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), size(col("toks")).as("dl"), col("toks"))
+    val stats = base.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = base
+      .select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(terms))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val topk = tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("dl"), col("tf"),
+        bm25TermScore(col("tf"), col("df"), col("dl"),
+          col("n"), col("avgdl")).as("s"))
+      .groupBy(col("id"), col("dl"))
+      .agg(sum(col("s")).as("score"),
+        count(lit(1)).as("n_terms"), sum(col("tf")).as("tf_sum"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+    topk
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("id")))
+          .cast("bigint"))
+      .select(col("rnk"), col("id").as("doc_id"), col("n_terms"),
+        col("tf_sum"), col("dl").cast("bigint").as("dl"))
   }
 
   /** Term → partition bucket. Stable hash so a query can compute its

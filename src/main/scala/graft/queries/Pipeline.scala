@@ -151,8 +151,13 @@ object Pipeline {
     // L7d: BM25 full-text ranking (the reference's fts extension,
     // extension/fts/fts_indexing.cpp) — index-free scoring path,
     // hash-matched against a full brute-force BM25 in DuckDB SQL.
-    // Scores are integer micro-units so the per-doc sum is exact and
-    // order-independent on both engines (see FullText scaladoc).
+    // The float score orders (robust: distinct (tf,df,dl) tuples score
+    // apart by >> 1 ulp; exact ties fall to doc_id) but is NOT in the
+    // output — the hash covers only exactly-portable integers (rank,
+    // doc_id, n_terms, tf_sum, dl). JVM Math.log vs DuckDB libm can
+    // differ in the last ulp, so no float-derived value is comparable
+    // bit-for-bit across engines (FtsSpec carries score-value coverage
+    // via the pinned hand-computed case + index == index-free).
     QDef.sql("s05_fts_bm25",
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -168,18 +173,21 @@ object Pipeline {
         |df AS (
         |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
         |scored AS (
-        |  SELECT tf.doc_id,
-        |    CAST(FLOOR(
-        |      ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
-        |      * 1e6 + 0.5) AS BIGINT) AS s
-        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats)
-        |SELECT doc_id, SUM(s) AS score_micro
-        |FROM scored GROUP BY doc_id
-        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
-      FullText.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
-          terms = Seq("spark", "join", "vector"), k = 20)
-        .select(col("id").as("doc_id"), col("score_micro"))
+        |  SELECT tf.doc_id, tf.dl,
+        |    SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))) AS score,
+        |    COUNT(*) AS n_terms, SUM(tf.tf) AS tf_sum
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats
+        |  GROUP BY tf.doc_id, tf.dl),
+        |topk AS (
+        |  SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+        |  doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+        |  CAST(tf_sum AS BIGINT) AS tf_sum, CAST(dl AS BIGINT) AS dl
+        |FROM topk""".stripMargin) { (s, dir) =>
+      FullText.bm25TopKPortable(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "join", "vector"), k = 20)
     },
 
     // L7e: persisted full-text index — postings partitioned by

@@ -59,6 +59,18 @@ class FtsSpec extends AnyFunSuite {
       s"expected partition-pruned postings read:\n$scan")
   }
 
+  test("portable top-k ranks like the micro-unit path and emits integer components") {
+    val r = FullText.bm25TopKPortable(docs, "doc_id", "text",
+      Seq("spark", "join", "vector"), k = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // same ranking as the multi-term case below: doc1, doc6, doc3
+    assert(r.map(_._2) == Seq(1L, 6L, 3L), r.mkString(","))
+    assert(r.map(_._1) == Seq(1L, 2L, 3L)) // rank positions
+    // doc1: tf(spark)=2 + tf(join)=1 over dl=4; doc3: spark only
+    assert(r.head == ((1L, 1L, 2L, 3L, 4L)), r.head.toString)
+    assert(r(2) == ((3L, 3L, 1L, 3L, 4L)), r(2).toString)
+  }
+
   test("multi-term ranking follows the hand-computed BM25 order") {
     // 'vector' appears nowhere → contributes nothing. With ln(2) idf
     // for both terms (df=3 each) the per-doc totals are
