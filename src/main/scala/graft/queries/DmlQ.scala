@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,11 +23,14 @@ object DmlQ {
   private def ts(d: String): Column = lit(d).cast("timestamp")
 
   /** Seed a mutable copy: 8 files, hash-clustered on `key` so DML
-    * predicates on the key touch a strict subset of files.
+    * predicates on the key touch a strict subset of files. The path is
+    * stable per (entry, sf dir) and overwritten each run, so repeated
+    * Verify/Bench loops reuse one directory instead of accumulating a
+    * fresh multi-GB table copy per run.
     */
   private def seed(s: SparkSession, dir: String, table: String,
                    key: String, prefix: String): String = {
-    val path = Files.createTempDirectory(prefix).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/${prefix}_${dir.hashCode.toHexString}"
     t(s, dir, table).repartition(8, col(key))
       .write.mode(SaveMode.Overwrite).parquet(path)
     path
@@ -103,6 +104,30 @@ object DmlQ {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), Exact.dsum(col("c_acctbal")).as("bal"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // U4: PRIMARY KEY uniqueness audit (SURVEY §2.4b) — the read-side
+    // half of the reference's constraint surface (sql_files/big.sql
+    // declares PRIMARY KEY, enforced by the ART index in
+    // src/execution/index/art/art.cpp). Planted duplicates must come
+    // back with exact multiplicities; write-side rejection is in
+    // Dml.insert (DmlSpec accept/reject cases).
+    QDef.sql("u04_pk_audit",
+      """WITH planted AS (
+        |  SELECT * FROM orders
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey % 997 = 0)
+        |SELECT o_orderkey, COUNT(*) AS n
+        |FROM planted GROUP BY o_orderkey HAVING COUNT(*) > 1
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val planted = o
+        .unionAll(o.filter(col("o_orderkey") % 97 === 0))
+        .unionAll(o.filter(col("o_orderkey") % 997 === 0))
+      Dml.pkViolations(planted, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
     }
   )
 }

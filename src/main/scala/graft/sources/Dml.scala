@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** UPDATE / DELETE / MERGE over parquet tables as copy-on-write file
@@ -28,8 +28,34 @@ import org.apache.spark.sql.functions._
   * a production Spark deployment would get it from a table format's
   * log. Batch-pipeline semantics (one writer, readers between jobs)
   * are exact.
+  *
+  * Crash window, stated honestly: [[swap]] appends the rewritten
+  * files BEFORE deleting the hit files, so a crash between the two
+  * leaves BOTH visible — readers see the hit files' rows TWICE (old
+  * and rewritten), not merely "extra stale files". No committed row is
+  * ever lost, and recovery is mechanical (delete the still-listed hit
+  * files, or re-run), but re-running only converges for idempotent
+  * SET expressions: an UPDATE like `amt = amt + 100` re-applied after
+  * a partial failure double-applies. A production deployment stages
+  * new files under a temp prefix and commits via a manifest/rename
+  * (Delta/Iceberg's log) so readers never see old+new together; that
+  * log is exactly the piece this copy-on-write core plugs under.
   */
 object Dml {
+
+  /** Above this fraction of the table's files hit, the file-pruned
+    * path stops paying: collecting ~1M path strings to the driver and
+    * planning a million-path `parquet(paths*)` scan costs more than
+    * rewriting the remainder. Past it we rewrite from the ROOT path
+    * (one-path plan, still one scan) and swap out every data file.
+    */
+  val HitFractionGuard = 0.5
+
+  /** Hard cap on the hit-file path list, independent of table size: a
+    * million-path `parquet(paths*)` plan and a million driver strings
+    * are a planner problem even when they are a small table fraction.
+    */
+  val MaxHitFileList = 100000
 
   /** Rows rewritten / files rewritten / rows appended, for observability
     * ("how much of the table did this DML touch").
@@ -39,19 +65,56 @@ object Dml {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Files containing ≥1 row matching `cond` — predicate-pushed scan,
-    * file list only (bounded by file count, not row count).
+  /** All data files under the table root — the same driver-side
+    * metadata listing any table-format planner performs. Bounded by
+    * file count; used to size the hit-fraction guard and as the swap
+    * list for full rewrites.
     */
-  private def hitFiles(spark: SparkSession, path: String, cond: Column): Seq[String] =
+  private def tableFiles(spark: SparkSession, path: String): Seq[String] = {
+    val hfs = fs(spark, path)
+    val it = hfs.listFiles(new Path(path), true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) buf += st.getPath.toString
+    }
+    buf.toSeq
+  }
+
+  /** The rewrite scan + the files it will replace. Selective DML gets
+    * the file-pruned path (scan only hit files); past the guard —
+    * more than [[HitFractionGuard]] of the table's files hit, or more
+    * than [[MaxHitFileList]] paths — it degrades to ONE root-path scan
+    * that rewrites the whole table, which at that hit rate is cheaper
+    * than collecting and re-planning a huge path list. The collect is
+    * `limit(threshold+1)`-bounded, so the driver never materializes
+    * more paths than the guard allows even on a pathological table.
+    */
+  private def rewriteScan(spark: SparkSession, path: String,
+                          hitPaths: DataFrame): Option[(DataFrame, Seq[String])] = {
+    val all = tableFiles(spark, path)
+    val threshold =
+      math.min(math.max(1L, (all.size * HitFractionGuard).toLong), MaxHitFileList.toLong).toInt
+    val hits = hitPaths.limit(threshold + 1).collect().map(_.getString(0)).toSeq
+    if (hits.isEmpty) None
+    else if (hits.size > threshold) Some((spark.read.parquet(path), all))
+    else Some((spark.read.parquet(hits: _*), hits))
+  }
+
+  /** Files containing ≥1 row matching `cond` — predicate-pushed scan,
+    * file paths only (never row data).
+    */
+  private def hitFilePaths(spark: SparkSession, path: String, cond: Column): DataFrame =
     spark.read.parquet(path)
       .filter(cond)
       .select(col("_metadata.file_path"))
       .distinct()
-      .collect().map(_.getString(0)).toSeq
 
   /** Append `df` as new part files, then delete `oldFiles`. Write
-    * happens BEFORE delete so a crash can only leave extra (stale)
-    * files, never lose rows; re-running the same DML converges.
+    * happens BEFORE delete so a crash never loses a committed row —
+    * but see the object scaladoc for the honest crash window: between
+    * the two steps old AND rewritten rows are both visible.
     */
   private def swap(spark: SparkSession, path: String,
                    df: DataFrame, oldFiles: Seq[String]): Unit = {
@@ -62,37 +125,42 @@ object Dml {
 
   /** UPDATE <path> SET <set> WHERE <cond>. Only hit files are
     * rewritten; non-matching rows in a hit file are carried through
-    * unchanged.
+    * unchanged. Stats come from an `observe` on the rewrite job
+    * itself — no second pass over the data.
     */
   def update(spark: SparkSession, path: String,
-             cond: Column, set: Map[String, Column]): DmlStats = {
-    val hits = hitFiles(spark, path, cond)
-    if (hits.isEmpty) return DmlStats(0, 0, 0)
-    val hit = spark.read.parquet(hits: _*)
-    val cols = hit.columns.map { c =>
-      set.get(c) match {
-        case Some(v) => when(cond, v).otherwise(col(c)).as(c)
-        case None    => col(c)
-      }
+             cond: Column, set: Map[String, Column]): DmlStats =
+    rewriteScan(spark, path, hitFilePaths(spark, path, cond)) match {
+      case None => DmlStats(0, 0, 0)
+      case Some((hit, files)) =>
+        val obs = Observation()
+        val observed = hit.observe(obs,
+          sum(when(cond, 1L).otherwise(0L)).as("n"))
+        val cols = hit.columns.map { c =>
+          set.get(c) match {
+            case Some(v) => when(cond, v).otherwise(col(c)).as(c)
+            case None    => col(c)
+          }
+        }
+        swap(spark, path, observed.select(cols.toIndexedSeq: _*), files)
+        DmlStats(files.size, obs.get("n").asInstanceOf[Long], 0)
     }
-    val rewritten = hit.select(cols.toIndexedSeq: _*)
-    val nRewritten = hit.filter(cond).count()
-    swap(spark, path, rewritten, hits)
-    DmlStats(hits.size, nRewritten, 0)
-  }
 
   /** DELETE FROM <path> WHERE <cond>: hit files are rewritten with
-    * the matching rows dropped.
+    * the matching rows dropped. The deleted-row count is observed on
+    * the rewrite job, not recomputed.
     */
-  def delete(spark: SparkSession, path: String, cond: Column): DmlStats = {
-    val hits = hitFiles(spark, path, cond)
-    if (hits.isEmpty) return DmlStats(0, 0, 0)
-    val hit = spark.read.parquet(hits: _*)
-    val kept = hit.filter(!coalesce(cond, lit(false)))
-    val nDeleted = hit.count() - kept.count()
-    swap(spark, path, kept, hits)
-    DmlStats(hits.size, nDeleted, 0)
-  }
+  def delete(spark: SparkSession, path: String, cond: Column): DmlStats =
+    rewriteScan(spark, path, hitFilePaths(spark, path, cond)) match {
+      case None => DmlStats(0, 0, 0)
+      case Some((hit, files)) =>
+        val obs = Observation()
+        val matchedCond = coalesce(cond, lit(false))
+        val observed = hit.observe(obs,
+          sum(when(matchedCond, 1L).otherwise(0L)).as("n"))
+        swap(spark, path, observed.filter(!matchedCond), files)
+        DmlStats(files.size, obs.get("n").asInstanceOf[Long], 0)
+    }
 
   /** MERGE INTO <path> t USING <source> s ON t.<on> = s.<on>
     *   WHEN MATCHED THEN UPDATE SET <set>   (source columns via `s`)
@@ -112,6 +180,49 @@ object Dml {
     * `source` must be unique per key (classic MERGE cardinality rule;
     * enforced here — the reference errors the same way).
     */
+  /** PRIMARY KEY uniqueness audit: every key value held by more than
+    * one row, with its multiplicity. The reference enforces PK via an
+    * ART index probe per insert
+    * (/root/reference/src/execution/index/art/art.cpp); on an
+    * immutable columnar store the equivalent read-side check is one
+    * hash aggregation over the key columns — partial (map-side)
+    * combine means only distinct keys shuffle, so a clean 100 TB
+    * table shuffles exactly its key cardinality.
+    */
+  def pkViolations(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** INSERT INTO <path> with optional PK enforcement — the write-side
+    * half of the reference's constraint checking (physical_insert.cpp
+    * probes the ART index and errors on conflict). With `pk` set, the
+    * batch is rejected (nothing written) if it collides with itself or
+    * with any existing key. The existing-key probe is a key-only semi
+    * join: just the key columns of the table are scanned and only
+    * matching keys survive, no full-row shuffle. The check and the
+    * append are two steps — same single-writer posture as the rest of
+    * this object; a table format's log would make them one commit.
+    */
+  def insert(spark: SparkSession, path: String, rows: DataFrame,
+             pk: Seq[String] = Nil): DmlStats = {
+    if (pk.nonEmpty) {
+      val selfDup = pkViolations(rows, pk).limit(1).count()
+      require(selfDup == 0,
+        s"INSERT batch violates PRIMARY KEY (${pk.mkString(", ")}): duplicate keys within the batch")
+      val existing = spark.read.parquet(path)
+        .select(pk.map(col).toIndexedSeq: _*)
+      val clash = rows.select(pk.map(col).toIndexedSeq: _*)
+        .join(existing, pk, "left_semi").limit(1).count()
+      require(clash == 0,
+        s"INSERT violates PRIMARY KEY (${pk.mkString(", ")}): key already present in table")
+    }
+    val obs = Observation()
+    rows.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append).parquet(path)
+    DmlStats(0, 0, obs.get("n").asInstanceOf[Long])
+  }
+
   def merge(spark: SparkSession, path: String, source: DataFrame,
             on: Seq[String], set: Map[String, Column]): DmlStats = {
     val dupKeys = source.groupBy(on.map(col).toIndexedSeq: _*)
@@ -124,37 +235,50 @@ object Dml {
     // through a join
     val probe = target.select(
       (on.map(col) :+ col("_metadata.file_path").as("__file")).toIndexedSeq: _*)
-    val hits = probe
+    val hitPaths = probe
       .join(source.select(on.map(col).toIndexedSeq: _*).distinct(), on, "left_semi")
       .select(col("__file"))
-      .distinct().collect().map(_.getString(0)).toSeq
+      .distinct()
 
     val targetCols = target.columns.toSeq
-    val inserts =
-      if (hits.isEmpty) source.select(targetCols.map(col).toIndexedSeq: _*)
-      else source.join(spark.read.parquet(hits: _*), on, "left_anti")
-        .select(targetCols.map(col).toIndexedSeq: _*)
-    val nInserts = inserts.count()
+    val obsIns = Observation()
 
-    if (hits.isEmpty) {
-      inserts.write.mode(SaveMode.Append).parquet(path)
-      return DmlStats(0, 0, nInserts)
+    rewriteScan(spark, path, hitPaths) match {
+      case None =>
+        // no key matches anywhere: the whole source inserts
+        val inserts = source.select(targetCols.map(col).toIndexedSeq: _*)
+          .observe(obsIns, count(lit(1)).as("n"))
+        inserts.write.mode(SaveMode.Append).parquet(path)
+        DmlStats(0, 0, obsIns.get("n").asInstanceOf[Long])
+      case Some((hit, files)) =>
+        // A source key absent from every hit file is absent from the
+        // whole table (any file containing it would be a hit), so the
+        // not-matched side anti-joins the hit files only. Both stat
+        // counts are observed on the single swap-write job — no
+        // separate count actions re-scanning source or hit files, so
+        // the reported stats are exactly what was committed.
+        val obsM = Observation()
+        val inserts = source.join(hit, on, "left_anti")
+          .select(targetCols.map(col).toIndexedSeq: _*)
+          .observe(obsIns, count(lit(1)).as("n"))
+        // left join: unmatched rows in a hit file pass through
+        // unchanged; matched rows get `set` applied (source cols
+        // resolve via `source`)
+        val joined = hit
+          .join(source, on.map(c => hit(c) === source(c)).reduce(_ && _), "left")
+        val matched = on.map(c => source(c).isNotNull).reduce(_ && _)
+        val observed = joined.observe(obsM,
+          sum(when(matched, 1L).otherwise(0L)).as("n"))
+        val outCols = targetCols.map { c =>
+          set.get(c) match {
+            case Some(v) => when(matched, v).otherwise(hit(c)).as(c)
+            case None    => hit(c).as(c)
+          }
+        }
+        swap(spark, path, observed.select(outCols.toIndexedSeq: _*).unionByName(inserts), files)
+        DmlStats(files.size,
+          obsM.get("n").asInstanceOf[Long],
+          obsIns.get("n").asInstanceOf[Long])
     }
-
-    val hit = spark.read.parquet(hits: _*)
-    // left join: unmatched rows in a hit file pass through unchanged;
-    // matched rows get `set` applied (source cols resolve via `source`)
-    val joined = hit.join(source, on.map(c => hit(c) === source(c)).reduce(_ && _), "left")
-    val matched = on.map(c => source(c).isNotNull).reduce(_ && _)
-    val outCols = targetCols.map { c =>
-      set.get(c) match {
-        case Some(v) => when(matched, v).otherwise(hit(c)).as(c)
-        case None    => hit(c).as(c)
-      }
-    }
-    val rewritten = joined.select(outCols.toIndexedSeq: _*)
-    val nMatched = hit.join(source, on.map(c => hit(c) === source(c)).reduce(_ && _), "left_semi").count()
-    swap(spark, path, rewritten.unionByName(inserts), hits)
-    DmlStats(hits.size, nMatched, nInserts)
   }
 }

@@ -88,6 +88,77 @@ class DmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("non-selective update takes the full-rewrite path (root scan, no path list)") {
+    val path = seed()
+    // hits all 4 files (> HitFractionGuard): must degrade to the
+    // root-path rewrite and still produce exactly the right rows
+    val stats = Dml.update(spark, path,
+      cond = col("k") <= 90L, set = Map("amt" -> (col("amt") + 1.0)))
+    assert(stats.rowsRewritten == 90, stats.toString)
+    assert(stats.hitFiles == 4, "full rewrite should swap every file")
+    val got = spark.read.parquet(path).as[(Long, String, Double)].collect().toMap2
+    assert(got.size == 100)
+    assert(got(1L) == (("v1", 11.0)))
+    assert(got(100L) == (("v100", 1000.0)))
+  }
+
+  test("non-selective delete full-rewrites and keeps only survivors") {
+    val path = seed()
+    val stats = Dml.delete(spark, path, col("k") <= 95L)
+    assert(stats.rowsRewritten == 95 && stats.hitFiles == 4)
+    val ks = spark.read.parquet(path).select("k").as[Long].collect().toSet
+    assert(ks == (96L to 100L).toSet)
+  }
+
+  test("merge with a wide source takes the full-rewrite path with exact stats") {
+    val path = seed()
+    val source = (1L to 120L).map(k => (k, s"m$k", k * 2.0)).toDF("k", "name", "amt")
+    val stats = Dml.merge(spark, path, source, on = Seq("k"),
+      set = Map("amt" -> source("amt"), "name" -> source("name")))
+    assert(stats.rowsRewritten == 100 && stats.rowsInserted == 20, stats.toString)
+    val got = spark.read.parquet(path).as[(Long, String, Double)].collect().toMap2
+    assert(got.size == 120)
+    assert(got(7L) == (("m7", 14.0)) && got(120L) == (("m120", 240.0)))
+  }
+
+  test("insert with PK appends clean rows and reports the count") {
+    val path = seed()
+    val rows = Seq((101L, "new101", 1.0), (102L, "new102", 2.0)).toDF("k", "name", "amt")
+    val stats = Dml.insert(spark, path, rows, pk = Seq("k"))
+    assert(stats.rowsInserted == 2)
+    assert(spark.read.parquet(path).count() == 102)
+    assert(Dml.pkViolations(spark.read.parquet(path), Seq("k")).count() == 0)
+  }
+
+  test("insert rejects a batch that collides with an existing key; nothing is written") {
+    val path = seed()
+    val rows = Seq((7L, "clash", 0.0), (999L, "fine", 0.0)).toDF("k", "name", "amt")
+    val e = intercept[IllegalArgumentException] {
+      Dml.insert(spark, path, rows, pk = Seq("k"))
+    }
+    assert(e.getMessage.contains("PRIMARY KEY"))
+    assert(spark.read.parquet(path).count() == 100, "rejected insert must write nothing")
+  }
+
+  test("insert rejects a batch with internal duplicate keys") {
+    val path = seed()
+    val rows = Seq((300L, "a", 1.0), (300L, "b", 2.0)).toDF("k", "name", "amt")
+    val e = intercept[IllegalArgumentException] {
+      Dml.insert(spark, path, rows, pk = Seq("k"))
+    }
+    assert(e.getMessage.contains("within the batch"))
+    assert(spark.read.parquet(path).count() == 100)
+  }
+
+  test("insert without PK skips enforcement (plain append)") {
+    val path = seed()
+    val rows = Seq((7L, "dup-ok", 0.0)).toDF("k", "name", "amt")
+    val stats = Dml.insert(spark, path, rows)
+    assert(stats.rowsInserted == 1)
+    assert(Dml.pkViolations(spark.read.parquet(path), Seq("k"))
+      .select("k").as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("update is convergent: re-running the same conditional set is stable shape") {
     val path = seed()
     Dml.update(spark, path, col("k") === 7L, Map("amt" -> lit(1.0)))

@@ -42,6 +42,33 @@ class SessionizeSpec extends AnyFunSuite {
     assert(key(Sessionize.sessionizeBatch(events)) == key(Sessionize.sessionize(events)))
   }
 
+  test("sub-millisecond timestamps sessionize at microsecond precision in both paths") {
+    // two events 250µs apart must share a gap=0ms-adjacent session
+    // boundary decision identically in both paths, and the emitted
+    // bounds must keep their microseconds
+    def ts(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+      t.setNanos((us % 1000000L * 1000L).toInt)
+      t
+    }
+    val base = 1700000000000000L // epoch µs
+    val events = Seq(
+      Sessionize.Event(1L, ts(base)),
+      Sessionize.Event(1L, ts(base + 250)),        // 250µs later
+      Sessionize.Event(1L, ts(base + 3600000000L)) // 1h later → new session
+    ).toDS()
+    def key(s: Dataset[Sessionize.Session]) =
+      s.collect().map(x => (x.user_id,
+        x.start.getTime * 1000 + x.start.getNanos / 1000 % 1000,
+        x.end.getTime * 1000 + x.end.getNanos / 1000 % 1000,
+        x.n_events)).sortBy(identity).toSeq
+    val batch = key(Sessionize.sessionizeBatch(events))
+    assert(batch == key(Sessionize.sessionize(events)))
+    assert(batch.head._3 == base + 250, // µs survived into the session end
+      s"expected µs-precise end, got ${batch.head}")
+    assert(batch.map(_._4) == Seq(2, 1))
+  }
+
   test("session event counts sum to total events per user") {
     val events = Catalog.table(spark, sfDir, "events")
       .select(col("user_id"), col("ts"))
