@@ -116,6 +116,33 @@ object FunctionsQ2 {
         expr("p_size | 64").cast("bigint").as("or_v"),
         expr("CAST(p_size AS BIGINT) ^ 21").cast("bigint").as("xor_v"))
         .orderBy(col("p_partkey"))
+    },
+
+    // F20: CREATE MACRO (the reference's scalar macro surface,
+    // src/parser/parsed_data/create_macro_info.cpp) — Spark 4's SQL
+    // UDFs (CREATE FUNCTION ... RETURN <expr>) are the analog: named,
+    // inlined-at-plan-time SQL expressions. The oracle DEFINES real
+    // DuckDB macros and calls them; the Spark side defines SQL UDFs
+    // with the same bodies — both engines expand to the same
+    // expression tree over part. Macro outputs are integers/strings
+    // (cross-engine exact); one macro calls the other (composition).
+    QDef.sql("f20_macro",
+      """CREATE OR REPLACE MACRO price_band(p) AS CAST(FLOOR(p / 10) AS BIGINT);
+        |CREATE OR REPLACE MACRO banded_label(p, pfx) AS pfx || '_' || CAST(price_band(p) AS VARCHAR);
+        |SELECT price_band(p_retailprice) AS band,
+        |  COUNT(*) AS n,
+        |  MIN(banded_label(p_retailprice, p_brand)) AS min_label
+        |FROM part GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+      Catalog.registerAll(s, dir)
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) " +
+        "RETURNS BIGINT RETURN CAST(FLOOR(p / 10) AS BIGINT)")
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION banded_label(p DOUBLE, pfx STRING) " +
+        "RETURNS STRING RETURN concat(pfx, '_', CAST(price_band(p) AS STRING))")
+      s.sql(
+        """SELECT price_band(p_retailprice) AS band,
+          |  COUNT(*) AS n,
+          |  MIN(banded_label(p_retailprice, p_brand)) AS min_label
+          |FROM part GROUP BY band ORDER BY band""".stripMargin)
     }
   )
 }

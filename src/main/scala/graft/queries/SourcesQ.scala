@@ -137,6 +137,26 @@ object SourcesQ {
         .option("header", "true").csv(path)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .orderBy(col("n_nationkey"))
+    },
+
+    // S9: CSV auto-sniffing (the reference's sniff_csv.cpp /
+    // read_csv auto-detection): a headerless, pipe-delimited file is
+    // read with NO dialect or schema hints — the sniffer must detect
+    // the delimiter, the absence of a header, and per-column types
+    // from a bounded sample. No casts on the Spark side, so the
+    // inferred types (BIGINT, STRING, BIGINT) are load-bearing: a
+    // wrong inference fails the schema/hash compare against the
+    // parquet ground truth.
+    QDef.sql("s09_csv_sniff",
+      """SELECT CAST(n_nationkey AS BIGINT) AS c0, n_name AS c1,
+        | CAST(n_regionkey AS BIGINT) AS c2
+        |FROM nation ORDER BY c0""".stripMargin) { (s, dir) =>
+      val path = tmp("graft_sniff")
+      t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode(SaveMode.Overwrite).option("sep", "|").csv(path)
+      graft.sources.CsvSniffer.read(s, path)
+        .orderBy(col("c0"))
     }
   )
 }
