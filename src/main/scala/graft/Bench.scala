@@ -32,7 +32,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the dedup pipelines' checkpoint-cleanup WARNs
+    // (hundreds of lines) can swamp a log capture that only keeps the
+    // tail — the one JSON line below must stay findable.
+    spark.sparkContext.setLogLevel("ERROR")
 
     val names =
       if (sys.env.get("BENCH_ALL").contains("1")) SparkEntry.queries.keys.toSeq.sorted
@@ -60,7 +63,13 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up (unmeasured)
-      System.gc() // drain the previous query's garbage before timing
+      // Drain the previous query's garbage before timing. One gc()
+      // is not enough after the multi-GB pipelines: the async context
+      // cleaner is still unreferencing broadcast/shuffle state while
+      // the next query runs (d01 measured 1.7 s mid-suite vs 0.65 s
+      // in a clean JVM). gc → settle → gc lets the cleaner's backlog
+      // become collectable and collects it.
+      System.gc(); Thread.sleep(300); System.gc()
       val t = math.min(once(), once())
       (name, t, ok)
     }
@@ -69,7 +78,7 @@ object Bench {
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    spark.stop() // stop FIRST so shutdown logging cannot bury the JSON line
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }

@@ -66,11 +66,20 @@ object Tpch {
          |GROUP BY l_orderkey, o_orderdate
          |ORDER BY revenue DESC, l_orderkey
          |LIMIT 10""".stripMargin) { (s, dir) =>
+      // NOT eager-aggregated (unlike q10): the customer-segment ∧
+      // order-date filters cut the joined rows 7.7× below the filtered
+      // lineitem count, so aggregating lineitem by orderkey before the
+      // join (measured: a wash at sf10) would burn hash-agg work on
+      // rows the join is about to drop. Post-join groupBy input is
+      // already the small side here.
       t(s, dir, "customer").filter(col("c_mktsegment") === "MACHINERY")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-        .filter(col("o_orderdate") < ts("1997-06-01"))
-        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > ts("1997-06-01"))
+        .select(col("c_custkey"))
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < ts("1997-06-01"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1997-06-01"))
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), to_date(col("o_orderdate")).as("order_date"))
@@ -152,14 +161,22 @@ object Tpch {
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
          |ORDER BY revenue DESC, c_custkey
          |LIMIT 20""".stripMargin) { (s, dir) =>
-      t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      // Eager aggregation: every group key is 1:1 with c_custkey, so
+      // revenue pre-aggregates by o_custkey right after the fact-fact
+      // join — customer's wide columns (name, acctbal, nation) never
+      // ride a fact shuffle; they join onto the ~|customers with
+      // returns| aggregated rows at the end. At 100 TB this removes
+      // the entire customer table from both fact exchanges.
+      val rev = t(s, dir, "orders")
         .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-07-01"))
-        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .groupBy(col("o_custkey"))
         .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      rev.join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
@@ -174,15 +191,21 @@ object Tpch {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
-      t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+      // The join needs ONE bit of orders: priority ∈ {URGENT, HIGH}.
+      // Compute it BEFORE the orderkey exchange so the shuffle carries
+      // (long, boolean) rows instead of (long, string) — the string
+      // column never leaves the scan stage.
+      val ordHigh = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("__high"))
+      ordHigh
+        .join(t(s, dir, "lineitem")
+            .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+            .select(col("l_orderkey"), col("l_linestatus")),
+          col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_linestatus"))
         .agg(
-          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
-            .cast("bigint").as("high_line_count"),
-          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
-            .cast("bigint").as("low_line_count"))
+          sum(when(col("__high"), 1).otherwise(0)).cast("bigint").as("high_line_count"),
+          sum(when(!col("__high"), 1).otherwise(0)).cast("bigint").as("low_line_count"))
         .orderBy(col("l_linestatus"))
     },
 

@@ -65,6 +65,30 @@ object Probe {
           time(s"r$round verify(full)")(noop(full))
         }
         spark.stop(); return
+      case "st02stages" :: _ =>
+        // stage-by-stage wall-clock of the sessionize window plan
+        import org.apache.spark.sql.expressions.Window
+        val ev = graft.sources.Catalog.table(spark, sfDir, "events")
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        (1 to 2).foreach { round =>
+          val base = ev.select(col("user_id"), unix_micros(col("ts")).as("ms"))
+          time(s"r$round scan+project")(noop(base))
+          time(s"r$round +repart")(noop(base.repartition(col("user_id"))))
+          time(s"r$round +sort")(noop(
+            base.repartition(col("user_id")).sortWithinPartitions("user_id", "ms")))
+          val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+          val lagged = base.withColumn("prev", lag(col("ms"), 1).over(w))
+            .withColumn("new_sess",
+              when(col("prev").isNull || col("ms") - col("prev") > 30L * 60 * 1000000, 1L)
+                .otherwise(0L))
+          time(s"r$round +window(lag)")(noop(lagged))
+          time(s"r$round full(agg+order)")(noop(
+            lagged.groupBy(col("user_id"))
+              .agg(sum(col("new_sess")).cast("bigint").as("n_sessions"))
+              .orderBy(col("user_id"))))
+        }
+        spark.stop(); return
       case "q1b" :: _ =>
         val li = graft.sources.Catalog.table(spark, sfDir, "lineitem")
         def noop(df: org.apache.spark.sql.DataFrame): Unit =
