@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.WindowExclude
+import graft.operators.WindowExclude._
+import graft.sources.Catalog
+
+/** Round-4 window surface: frame EXCLUDE and the named WINDOW clause —
+  * the last stock-DuckDB window features with no Spark counterpart
+  * (SURVEY §2; reference: src/execution/window_segment_tree.cpp's
+  * exclusion handling, src/parser/transform/helpers/transform_sample.cpp
+  * siblings for WINDOW clause binding).
+  *
+  * Values aggregate as fixed-point BIGINT units (floor(value·100+0.5))
+  * so every window sum is exact and order-independent — the engines
+  * must agree bit-for-bit, no float drift. Oracles CAST SUM back to
+  * BIGINT because DuckDB widens BIGINT sums to HUGEINT.
+  */
+object RelationalF {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  val defs: Seq[QDef] = Seq(
+
+    // R55: frame EXCLUDE (CURRENT ROW / GROUP / TIES). Two frame
+    // shapes: a full-partition RANGE frame ordered by a deliberately
+    // tied key (hour bucket — peer groups are real), and a bounded
+    // ROWS frame with a unique tie-breaker (required for ANY
+    // deterministic bounded-ROWS result). One window pass per
+    // (partition, order) spec — the exclusion rewrites add
+    // expressions, not exchanges.
+    QDef.sql("q55_window_exclude",
+      """SELECT user_id, event_id,
+        | CAST(SUM(v) OVER (wf RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS sx_cur,
+        | CAST(SUM(v) OVER (wf RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS BIGINT) AS sx_grp,
+        | CAST(SUM(v) OVER (wf RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS BIGINT) AS sx_ties,
+        | CAST(COUNT(v) OVER (wf RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS BIGINT) AS cx_grp,
+        | CAST(SUM(v) OVER (wr ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS sr_cur,
+        | CAST(MIN(v) OVER (wr ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS mn_cur
+        |FROM (SELECT user_id, event_id,
+        |        CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v,
+        |        date_trunc('hour', ts) AS hb
+        |      FROM events)
+        |WINDOW
+        | wf AS (PARTITION BY user_id ORDER BY hb),
+        | wr AS (PARTITION BY user_id ORDER BY hb, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"),
+        date_trunc("hour", col("ts")).as("hb"))
+      val part = Seq(col("user_id"))
+      val ordFull = Seq(col("hb"))
+      val ordRows = Seq(col("hb"), col("event_id"))
+      val wf = Window.partitionBy(part: _*).orderBy(ordFull: _*)
+        .rangeBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wr = Window.partitionBy(part: _*).orderBy(ordRows: _*)
+        .rowsBetween(-3, 3)
+      val v = col("v")
+      ev.select(col("user_id"), col("event_id"),
+          sumExclude(v, wf, part, ordFull, ExcludeCurrentRow).as("sx_cur"),
+          sumExclude(v, wf, part, ordFull, ExcludeGroup).as("sx_grp"),
+          sumExclude(v, wf, part, ordFull, ExcludeTies).as("sx_ties"),
+          countExclude(v, wf, part, ordFull, ExcludeGroup).as("cx_grp"),
+          sumExclude(v, wr, part, ordRows, ExcludeCurrentRow).as("sr_cur"),
+          WindowExclude.minExcludeCurrentRow(v, part, ordRows, 3, 3).as("mn_cur"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // R56: named WINDOW clause — one definition, many consumers, in
+    // pure SQL via the engine's SQL front door (Spark's parser binds
+    // OVER w references; same Catalyst plan as the DataFrame API, so
+    // both named windows still collapse into at most two sorted
+    // passes). Oracle is the IDENTICAL SQL text in DuckDB.
+    QDef.sql("q56_named_window",
+      """SELECT user_id, event_id,
+        | RANK() OVER w AS rnk,
+        | CAST(SUM(v) OVER w AS BIGINT) AS run_sum,
+        | CAST(COUNT(*) OVER w_all AS BIGINT) AS n_part,
+        | CAST(MAX(v) OVER w_all AS BIGINT) AS max_part
+        |FROM (SELECT user_id, event_id,
+        |        CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+        |       w_all AS (PARTITION BY user_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      Catalog.registerAll(s, dir)
+      s.sql(
+        """SELECT user_id, event_id,
+          | RANK() OVER w AS rnk,
+          | CAST(SUM(v) OVER w AS BIGINT) AS run_sum,
+          | CAST(COUNT(*) OVER w_all AS BIGINT) AS n_part,
+          | CAST(MAX(v) OVER w_all AS BIGINT) AS max_part
+          |FROM (SELECT user_id, event_id,
+          |        CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v
+          |      FROM events)
+          |WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+          |       w_all AS (PARTITION BY user_id)
+          |ORDER BY user_id, event_id""".stripMargin)
+    }
+  )
+}

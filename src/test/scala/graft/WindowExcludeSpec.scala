@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.WindowExclude
+import graft.operators.WindowExclude._
+
+/** Hand-computed SQL:2011 frame-exclusion semantics on a fixture with
+  * real peer groups (two rows tie on the order key) — the exact cases
+  * the algebraic rewrites must get right: ties, NULL-on-empty frames,
+  * and single-row partitions.
+  */
+class WindowExcludeSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  // (id, g, o, x): g=1 holds 4 rows, o=2 is a 2-row peer group;
+  // g=2 is a single-row partition (empty-after-exclusion cases).
+  private lazy val df = Seq(
+    (1L, 1, 1, 10L), (2L, 1, 2, 20L), (3L, 1, 2, 30L),
+    (4L, 1, 3, 40L), (5L, 2, 1, 5L)
+  ).toDF("id", "g", "o", "x")
+
+  private val part = Seq(col("g"))
+  private val ordFull = Seq(col("o"))
+  private val ordRows = Seq(col("o"), col("id"))
+
+  private def wf = Window.partitionBy(col("g")).orderBy(col("o"))
+    .rangeBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+  private def wr = Window.partitionBy(col("g")).orderBy(col("o"), col("id"))
+    .rowsBetween(-1, 1)
+
+  private def collect(c: org.apache.spark.sql.Column): Seq[Option[Long]] =
+    df.select(col("id"), c.cast("long").as("r")).orderBy(col("id"))
+      .as[(Long, Option[Long])].collect().toSeq.map(_._2)
+
+  test("SUM over full partition EXCLUDE CURRENT ROW (NULL on single-row partition)") {
+    assert(collect(sumExclude(col("x"), wf, part, ordFull, ExcludeCurrentRow)) ==
+      Seq(Some(90L), Some(80L), Some(70L), Some(60L), None))
+  }
+
+  test("SUM over full partition EXCLUDE GROUP removes the whole peer group") {
+    assert(collect(sumExclude(col("x"), wf, part, ordFull, ExcludeGroup)) ==
+      Seq(Some(90L), Some(50L), Some(50L), Some(60L), None))
+  }
+
+  test("SUM over full partition EXCLUDE TIES keeps the current row, drops its peers") {
+    assert(collect(sumExclude(col("x"), wf, part, ordFull, ExcludeTies)) ==
+      Seq(Some(100L), Some(70L), Some(80L), Some(100L), Some(5L)))
+  }
+
+  test("COUNT EXCLUDE GROUP") {
+    assert(collect(countExclude(col("x"), wf, part, ordFull, ExcludeGroup)) ==
+      Seq(Some(3L), Some(2L), Some(2L), Some(3L), Some(0L)))
+  }
+
+  test("SUM over bounded ROWS frame EXCLUDE CURRENT ROW") {
+    assert(collect(sumExclude(col("x"), wr, part, ordRows, ExcludeCurrentRow)) ==
+      Seq(Some(20L), Some(40L), Some(60L), Some(30L), None))
+  }
+
+  test("MIN over bounded ROWS frame EXCLUDE CURRENT ROW via frame split") {
+    assert(collect(
+      WindowExclude.minExcludeCurrentRow(col("x"), part, ordRows, 1, 1)) ==
+      Seq(Some(20L), Some(10L), Some(20L), Some(30L), None))
+  }
+
+  test("MAX over bounded ROWS frame EXCLUDE CURRENT ROW via frame split") {
+    assert(collect(
+      WindowExclude.maxExcludeCurrentRow(col("x"), part, ordRows, 1, 1)) ==
+      Seq(Some(20L), Some(30L), Some(40L), Some(30L), None))
+  }
+
+  test("AVG EXCLUDE GROUP (exact rational over the fixture)") {
+    assert(collect(avgExclude(col("x"), wf, part, ordFull, ExcludeGroup)) ==
+      Seq(Some(30L), Some(25L), Some(25L), Some(20L), None))
+  }
+
+  test("NULL inputs neither count nor break the subtraction") {
+    val withNull = Seq(
+      (1L, 1, 1, Some(10L)), (2L, 1, 2, None), (3L, 1, 3, Some(30L))
+    ).toDF("id", "g", "o", "x")
+    val r = withNull.select(col("id"),
+        sumExclude(col("x"), wf, part, ordFull, ExcludeCurrentRow).cast("long").as("r"))
+      .orderBy(col("id")).as[(Long, Option[Long])].collect().toSeq.map(_._2)
+    // excluding the NULL row leaves {10, 30}; excluding a value row
+    // leaves the other value (the NULL contributes nothing)
+    assert(r == Seq(Some(30L), Some(40L), Some(10L)))
+  }
+}
