@@ -100,6 +100,31 @@ object RelationalF {
           |WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
           |       w_all AS (PARTITION BY user_id)
           |ORDER BY user_id, event_id""".stripMargin)
+    },
+
+    // R58: UNION BY NAME — schema-aligned union with column
+    // reordering and missing-column NULL fill (the reference's
+    // UNION ALL BY NAME, set_operation_node.cpp). Spark side is
+    // unionByName(allowMissingColumns = true); the aggregate on top
+    // proves both the alignment (amt sums across both branches) and
+    // the NULL fill (seg exists only in the customer branch).
+    QDef.sql("q57_union_by_name",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(amt AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | CAST(SUM(CASE WHEN seg IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_seg
+        |FROM (SELECT o_orderkey AS id, o_totalprice AS amt FROM orders
+        |      UNION ALL BY NAME
+        |      SELECT c_acctbal AS amt, c_custkey AS id, c_mktsegment AS seg
+        |      FROM customer)""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_totalprice").as("amt"))
+      val b = t(s, dir, "customer")
+        .select(col("c_acctbal").as("amt"), col("c_custkey").as("id"),
+          col("c_mktsegment").as("seg"))
+      a.unionByName(b, allowMissingColumns = true)
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.dsum(col("amt")).as("total"),
+          sum(when(col("seg").isNull, 0).otherwise(1)).cast("bigint").as("n_seg"))
     }
   )
 }

@@ -157,6 +157,52 @@ object SourcesQ {
         .write.mode(SaveMode.Overwrite).option("sep", "|").csv(path)
       graft.sources.CsvSniffer.read(s, path)
         .orderBy(col("c0"))
+    },
+
+    // S11: SUMMARIZE — one-pass table profiling (bind_summarize.cpp
+    // rewrites SUMMARIZE into a single wide aggregation; same shape
+    // here: one scan regardless of width). The oracle spells out the
+    // identical stats per column; n_distinct is exact on both sides
+    // (the reference uses approx_unique — the approx variant is
+    // spec-covered instead, SummarizeSpec).
+    QDef.sql("s10_summarize", {
+      def numCol(c: String, intAvg: Boolean) = {
+        val avg =
+          if (intAvg) s"CAST(SUM($c) AS DOUBLE)/COUNT($c)"
+          else s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE)/COUNT($c)"
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           | COUNT(*) - COUNT($c) AS n_null,
+           | COUNT(DISTINCT $c) AS n_distinct,
+           | CAST(MIN($c) AS DOUBLE) AS min_num,
+           | CAST(MAX($c) AS DOUBLE) AS max_num,
+           | $avg AS avg_num,
+           | CAST(NULL AS VARCHAR) AS min_str,
+           | CAST(NULL AS VARCHAR) AS max_str FROM events""".stripMargin
+      }
+      def tsCol(c: String) =
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           | COUNT(*) - COUNT($c) AS n_null,
+           | COUNT(DISTINCT $c) AS n_distinct,
+           | CAST(MIN(epoch_us($c)) AS DOUBLE) AS min_num,
+           | CAST(MAX(epoch_us($c)) AS DOUBLE) AS max_num,
+           | CAST(NULL AS DOUBLE) AS avg_num,
+           | CAST(NULL AS VARCHAR) AS min_str,
+           | CAST(NULL AS VARCHAR) AS max_str FROM events""".stripMargin
+      def strCol(c: String) =
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           | COUNT(*) - COUNT($c) AS n_null,
+           | COUNT(DISTINCT $c) AS n_distinct,
+           | CAST(NULL AS DOUBLE) AS min_num,
+           | CAST(NULL AS DOUBLE) AS max_num,
+           | CAST(NULL AS DOUBLE) AS avg_num,
+           | MIN($c) AS min_str,
+           | MAX($c) AS max_str FROM events""".stripMargin
+      Seq(numCol("event_id", intAvg = true), tsCol("ts"),
+        numCol("user_id", intAvg = true), strCol("event_type"),
+        numCol("value", intAvg = false), strCol("props"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    }) { (s, dir) =>
+      graft.operators.Summarize.summarize(t(s, dir, "events"))
     }
   )
 }
