@@ -79,6 +79,18 @@ object Exact {
     sum(when(cond, units(price, 2) * (lit(100L) - units(discount, 2))))
       .cast(DoubleType) / 1e4
 
+  /** Per-row revenue term in scale-4 long units — for computing the
+    * product BEFORE a shuffle so the exchange carries one int64
+    * instead of two doubles (and the multiply runs map-side).
+    * `sum(revenueUnits(...))` then finishes with [[sumFromUnits]];
+    * the total is bit-identical to [[sumRevenue]].
+    */
+  def revenueUnits(price: Column, discount: Column): Column =
+    units(price, 2) * (lit(100L) - units(discount, 2))
+
+  /** Final conversion of a pre-shuffled scale-4 unit sum. */
+  def sumFromUnits(c: Column): Column = sum(c).cast(DoubleType) / 1e4
+
   /** Σ price·(1-disc)·(1+tax) as scale-6 long units (one int64 sum).
     * Headroom shrinks to ~5e7 rows of max-value terms — beyond that
     * (true 100 TB fact tables) use the decimal [[charge]] path; the

