@@ -59,7 +59,9 @@ object ScaleSmoke {
       "q07_groupjoin", "q31_asof_join", "d01_dedup_exact",
       "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
       "d07_dedup_star_clusters", "s03_ann_ivf", "s04_ann_ivf_index",
-      "t04_fingerprint", "t05_pii_redact", "st02_sessionize")
+      "t04_fingerprint", "t05_pii_redact", "st02_sessionize",
+      "q55_window_exclude", "s10_summarize", "t02_quality_score",
+      "t03_token_count")
 
     def run(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
