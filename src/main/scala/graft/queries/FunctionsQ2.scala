@@ -143,6 +143,59 @@ object FunctionsQ2 {
           |  COUNT(*) AS n,
           |  MIN(banded_label(p_retailprice, p_brand)) AS min_label
           |FROM part GROUP BY band ORDER BY band""".stripMargin)
+    },
+
+    // F21: star modifiers — SELECT * EXCLUDE/EXCEPT (drop columns in
+    // the projection, reference: star_expression.cpp's exclude_list).
+    // Spark spells it EXCEPT; DuckDB spells it EXCLUDE; identical
+    // semantics (remaining columns keep table order).
+    QDef.sql("f21_star_exclude",
+      """SELECT * EXCLUDE (n_comment_like) FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey,
+        |         n_name || '!' AS n_comment_like
+        |  FROM nation) ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      Catalog.registerAll(s, dir)
+      s.sql(
+        """SELECT * EXCEPT (n_comment_like) FROM (
+          |  SELECT n_nationkey, n_name, n_regionkey,
+          |         n_name || '!' AS n_comment_like
+          |  FROM nation) ORDER BY n_nationkey""".stripMargin)
+    },
+
+    // F22: GROUP BY ALL + ORDER BY ALL — the convenience grouping the
+    // reference popularized (bind_select_node's ALL expansion):
+    // non-aggregated select items become the grouping keys. Identical
+    // SQL text runs on both engines.
+    {
+      val q =
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders
+          |GROUP BY ALL
+          |ORDER BY ALL""".stripMargin
+      QDef.sql("f22_group_by_all", q) { (s, dir) =>
+        Catalog.registerAll(s, dir)
+        s.sql(q)
+      }
+    },
+
+    // F23: time_bucket — fixed-width tumbling buckets. Spark's native
+    // window(ts, width) aligns to the epoch; DuckDB's time_bucket
+    // aligns sub-month widths to 2000-01-03, which lands on the same
+    // grid for widths dividing 86400 s (946857600 % width == 0 for
+    // 15-minute buckets) — the alignment identity the oracle relies
+    // on. The bucket aggregation itself is the st01 shape at finer
+    // grain.
+    QDef.sql("f23_time_bucket",
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY bucket_start ORDER BY bucket_start""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "15 minutes").getField("start").as("bucket_start"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .orderBy(col("bucket_start"))
     }
   )
 }

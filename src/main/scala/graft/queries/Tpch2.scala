@@ -241,6 +241,58 @@ object Tpch2 {
           |GROUP BY cntrycode
           |ORDER BY cntrycode""".stripMargin
       QDef.sql("tpch_q22", q)((s, dir) => viaSql(s, dir, q))
+    },
+
+    // Q14: promo revenue share. The conditional and total revenue sums
+    // ride ONE scan/aggregate (sumRevenueWhere / sumRevenue share the
+    // exchange); part is broadcast. The percentage divides two doubles
+    // both derived from exact int64 unit sums — engine-identical.
+    QDef.sql("tpch_q14",
+      s"""SELECT CAST(100.00 * SUM(CASE WHEN p_type = 'PROMO' THEN $revSql END)
+         |         / SUM($revSql) AS DOUBLE) AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+         |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1997-03-01") && col("l_shipdate") < ts("1997-04-01"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(((sumRevenueWhere(col("p_type") === "PROMO",
+              col("l_extendedprice"), col("l_discount")) * 100.0)
+            / sumRevenue(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("promo_revenue"))
+    },
+
+    // Q17 (adapted: p_container does not exist → p_brand + p_size
+    // select the part group): small-quantity-order revenue. The
+    // correlated per-part average becomes a groupBy + broadcast join
+    // (the filtered part set is tiny, so the per-part thresholds
+    // broadcast; lineitem is scanned once for the averages and once
+    // for the probe — the classic decorrelation Spark's optimizer
+    // would produce for the subquery form).
+    QDef.sql("tpch_q17",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_size = 5
+        |  AND l_quantity < (
+        |    SELECT 0.2 * AVG(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin) { (s, dir) =>
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_size") === 5)
+        .select(col("p_partkey"))
+      val li = t(s, dir, "lineitem")
+      // per-part threshold over ONLY the selected parts: semi-filter
+      // first so the average aggregates a tiny slice, then broadcast
+      val thresholds = li
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg((avg(col("l_quantity").cast("decimal(18,2)")) * 0.2).as("__thr"))
+        .select(col("l_partkey").as("__pk"), col("__thr"))
+      li.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(thresholds), col("l_partkey") === col("__pk"))
+        .filter(col("l_quantity") < col("__thr"))
+        .agg((dsum(col("l_extendedprice")) / 7.0).cast("double").as("avg_yearly"))
     }
   )
 }
