@@ -159,6 +159,31 @@ object SourcesQ {
         .orderBy(col("c0"))
     },
 
+    // S12: JSON schema auto-inference — the read_json_auto counterpart
+    // of s09's CSV sniffing (reference extension/json/json_functions/
+    // read_json.cpp auto-detection). NO schema hint on the Spark read:
+    // the inferred types (BIGINT, STRING, nested STRUCT) are
+    // load-bearing — the untyped read must reconstruct typed values
+    // that hash-match the parquet ground truth, including a nested
+    // object round-tripped through JSON text.
+    QDef.sql("s11_json_auto",
+      """SELECT n_nationkey AS k, n_name AS name,
+        | n_regionkey + 100 AS shifted,
+        | 'r' || CAST(n_regionkey AS VARCHAR) AS tag
+        |FROM nation ORDER BY k""".stripMargin) { (s, dir) =>
+      val path = tmp("graft_jauto")
+      t(s, dir, "nation")
+        .select(col("n_nationkey").as("k"), col("n_name").as("name"),
+          struct((col("n_regionkey") + 100).as("shifted"),
+            concat(lit("r"), col("n_regionkey").cast("string")).as("tag"))
+            .as("meta"))
+        .write.mode(SaveMode.Overwrite).json(path)
+      s.read.json(path) // schema inferred, nested struct included
+        .select(col("k"), col("name"),
+          col("meta.shifted").as("shifted"), col("meta.tag").as("tag"))
+        .orderBy(col("k"))
+    },
+
     // S11: SUMMARIZE — one-pass table profiling (bind_summarize.cpp
     // rewrites SUMMARIZE into a single wide aggregation; same shape
     // here: one scan regardless of width). The oracle spells out the
