@@ -179,6 +179,23 @@ object FunctionsQ2 {
       }
     },
 
+    // F24: interpolated quantiles — quantile_cont ≡ Spark percentile
+    // (both: linear interpolation at rank p·(n-1) over the sorted
+    // group). Identical inputs → identical IEEE interpolation; the
+    // array-valued result round-trips through the hash compare.
+    QDef.sql("f24_quantiles",
+      """SELECT o_orderstatus,
+        | quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS qs,
+        | CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS med_disc
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").as("qs"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+            .cast("double").as("med_disc"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // F23: time_bucket — fixed-width tumbling buckets. Spark's native
     // window(ts, width) aligns to the epoch; DuckDB's time_bucket
     // aligns sub-month widths to 2000-01-03, which lands on the same

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -63,6 +65,17 @@ class StreamJoinSpec extends AnyFunSuite {
     events.repartitionByRange(30, col("ts"))
       .sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(dir)
+    // FileStreamSource replays in MODIFICATION-TIME order; parallel
+    // part writes can land mtimes out of range order, which would
+    // re-introduce late-data drops. Pin ascending mtimes so replay
+    // order == event-time order (part file names are range-ordered).
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+      }
     val schema = events.schema
 
     def clicks(df: org.apache.spark.sql.DataFrame) = df
