@@ -128,6 +128,26 @@ object DmlQ {
         .unionAll(o.filter(col("o_orderkey") % 997 === 0))
       Dml.pkViolations(planted, Seq("o_orderkey"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // U5: COMPACT (OPTIMIZE/CHECKPOINT analog) — an UPDATE fragments
+    // the table into extra part files; compaction rewrites them into
+    // few large files with IDENTICAL data. The oracle aggregates what
+    // the data must still be; the file-count collapse itself is
+    // asserted in DmlSpec.
+    QDef.sql("u05_compact",
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         | ${Exact.dsumSql("CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice + 1.0 ELSE o_totalprice END")} AS total
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val path = seed(s, dir, "orders", "o_orderkey", "graft_cpt")
+      Dml.update(s, path,
+        cond = col("o_orderpriority") === "5-LOW",
+        set = Map("o_totalprice" -> (col("o_totalprice") + 1.0)))
+      Dml.compact(s, path, targetBytes = 64L * 1024 * 1024)
+      s.read.parquet(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 }

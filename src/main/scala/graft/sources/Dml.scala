@@ -223,6 +223,39 @@ object Dml {
     DmlStats(0, 0, obs.get("n").asInstanceOf[Long])
   }
 
+  /** Small-files compaction — the OPTIMIZE/CHECKPOINT counterpart of
+    * this copy-on-write DML layer (the reference reclaims space via
+    * CHECKPOINT/VACUUM, duck_transaction_manager.cpp's checkpoint
+    * path; Delta calls it OPTIMIZE). Repeated UPDATE/MERGE/INSERT
+    * appends accumulate small part files; this rewrites the table into
+    * ⌈bytes/targetBytes⌉ files using the same write-before-delete swap
+    * as every other operation here. The rewrite scan pins the ORIGINAL
+    * file list at plan time, so appending the compacted files to the
+    * same directory never feeds the scan its own output. No-op when
+    * the table already meets the target file count.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): DmlStats = {
+    val hfs = fs(spark, path)
+    val it = hfs.listFiles(new Path(path), true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        files += ((st.getPath.toString, st.getLen))
+    }
+    val totalBytes = files.map(_._2).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    if (files.size <= nOut) return DmlStats(0, 0, 0)
+    val obs = Observation()
+    val compacted = spark.read.parquet(files.map(_._1).toSeq: _*)
+      .observe(obs, count(lit(1)).as("n"))
+      .repartition(nOut)
+    swap(spark, path, compacted, files.map(_._1).toSeq)
+    DmlStats(files.size.toLong, obs.get("n").asInstanceOf[Long], 0)
+  }
+
   def merge(spark: SparkSession, path: String, source: DataFrame,
             on: Seq[String], set: Map[String, Column]): DmlStats = {
     val dupKeys = source.groupBy(on.map(col).toIndexedSeq: _*)

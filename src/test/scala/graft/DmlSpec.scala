@@ -168,6 +168,29 @@ class DmlSpec extends AnyFunSuite {
     assert(got == Seq(1.0))
   }
 
+  test("compact collapses small files into the target count, data identical") {
+    val path = seed() // 4 files
+    // fragment further: two updates append rewritten part files
+    Dml.update(spark, path, cond = col("k") === 7L,
+      set = Map("amt" -> (col("amt") + 1.0)))
+    Dml.update(spark, path, cond = col("k") === 8L,
+      set = Map("amt" -> (col("amt") + 1.0)))
+    val before = spark.read.parquet(path)
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(files(path).size > 1)
+
+    val stats = Dml.compact(spark, path, targetBytes = 1L << 30)
+    assert(files(path).size == 1, s"expected 1 file, got ${files(path)}")
+    assert(stats.rowsRewritten == 100)
+    val after = spark.read.parquet(path)
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(after == before, "compaction changed the data")
+
+    // second compact is a no-op: target already met
+    assert(Dml.compact(spark, path, targetBytes = 1L << 30)
+      == Dml.DmlStats(0, 0, 0))
+  }
+
   private implicit class Tup3Ops(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map(r => r._1 -> ((r._2, r._3))).toMap
