@@ -78,6 +78,19 @@ class WindowExcludeSpec extends AnyFunSuite {
       Seq(Some(30L), Some(25L), Some(25L), Some(20L), None))
   }
 
+  test("all exclusion variants over one (partition, order) spec plan as ONE Window operator") {
+    // the scaladoc's scale claim: the rewrites add expressions, not
+    // passes — q55's full-frame variants must share a single sort
+    val projected = df.select(col("id"),
+      sumExclude(col("x"), wf, part, ordFull, ExcludeCurrentRow).as("a"),
+      sumExclude(col("x"), wf, part, ordFull, ExcludeGroup).as("b"),
+      sumExclude(col("x"), wf, part, ordFull, ExcludeTies).as("c"),
+      countExclude(col("x"), wf, part, ordFull, ExcludeGroup).as("d"))
+    val plan = org.apache.spark.sql.GraftBridge.explainString(projected)
+    val windows = "(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(plan).size
+    assert(windows == 1, s"expected one Window operator, got $windows:\n$plan")
+  }
+
   test("NULL inputs neither count nor break the subtraction") {
     val withNull = Seq(
       (1L, 1, 1, Some(10L)), (2L, 1, 2, None), (3L, 1, 3, Some(30L))
