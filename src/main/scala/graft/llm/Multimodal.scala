@@ -198,6 +198,33 @@ object Multimodal {
     }
   }
 
+  /** Image resize to a fixed (w, h) — the normalize-before-training
+    * step of a vision pipeline. Decode → bilinear-ish scale (AWT
+    * SCALE_AREA_AVERAGING is deterministic for a given input) →
+    * re-encode PNG. Pure per-row projection over partitions: no
+    * shuffle, codec state initialized once per partition, output stays
+    * an opaque binary column with typed (w, h) metadata — the same
+    * contract the other media ops keep.
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { row =>
+        val img = ImageIO.read(new ByteArrayInputStream(row.media))
+        val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(
+          img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING),
+          0, 0, null)
+        finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        MediaRow(row.doc_id, row.kind, bos.toByteArray, w, h)
+      }
+    }
+  }
+
   /** Frame sampling: explode each video into every `every`-th decoded
     * frame with per-frame brightness — frames stay data-parallel for
     * downstream per-frame models.

@@ -307,6 +307,18 @@ object Pipeline {
           Multimodal.mediaFrame(s, t(s, dir, "documents")), every = 2)
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // L-M3: image resize normalization (decode → area-average scale →
+    // re-encode) — per-row projection, no shuffle; correctness
+    // (target shape + content preservation) in MultimodalSpec.
+    QDef.rowsOnly("m03_resize") { (s, dir) =>
+      Multimodal.resizeImages(
+          Multimodal.mediaFrame(s, t(s, dir, "documents")), w = 16, h = 12)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          length(col("media")).as("n_bytes"))
+        .orderBy(col("doc_id"))
     }
   )
 }

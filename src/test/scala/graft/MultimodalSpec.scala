@@ -44,6 +44,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize normalizes every image to the target shape, content preserved") {
+    val docs = graft.sources.Catalog.table(spark, sfDir, "documents")
+    val media = Multimodal.mediaFrame(spark, docs)
+    val resized = Multimodal.resizeImages(media, w = 16, h = 12)
+    // re-extract features from the RESIZED frame: the decode must see
+    // exactly 16×12 RGB, and area-averaging preserves mean luminance
+    val feats = Multimodal.extractFeatures(resized).toDF()
+      .select("doc_id", "width", "height", "mean_signal").collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      assert(r.getInt(1) == 16 && r.getInt(2) == 12, s"shape of ${r.getLong(0)}")
+      assert(r.getDouble(3) > 90 && r.getDouble(3) < 165,
+        s"resize destroyed content: lum ${r.getDouble(3)}")
+    }
+    assert(feats.length ==
+      media.filter(_.kind == "image").count(), "resize dropped images")
+  }
+
   test("audio RMS sits in the synth sine's envelope") {
     val docs = graft.sources.Catalog.table(spark, sfDir, "documents")
     val rms = Multimodal.extractFeatures(Multimodal.mediaFrame(spark, docs))
