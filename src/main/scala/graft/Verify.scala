@@ -10,6 +10,11 @@ object Verify {
     // optional: names after outDir restrict the dump (local iteration);
     // oracle_sql.json is filtered to match so check.py stays 1:1
     val only = args.drop(2).toSet
+    // fail fast on typo'd names — a silently-empty dump looks like a
+    // successful run to check.py
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -27,14 +27,16 @@ import org.apache.spark.sql.functions._
   * handled by tracking the non-null COUNT of the exclusion alongside
   * its SUM.
   *
-  * Preconditions (documented, not checked): the frame must contain the
-  * current row, and for GROUP/TIES the frame must contain the current
-  * row's ENTIRE peer group — automatic for full-partition and RANGE
-  * frames (a RANGE bound can't split a peer group); for bounded ROWS
-  * frames with duplicate order keys the caller must order by a
-  * tie-breaking key (which also makes the ROWS frame itself
-  * deterministic — without that, bounded-ROWS results are
-  * order-dependent in ANY engine, exclusion or not).
+  * Preconditions are ENFORCED at call time, not just documented: the
+  * helpers take a [[Frame]] descriptor (never a raw WindowSpec) and
+  * build the spec themselves, so a frame that doesn't contain the
+  * current row, or a GROUP/TIES exclusion over a bounded ROWS frame
+  * (which can split the current row's peer group), is rejected with
+  * IllegalArgumentException instead of silently computing the wrong
+  * answer. For bounded ROWS frames with duplicate order keys the
+  * caller must still order by a tie-breaking key (which also makes
+  * the ROWS frame itself deterministic — without that, bounded-ROWS
+  * results are order-dependent in ANY engine, exclusion or not).
   */
 object WindowExclude {
 
@@ -46,6 +48,49 @@ object WindowExclude {
   case object ExcludeGroup extends Exclude
   case object ExcludeTies extends Exclude
 
+  /** Frame descriptors — the only way to hand a frame to the
+    * exclusion helpers, so every supported shape is valid by
+    * construction (both bounds non-negative ⇒ the frame contains the
+    * current row).
+    */
+  sealed trait Frame
+  /** RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING. */
+  case object FullPartition extends Frame
+  /** ROWS BETWEEN `preceding` PRECEDING AND `following` FOLLOWING. */
+  final case class RowsAround(preceding: Long, following: Long) extends Frame {
+    require(preceding >= 0 && following >= 0,
+      s"ROWS frame [$preceding PRECEDING, $following FOLLOWING] must contain the current row")
+  }
+  /** RANGE BETWEEN `preceding` PRECEDING AND `following` FOLLOWING
+    * over a numeric/temporal order key.
+    */
+  final case class RangeAround(preceding: Long, following: Long) extends Frame {
+    require(preceding >= 0 && following >= 0,
+      s"RANGE frame [$preceding PRECEDING, $following FOLLOWING] must contain the current row")
+  }
+
+  private def specOf(part: Seq[Column], order: Seq[Column], frame: Frame): WindowSpec = {
+    val base = Window.partitionBy(part: _*).orderBy(order: _*)
+    frame match {
+      case FullPartition =>
+        base.rangeBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      case RowsAround(p, f)  => base.rowsBetween(-p, f)
+      case RangeAround(p, f) => base.rangeBetween(-p, f)
+    }
+  }
+
+  /** GROUP/TIES need the WHOLE peer group inside the frame. RANGE
+    * bounds can never split a peer group (peers share the order-key
+    * value, so they share every range test); bounded ROWS bounds can.
+    */
+  private def checkPeerSafe(frame: Frame, exclude: Exclude): Unit = exclude match {
+    case ExcludeGroup | ExcludeTies =>
+      require(!frame.isInstanceOf[RowsAround],
+        s"EXCLUDE $exclude over a bounded ROWS frame can split the peer group; " +
+          "use FullPartition or RangeAround")
+    case ExcludeCurrentRow => ()
+  }
+
   /** Peer-group frame: all rows sharing the current row's ORDER BY
     * values. Same partition/order as the enclosing frame, so it rides
     * the same sort.
@@ -54,14 +99,14 @@ object WindowExclude {
     Window.partitionBy(part: _*).orderBy(order: _*)
       .rangeBetween(Window.currentRow, Window.currentRow)
 
-  /** SUM(x) over `frame` with exclusion. `frame` must be built over
-    * (part, order) — both are needed to derive the peer frame.
-    */
-  def sumExclude(x: Column, frame: WindowSpec,
+  /** SUM(x) over `frame` (built here from part/order) with exclusion. */
+  def sumExclude(x: Column, frame: Frame,
                  part: Seq[Column], order: Seq[Column],
                  exclude: Exclude): Column = {
-    val s = sum(x).over(frame)
-    val c = count(x).over(frame)
+    checkPeerSafe(frame, exclude)
+    val w = specOf(part, order, frame)
+    val s = sum(x).over(w)
+    val c = count(x).over(w)
     val (exSum, exCnt) = exclude match {
       case ExcludeCurrentRow =>
         (coalesce(x, lit(0L)), when(x.isNotNull, 1L).otherwise(0L))
@@ -78,10 +123,11 @@ object WindowExclude {
   }
 
   /** COUNT(x) over `frame` with exclusion (0 on empty, per SQL). */
-  def countExclude(x: Column, frame: WindowSpec,
+  def countExclude(x: Column, frame: Frame,
                    part: Seq[Column], order: Seq[Column],
                    exclude: Exclude): Column = {
-    val c = count(x).over(frame)
+    checkPeerSafe(frame, exclude)
+    val c = count(x).over(specOf(part, order, frame))
     exclude match {
       case ExcludeCurrentRow => c - when(x.isNotNull, 1L).otherwise(0L)
       case ExcludeGroup      => c - count(x).over(peerSpec(part, order))
@@ -92,7 +138,7 @@ object WindowExclude {
   }
 
   /** AVG via the exact sum/count pair (NULL on empty, per SQL). */
-  def avgExclude(x: Column, frame: WindowSpec,
+  def avgExclude(x: Column, frame: Frame,
                  part: Seq[Column], order: Seq[Column],
                  exclude: Exclude): Column = {
     val n = countExclude(x, frame, part, order, exclude)

@@ -181,16 +181,21 @@ object FunctionsQ2 {
 
     // F24: interpolated quantiles — quantile_cont ≡ Spark percentile
     // (both: linear interpolation at rank p·(n-1) over the sorted
-    // group). Identical inputs → identical IEEE interpolation; the
-    // array-valued result round-trips through the hash compare.
+    // group). Identical inputs → identical IEEE interpolation. Scalar
+    // columns (not an array) because the oracle harness hashes cell
+    // values — one scalar per quantile keeps every cell hashable.
     QDef.sql("f24_quantiles",
       """SELECT o_orderstatus,
-        | quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS qs,
+        | quantile_cont(o_totalprice, 0.25) AS q25,
+        | quantile_cont(o_totalprice, 0.5)  AS q50,
+        | quantile_cont(o_totalprice, 0.75) AS q75,
         | CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS med_disc
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
-        .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").as("qs"),
+        .agg(expr("percentile(o_totalprice, 0.25D)").as("q25"),
+          expr("percentile(o_totalprice, 0.5D)").as("q50"),
+          expr("percentile(o_totalprice, 0.75D)").as("q75"),
           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
             .cast("double").as("med_disc"))
         .orderBy(col("o_orderstatus"))

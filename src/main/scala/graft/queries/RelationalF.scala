@@ -55,10 +55,8 @@ object RelationalF {
       val part = Seq(col("user_id"))
       val ordFull = Seq(col("hb"))
       val ordRows = Seq(col("hb"), col("event_id"))
-      val wf = Window.partitionBy(part: _*).orderBy(ordFull: _*)
-        .rangeBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val wr = Window.partitionBy(part: _*).orderBy(ordRows: _*)
-        .rowsBetween(-3, 3)
+      val wf = WindowExclude.FullPartition
+      val wr = WindowExclude.RowsAround(3, 3)
       val v = col("v")
       ev.select(col("user_id"), col("event_id"),
           sumExclude(v, wf, part, ordFull, ExcludeCurrentRow).as("sx_cur"),

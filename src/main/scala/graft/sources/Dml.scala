@@ -239,11 +239,19 @@ object Dml {
     val hfs = fs(spark, path)
     val it = hfs.listFiles(new Path(path), true)
     val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val root = hfs.makeQualified(new Path(path))
     while (it.hasNext) {
       val st = it.next()
       val n = st.getPath.getName
-      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+        // Hive-partitioned layouts are unsupported: reading leaf files
+        // without basePath would drop the partition columns and the
+        // swap would silently destroy them. Refuse rather than corrupt.
+        require(st.getPath.getParent == root,
+          s"compact: $path is partitioned (found ${st.getPath} under a " +
+            "subdirectory); compact supports flat tables only")
         files += ((st.getPath.toString, st.getLen))
+      }
     }
     val totalBytes = files.map(_._2).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt

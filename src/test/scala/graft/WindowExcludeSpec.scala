@@ -27,10 +27,8 @@ class WindowExcludeSpec extends AnyFunSuite {
   private val ordFull = Seq(col("o"))
   private val ordRows = Seq(col("o"), col("id"))
 
-  private def wf = Window.partitionBy(col("g")).orderBy(col("o"))
-    .rangeBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-  private def wr = Window.partitionBy(col("g")).orderBy(col("o"), col("id"))
-    .rowsBetween(-1, 1)
+  private def wf = FullPartition
+  private def wr = RowsAround(1, 1)
 
   private def collect(c: org.apache.spark.sql.Column): Seq[Option[Long]] =
     df.select(col("id"), c.cast("long").as("r")).orderBy(col("id"))
@@ -89,6 +87,19 @@ class WindowExcludeSpec extends AnyFunSuite {
     val plan = org.apache.spark.sql.GraftBridge.explainString(projected)
     val windows = "(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(plan).size
     assert(windows == 1, s"expected one Window operator, got $windows:\n$plan")
+  }
+
+  test("unsupported frame/exclusion combinations are rejected at call time") {
+    // bounded ROWS can split a peer group — GROUP/TIES must refuse
+    intercept[IllegalArgumentException] {
+      sumExclude(col("x"), RowsAround(1, 1), part, ordRows, ExcludeGroup)
+    }
+    intercept[IllegalArgumentException] {
+      countExclude(col("x"), RowsAround(1, 1), part, ordRows, ExcludeTies)
+    }
+    // a frame that can't contain the current row is invalid outright
+    intercept[IllegalArgumentException] { RowsAround(-1, 3) }
+    intercept[IllegalArgumentException] { RangeAround(2, -1) }
   }
 
   test("NULL inputs neither count nor break the subtraction") {
