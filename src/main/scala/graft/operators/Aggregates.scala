@@ -1,0 +1,200 @@
+package graft.operators
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Coalesce, Expression, Literal, Multiply}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{DeclarativeAggregate, TypedImperativeAggregate}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.plans.HashExpressions
+
+/** Aggregate-function long tail the reference ships natively and
+  * Spark lacks: PRODUCT (reference:
+  * src/core_functions/aggregate/distributive/product.cpp) and
+  * APPROX_TOP_K (holistic/approx_top_k.cpp).
+  *
+  * Both are real Catalyst aggregates — they ride Spark's partial
+  * aggregation (map-side combine, one narrow buffer per group per
+  * mapper crosses the shuffle), so they scale exactly like built-in
+  * aggs: no window, no collect, no second pass.
+  */
+object Aggregates {
+  /** PRODUCT(x): NULL-skipping running product; NULL for an empty /
+    * all-NULL group (matching the reference's product.cpp).
+    *
+    * FP multiplication is commutative but not associative, so for
+    * general doubles the last bits depend on partition order — same
+    * as any engine's parallel product. Over exactly-representable
+    * factors whose product stays ≤ 2^53 (the oracle entry's case:
+    * small-int factors) every order yields the identical exact
+    * result.
+    */
+  def product(x: Column): Column =
+    HashExpressions.columnOf(
+      ProductAgg(HashExpressions.exprOf(x)).toAggregateExpression())
+
+  /** APPROX_TOP_K(x, k) via the Space-Saving sketch (Metwally et al.,
+    * "Efficient Computation of Frequent and Top-k Elements in Data
+    * Streams" — the same sketch family the reference's
+    * approx_top_k.cpp uses): at most `capacity` counters per group;
+    * when full, the minimum counter is surrendered to the new value
+    * (count inherits the floor, error records it). Exact whenever a
+    * group's distinct-value count stays ≤ capacity; otherwise counts
+    * are overestimates within the recorded error — the standard
+    * Space-Saving guarantee.
+    *
+    * Returns array<struct<v: string, cnt: long>> sorted by
+    * (cnt DESC, v ASC), truncated to k — deterministic given exact
+    * counts.
+    */
+  def approxTopK(x: Column, k: Int, capacity: Int): Column =
+    HashExpressions.columnOf(
+      ApproxTopKAgg(HashExpressions.exprOf(x), k, capacity).toAggregateExpression())
+}
+
+case class ProductAgg(child: Expression) extends DeclarativeAggregate {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  private lazy val prod = AttributeReference("product", DoubleType)()
+  private def childD: Expression =
+    if (child.dataType == DoubleType) child else Cast(child, DoubleType)
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(prod)
+  override lazy val initialValues: Seq[Expression] = Seq(Literal(null, DoubleType))
+  // NULL-skipping fold: null*x = null, so Coalesce picks the
+  // still-live operand; both null → stays null
+  override lazy val updateExpressions: Seq[Expression] =
+    Seq(Coalesce(Seq(Multiply(prod, childD), childD, prod)))
+  override lazy val mergeExpressions: Seq[Expression] =
+    Seq(Coalesce(Seq(Multiply(prod.left, prod.right), prod.right, prod.left)))
+  override lazy val evaluateExpression: Expression = prod
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ProductAgg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "product"
+}
+
+/** Space-Saving counter set: value → [count, error]. */
+final class TopKBuffer {
+  val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+}
+
+case class ApproxTopKAgg(
+    child: Expression,
+    k: Int,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  require(k > 0 && capacity >= k, s"need 0 < k <= capacity, got k=$k capacity=$capacity")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("v", StringType), StructField("cnt", LongType))))
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer
+
+  private def minEntry(buf: TopKBuffer): java.util.Map.Entry[UTF8String, Array[Long]] = {
+    var min: java.util.Map.Entry[UTF8String, Array[Long]] = null
+    val it = buf.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (min == null || e.getValue()(0) < min.getValue()(0)) min = e
+    }
+    min
+  }
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val v = child.eval(input).asInstanceOf[UTF8String]
+    if (v != null) {
+      val e = buf.counts.get(v)
+      if (e != null) e(0) += 1
+      else if (buf.counts.size < capacity) {
+        // clone: the input UTF8String may alias a reused scan buffer
+        buf.counts.put(v.clone(), Array(1L, 0L))
+      } else {
+        val m = minEntry(buf)
+        val floor = m.getValue()(0)
+        buf.counts.remove(m.getKey)
+        buf.counts.put(v.clone(), Array(floor + 1L, floor))
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    other.counts.forEach { (v, c) =>
+      val e = buf.counts.get(v)
+      if (e != null) { e(0) += c(0); e(1) += c(1) }
+      else buf.counts.put(v, c)
+    }
+    while (buf.counts.size > capacity) {
+      val m = minEntry(buf)
+      buf.counts.remove(m.getKey)
+    }
+    buf
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val entries = new java.util.ArrayList(buf.counts.entrySet())
+    entries.sort { (a, b) =>
+      val c = java.lang.Long.compare(b.getValue()(0), a.getValue()(0))
+      if (c != 0) c else a.getKey.compareTo(b.getKey)
+    }
+    val n = math.min(k, entries.size)
+    val rows = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val e = entries.get(i)
+      rows(i) = new GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    var size = 4
+    buf.counts.forEach { (v, _) => size += 4 + v.numBytes() + 16 }
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(buf.counts.size)
+    buf.counts.forEach { (v, c) =>
+      val bytes = v.getBytes
+      bb.putInt(bytes.length); bb.put(bytes); bb.putLong(c(0)); bb.putLong(c(1))
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TopKBuffer
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val vb = new Array[Byte](len)
+      bb.get(vb)
+      buf.counts.put(UTF8String.fromBytes(vb), Array(bb.getLong, bb.getLong))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ApproxTopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ApproxTopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ApproxTopKAgg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "approx_top_k"
+}

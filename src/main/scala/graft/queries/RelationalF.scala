@@ -123,6 +123,52 @@ object RelationalF {
         .agg(count(lit(1)).as("n"),
           graft.functions.Exact.dsum(col("amt")).as("total"),
           sum(when(col("seg").isNull, 0).otherwise(1)).cast("bigint").as("n_seg"))
+    },
+
+    // R59: INTERSECT ALL — bag-semantics intersection (multiplicity =
+    // min of the two sides), the ALL flag the reference's parser
+    // carries (transform_select_node.cpp:131) and q18 deliberately
+    // didn't cover. Spark's intersectAll plans it as a counted
+    // aggregate + generate — no quadratic anything; identical SQL
+    // text runs on both engines.
+    {
+      val q =
+        """SELECT o_orderpriority, o_orderstatus
+          |FROM orders WHERE o_totalprice < 150000
+          |INTERSECT ALL
+          |SELECT o_orderpriority, o_orderstatus
+          |FROM orders WHERE o_totalprice > 50000
+          |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+      QDef.sql("q58_intersect_all", q) { (s, dir) =>
+        val o = t(s, dir, "orders")
+        o.filter(col("o_totalprice") < 150000)
+          .select(col("o_orderpriority"), col("o_orderstatus"))
+          .intersectAll(
+            o.filter(col("o_totalprice") > 50000)
+              .select(col("o_orderpriority"), col("o_orderstatus")))
+          .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+      }
+    },
+
+    // R60: EXCEPT ALL — bag-semantics difference (multiplicity =
+    // max(0, left − right)); same rationale as R59.
+    {
+      val q =
+        """SELECT o_orderpriority, o_orderstatus
+          |FROM orders WHERE o_totalprice < 150000
+          |EXCEPT ALL
+          |SELECT o_orderpriority, o_orderstatus
+          |FROM orders WHERE o_totalprice > 50000
+          |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+      QDef.sql("q59_except_all", q) { (s, dir) =>
+        val o = t(s, dir, "orders")
+        o.filter(col("o_totalprice") < 150000)
+          .select(col("o_orderpriority"), col("o_orderstatus"))
+          .exceptAll(
+            o.filter(col("o_totalprice") > 50000)
+              .select(col("o_orderpriority"), col("o_orderstatus")))
+          .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+      }
     }
   )
 }
