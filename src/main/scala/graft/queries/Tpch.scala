@@ -21,6 +21,88 @@ object Tpch {
 
   private def ts(d: String): Column = lit(d).cast("timestamp")
 
+  /** q3/q5/q10/q12 plan builders are parameterized by a table
+    * provider so the bucketed-storage variants (TpchBucketed) run the
+    * IDENTICAL plan over bucketed tables — the only difference is the
+    * scan's output partitioning, which is exactly what the bucketing
+    * experiment isolates.
+    */
+  private[queries] def q3Plan(tab: String => DataFrame): DataFrame =
+    tab("customer").filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_custkey"))
+      .join(tab("orders").filter(col("o_orderdate") < ts("1997-06-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("c_custkey") === col("o_custkey"))
+      .join(tab("lineitem").filter(col("l_shipdate") > ts("1997-06-01"))
+          .select(col("l_orderkey"),
+            revenueUnits(col("l_extendedprice"), col("l_discount")).as("__rev")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sumFromUnits(col("__rev")).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), to_date(col("o_orderdate")).as("order_date"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  private[queries] def q5Plan(tab: String => DataFrame): DataFrame = {
+    val euroNations = tab("nation")
+      .join(broadcast(tab("region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val euroSup = tab("supplier")
+      .join(broadcast(euroNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val li = tab("lineitem")
+      .join(broadcast(euroSup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("s_nationkey"),
+        revenueUnits(col("l_extendedprice"), col("l_discount")).as("__rev"))
+    val co = tab("customer")
+      .join(broadcast(euroNations.select(col("n_nationkey").as("__en"))),
+        col("c_nationkey") === col("__en"), "left_semi")
+      .join(tab("orders")
+          .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01")),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    li.join(co, col("l_orderkey") === col("o_orderkey")
+        && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(sumFromUnits(col("__rev")).as("revenue"))
+      .join(broadcast(euroNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private[queries] def q10Plan(tab: String => DataFrame): DataFrame = {
+    val rev = tab("orders")
+      .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-07-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(tab("lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            revenueUnits(col("l_extendedprice"), col("l_discount")).as("__rev")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sumFromUnits(col("__rev")).as("revenue"))
+    rev.join(tab("customer"), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(tab("nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private[queries] def q12Plan(tab: String => DataFrame): DataFrame = {
+    val ordHigh = tab("orders").select(col("o_orderkey"),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("__high"))
+    ordHigh
+      .join(tab("lineitem")
+          .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+          .select(col("l_orderkey"), col("l_linestatus")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("__high"), 1).otherwise(0)).cast("bigint").as("high_line_count"),
+        sum(when(!col("__high"), 1).otherwise(0)).cast("bigint").as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // Q1: pricing summary. One shuffle; everything else map-side.
@@ -75,20 +157,7 @@ object Tpch {
       // The fact exchange carries (orderkey, rev_units) — the revenue
       // product is computed MAP-SIDE into one int64, so the shuffle
       // row is 16 bytes instead of key + two doubles.
-      t(s, dir, "customer").filter(col("c_mktsegment") === "MACHINERY")
-        .select(col("c_custkey"))
-        .join(t(s, dir, "orders").filter(col("o_orderdate") < ts("1997-06-01"))
-          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
-          col("c_custkey") === col("o_custkey"))
-        .join(t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1997-06-01"))
-            .select(col("l_orderkey"),
-              revenueUnits(col("l_extendedprice"), col("l_discount")).as("__rev")),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sumFromUnits(col("__rev")).as("revenue"))
-        .select(col("l_orderkey"), col("revenue"), to_date(col("o_orderdate")).as("order_date"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(10)
+      q3Plan(n => t(s, dir, n))
     },
 
     // Q5: local supplier volume (snowflake join, broadcast dims).
@@ -111,35 +180,11 @@ object Tpch {
       // fact-fact shuffle then carries ~1/5 of the rows — at 100 TB
       // this is the difference between shuffling the region's share
       // and shuffling the whole fact table.
-      val euroNations = t(s, dir, "nation")
-        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
-          col("n_regionkey") === col("r_regionkey"))
-        .select(col("n_nationkey"), col("n_name"))
       // The fact-fact exchange carries (orderkey, nationkey, rev_units)
       // — three int64s. n_name (a string per lineitem row!) does NOT
       // ride the shuffle: the groupBy keys the nationkey and the name
       // re-attaches via a broadcast join onto the ≤25 aggregated rows.
-      val euroSup = t(s, dir, "supplier")
-        .join(broadcast(euroNations), col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("s_nationkey"))
-      val li = t(s, dir, "lineitem")
-        .join(broadcast(euroSup), col("l_suppkey") === col("s_suppkey"))
-        .select(col("l_orderkey"), col("s_nationkey"),
-          revenueUnits(col("l_extendedprice"), col("l_discount")).as("__rev"))
-      val co = t(s, dir, "customer")
-        .join(broadcast(euroNations.select(col("n_nationkey").as("__en"))),
-          col("c_nationkey") === col("__en"), "left_semi")
-        .join(t(s, dir, "orders")
-            .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01")),
-          col("c_custkey") === col("o_custkey"))
-        .select(col("o_orderkey"), col("c_nationkey"))
-      li.join(co, col("l_orderkey") === col("o_orderkey")
-          && col("s_nationkey") === col("c_nationkey"))
-        .groupBy(col("s_nationkey"))
-        .agg(sumFromUnits(col("__rev")).as("revenue"))
-        .join(broadcast(euroNations), col("s_nationkey") === col("n_nationkey"))
-        .select(col("n_name"), col("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+      q5Plan(n => t(s, dir, n))
     },
 
     // Q6: forecast revenue — pure scan+filter+agg; predicates must all
@@ -177,20 +222,7 @@ object Tpch {
       // ride a fact shuffle; they join onto the ~|customers with
       // returns| aggregated rows at the end. At 100 TB this removes
       // the entire customer table from both fact exchanges.
-      val rev = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-07-01"))
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-            .select(col("l_orderkey"),
-              revenueUnits(col("l_extendedprice"), col("l_discount")).as("__rev")),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey"))
-        .agg(sumFromUnits(col("__rev")).as("revenue"))
-      rev.join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
-        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
-        .limit(20)
+      q10Plan(n => t(s, dir, n))
     },
 
     // Q12 shape (schema has no shipmode → priority split by linestatus).
@@ -206,18 +238,7 @@ object Tpch {
       // Compute it BEFORE the orderkey exchange so the shuffle carries
       // (long, boolean) rows instead of (long, string) — the string
       // column never leaves the scan stage.
-      val ordHigh = t(s, dir, "orders").select(col("o_orderkey"),
-        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("__high"))
-      ordHigh
-        .join(t(s, dir, "lineitem")
-            .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
-            .select(col("l_orderkey"), col("l_linestatus")),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("l_linestatus"))
-        .agg(
-          sum(when(col("__high"), 1).otherwise(0)).cast("bigint").as("high_line_count"),
-          sum(when(!col("__high"), 1).otherwise(0)).cast("bigint").as("low_line_count"))
-        .orderBy(col("l_linestatus"))
+      q12Plan(n => t(s, dir, n))
     },
 
     // Q18: large-volume customers — GroupJoin shape at TPC-H scale:

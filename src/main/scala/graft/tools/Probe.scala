@@ -37,6 +37,32 @@ object Probe {
             fn(spark, sfDir).explain("formatted")
         }
         spark.stop(); return
+      case "bkt" :: _ =>
+        // isolate bucketed-vs-flat costs: scan, then join, per layout
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        graft.sources.Bucketize.ensure(spark, sfDir)
+        val flatLi = graft.sources.Catalog.table(spark, sfDir, "lineitem")
+        val flatO = graft.sources.Catalog.table(spark, sfDir, "orders")
+        val bktLi = spark.table("graft_bkt_lineitem")
+        val bktO = spark.table("graft_bkt_orders")
+        def fil(df: org.apache.spark.sql.DataFrame) =
+          df.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+            .select(col("l_orderkey"), col("l_linestatus"))
+        (1 to 3).foreach { i =>
+          time(s"flat li scan r$i")(noop(fil(flatLi)))
+          time(s"bkt li scan r$i")(noop(fil(bktLi)))
+          time(s"flat o scan r$i")(noop(flatO.select(col("o_orderkey"), col("o_orderpriority"))))
+          time(s"bkt o scan r$i")(noop(bktO.select(col("o_orderkey"), col("o_orderpriority"))))
+          time(s"flat join r$i")(noop(
+            flatO.select(col("o_orderkey"))
+              .join(fil(flatLi), col("o_orderkey") === col("l_orderkey"))))
+          time(s"bkt join r$i")(noop(
+            bktO.select(col("o_orderkey"))
+              .join(fil(bktLi), col("o_orderkey") === col("l_orderkey"))))
+        }
+        spark.stop(); return
       case "d04" :: _ =>
         val docs = graft.sources.Catalog.table(spark, sfDir, "documents")
         Seq(0.2, 0.35, 0.5).foreach { thr =>

@@ -40,4 +40,24 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
     }
   }
+
+  test("tpch_q12_bucketed plans with no orderkey exchange on either fact side") {
+    // the headline claim of queries/TpchBucketed.scala: the
+    // lineitem⋈orders exchange is gone from the PLAN, not just fast
+    val df = queries.TpchBucketed.defs.find(_.name == "tpch_q12_bucketed").get
+      .run(spark, sfDir)
+    val p = GraftBridge.explainString(df, "simple")
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+  }
+
+  test("tpch_q10_bucketed: fact join exchange-free, values match flat variant") {
+    val bucketed = queries.TpchBucketed.defs.find(_.name == "tpch_q10_bucketed").get
+      .run(spark, sfDir)
+    val p = GraftBridge.explainString(bucketed, "simple")
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+    val flat = queries.Tpch.defs.find(_.name == "tpch_q10").get.run(spark, sfDir)
+    assert(bucketed.collect().toSeq == flat.collect().toSeq)
+  }
 }
