@@ -98,6 +98,85 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** LSH-candidate + exact-jaccard pairs with BUCKET-LOCAL
+    * verification — the linear-shuffle replacement for
+    * `jaccardVerify(minhashPairs(...))` when the product is the full
+    * verified pair list (d04).
+    *
+    * The pair-then-attach pipeline shuffles each candidate pair's TWO
+    * gram arrays (KBs per row): its shuffle volume is proportional to
+    * the PAIR count, which is quadratic in near-dup cluster size —
+    * measured 12–20× wall growth on 10× data (38.8 M pairs at sf10 ≈
+    * 60 GB of wide-pair shuffle). Here the (sig, grams) payload rides
+    * the band-bucket join instead: each doc's arrays cross the wire
+    * once per band (docs × bands, LINEAR in corpus size), pairs form
+    * inside the bucket join's streamed output, the signature
+    * est-filter runs before any gram work, and the exact jaccard is
+    * projected immediately — the wide pair row exists only inside
+    * whole-stage codegen, never in a shuffle file. Cross-band
+    * duplicate pairs re-verify locally (bounded by bands) and
+    * deduplicate on narrow (id_a, id_b, jaccard) rows.
+    *
+    * Emits the SAME pair set as the pair-then-attach pipeline: both
+    * require ≥1 shared un-capped band bucket and signature agreement
+    * ≥ estThreshold; the stop-band cap (> maxBucket distinct docs =
+    * boilerplate band, dropped) bounds per-bucket work at
+    * maxBucket² signature compares regardless of corpus size.
+    */
+  def lshJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 5, estThreshold: Double = 0.35,
+      gramN: Int = 3, maxBucket: Int = 256): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val reps = representatives(df, idCol, textCol)
+    // one pass computes both per-doc arrays; ~2 KB payload per row
+    val payload = reps.select(
+      col("id"),
+      TextOps.minhashFromHashes(
+        TextOps.charShingleHashes(col("__text"), shingleSize), numHashes).as("sig"),
+      TextOps.wordNgramHashes(col("__text"), gramN).as("grams"))
+    val banded = payload.select(col("id"), col("sig"), col("grams"),
+      explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
+    // stop-band cap decided on narrow (id, bk) rows only
+    val okBuckets = banded.select(col("id"), col("bk"))
+      .groupBy(col("bk")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select(col("bk"))
+    val capped = banded.join(okBuckets, Seq("bk"))
+
+    def agree(a: Column, b: Column): Column =
+      graft.plans.HashExpressions.columnOf(
+        graft.plans.ArrayAgreeCount(
+          graft.plans.HashExpressions.exprOf(a),
+          graft.plans.HashExpressions.exprOf(b)))
+    def inter(a: Column, b: Column): Column =
+      graft.plans.HashExpressions.columnOf(
+        graft.plans.SortedIntersectCount(
+          graft.plans.HashExpressions.exprOf(a),
+          graft.plans.HashExpressions.exprOf(b)))
+
+    // merge join: the payload rows are KBs — a hashed build side would
+    // hold a bucket's arrays in a per-partition map (see jaccardVerify)
+    val a = capped.select(col("bk"), col("id").as("id_a"),
+      col("sig").as("sig_a"), col("grams").as("grams_a"))
+    val b = capped.select(col("bk"), col("id").as("id_b"),
+      col("sig").as("sig_b"), col("grams").as("grams_b")).hint("merge")
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter((agree(col("sig_a"), col("sig_b")).cast("double") / numHashes)
+        >= estThreshold)
+      .withColumn("inter", inter(col("grams_a"), col("grams_b")).cast("int"))
+      .withColumn("uni", size(col("grams_a")) + size(col("grams_b")) - col("inter"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / greatest(col("uni"), lit(1))).as("jaccard"))
+      // same pair can pass in several bands; jaccard is exact, so any
+      // copy is the canonical row
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("jaccard")).as("jaccard"))
+  }
+
   /** Star-edge LSH candidates: each bucket member pairs ONLY with the
     * bucket's min id — O(m) edges per bucket instead of all-pairs
     * O(m²). This is the 100 TB candidate generator for CLUSTER dedup:

@@ -44,16 +44,14 @@ object Pipeline {
     },
 
     // L4: exact n-gram Jaccard — LSH proposes candidates, exact
-    // Jaccard verifies them (all-pairs never materializes; the only
-    // big shuffles carry ids + band keys).
+    // Jaccard verifies them BUCKET-LOCALLY (Dedup.lshJaccardPairs):
+    // shuffle volume is docs × bands, never pair-count × gram-array —
+    // the r4-flagged superlinear wall growth was the pair-then-attach
+    // pipeline shuffling two KB-sized gram arrays per candidate pair.
     QDef.rowsOnly("d04_ngram_jaccard") { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val candidates = Dedup.minhashPairs(docs, "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.35)
-      // verify against representatives — candidate ids are rep ids, so
-      // gram hashing never touches the duplicate copies
-      val reps = Dedup.representatives(docs, "doc_id", "text")
-      Dedup.jaccardVerify(candidates, reps, "id", "__text", n = 3)
+      Dedup.lshJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, estThreshold = 0.35,
+        gramN = 3)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -63,11 +61,10 @@ object Pipeline {
     // an independent Python union-find over the d04 pair dump
     // (tools/check_dedup.py).
     QDef.rowsOnly("d06_dedup_clusters") { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val candidates = Dedup.minhashPairs(docs, "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.35)
-      val reps = Dedup.representatives(docs, "doc_id", "text")
-      val verified = Dedup.jaccardVerify(candidates, reps, "id", "__text", n = 3)
+      val verified = Dedup.lshJaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 5, estThreshold = 0.35,
+          gramN = 3)
         .filter(col("jaccard") >= 0.5)
       Dedup.connectedComponents(verified, "id_a", "id_b")
         .orderBy(col("id"))

@@ -91,6 +91,26 @@ object Probe {
           time(s"r$round verify(full)")(noop(full))
         }
         spark.stop(); return
+      case "d04v2" :: _ =>
+        // stage timing of the bucket-local lshJaccardPairs path
+        import graft.llm.Dedup
+        val docs = graft.sources.Catalog.table(spark, sfDir, "documents")
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        (1 to 2).foreach { round =>
+          val reps = Dedup.representatives(docs, "doc_id", "text")
+          println(s"[probe] reps n=${reps.count()}")
+          val payload = reps.select(col("id"),
+            TextOps.minhashFromHashes(
+              TextOps.charShingleHashes(col("__text"), 5), 64).as("sig"),
+            TextOps.wordNgramHashes(col("__text"), 3).as("grams"))
+          time(s"r$round payload")(noop(payload))
+          val full = Dedup.lshJaccardPairs(docs, "doc_id", "text",
+            numHashes = 64, bands = 16, shingleSize = 5,
+            estThreshold = 0.35, gramN = 3)
+          time(s"r$round full")(println(s"  pairs=${full.count()}"))
+        }
+        spark.stop(); return
       case "st02stages" :: _ =>
         // stage-by-stage wall-clock of the sessionize window plan
         import org.apache.spark.sql.expressions.Window
