@@ -61,41 +61,47 @@ object Dedup {
         TextOps.charShingleHashes(col("__text"), shingleSize).as("hs"))
       .select(col("id"), TextOps.minhashFromHashes(col("hs"), numHashes).as("sig"))
 
-    // Band join on NARROW (id, bandKey) rows only — the wide signature
-    // arrays never enter the candidate-pair shuffle (at scale that is
-    // the difference between shuffling ids and shuffling the corpus).
-    val banded = sig.select(
-      col("id"), explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
+    // Band join with the signature riding along: each doc's 512-byte
+    // sig crosses the wire once per band (docs × bands, LINEAR in
+    // corpus size). The previous pair-then-attach shape re-joined the
+    // sig onto every candidate pair — shuffle proportional to the
+    // PAIR count, quadratic in near-dup cluster size (the same
+    // disease lshJaccardPairs documents for the gram arrays).
+    val banded = sig.select(col("id"), col("sig"),
+      explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
 
     // Stop-band cap: a band hash shared by >maxBucket distinct docs is
     // boilerplate (the LSH analog of a stopword) — m² pairs of low
     // individual value. Dropping those buckets bounds worst-case work;
     // members still pair through their other, more selective bands.
-    val okBuckets = banded.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
+    // The cap is decided on narrow (id, bk) rows only.
+    val okBuckets = banded.select(col("bk"))
+      .groupBy(col("bk")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)
       .select(col("bk"))
     val capped = banded.join(okBuckets, Seq("bk"))
 
-    val pairs = capped.select(col("id").as("id_a"), col("bk"))
-      .join(capped.select(col("id").as("id_b"), col("bk")), Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct() // same pair can collide in several bands
-
-    // Re-attach signatures to the (deduped, much smaller) pair set and
-    // estimate jaccard from signature agreement (fused ArrayAgreeCount
-    // — one primitive loop, stays in codegen).
+    // Estimate jaccard IN the bucket join's streamed output (fused
+    // ArrayAgreeCount — one primitive loop, stays in codegen): the
+    // (sig_a, sig_b) pair row exists only inside whole-stage codegen,
+    // never in a shuffle file. Cross-band duplicates re-estimate
+    // locally (bounded by `bands`) and dedup on narrow rows.
     def agree(a: Column, b: Column): Column =
       graft.plans.HashExpressions.columnOf(
         graft.plans.ArrayAgreeCount(
           graft.plans.HashExpressions.exprOf(a),
           graft.plans.HashExpressions.exprOf(b)))
-    pairs
-      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+    capped.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(capped.select(col("bk"), col("id").as("id_b"),
+        col("sig").as("sig_b")).hint("merge"), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (agree(col("sig_a"), col("sig_b")).cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      // same pair can collide in several bands; the estimate is a
+      // function of the two sigs, so any copy is canonical
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** LSH-candidate + exact-jaccard pairs with BUCKET-LOCAL
