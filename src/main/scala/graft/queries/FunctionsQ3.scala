@@ -311,6 +311,38 @@ object FunctionsQ3 {
         .orderBy(col("o_orderstatus"), col("bin"))
     },
 
+    // F34: timezone-aware timestamp operations — the reference
+    // bundles extension/icu/ for TIMESTAMPTZ / AT TIME ZONE; Spark's
+    // equivalent is from_utc_timestamp over the JDK tz database. Both
+    // convert the same UTC instants through the same IANA zones, DST
+    // included: the dst_hour column shifts the instants across the
+    // 2024-03-10 America/New_York spring-forward, so EST→EDT rows
+    // land one hour later than ny_hour — wrong-by-offset
+    // implementations fail the hash. All zone math is per-row scalar
+    // work (no shuffle beyond the final small groupBy).
+    QDef.sql("f34_timezone",
+      """SELECT ny_hour, tokyo_hour, dst_hour, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT
+        |  CAST(EXTRACT(HOUR FROM (CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC')
+        |    AT TIME ZONE 'America/New_York') AS INT) AS ny_hour,
+        |  CAST(EXTRACT(HOUR FROM (CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC')
+        |    AT TIME ZONE 'Asia/Tokyo') AS INT) AS tokyo_hour,
+        |  CAST(EXTRACT(HOUR FROM ((CAST(ts AS TIMESTAMP) + INTERVAL 68 DAY)
+        |    AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') AS INT) AS dst_hour
+        | FROM events)
+        |GROUP BY ny_hour, tokyo_hour, dst_hour
+        |ORDER BY ny_hour, tokyo_hour, dst_hour""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(
+          hour(from_utc_timestamp(col("ts"), "America/New_York")).as("ny_hour"),
+          hour(from_utc_timestamp(col("ts"), "Asia/Tokyo")).as("tokyo_hour"),
+          hour(from_utc_timestamp(col("ts") + expr("INTERVAL 68 DAYS"),
+            "America/New_York")).as("dst_hour"))
+        .groupBy(col("ny_hour"), col("tokyo_hour"), col("dst_hour"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("ny_hour"), col("tokyo_hour"), col("dst_hour"))
+    },
+
     // F33: BITSTRING_AGG (distributive/bitstring_agg.cpp) — presence
     // bitmap over a bounded int domain, leftmost bit = domain min
     // (probed against the reference's VARCHAR rendering). Spark
