@@ -151,21 +151,25 @@ object RelationalF {
     },
 
     // R60: EXCEPT ALL — bag-semantics difference (multiplicity =
-    // max(0, left − right)); same rationale as R59.
+    // max(0, left − right)); same rationale as R59. The right side's
+    // price band is a STRICT subset of the left's range, so left
+    // multiplicities dominate right ones at every scale factor (an
+    // overlapping split left the bag empty at sf0.001 and tripped
+    // the rows>0 smoke).
     {
       val q =
         """SELECT o_orderpriority, o_orderstatus
           |FROM orders WHERE o_totalprice < 150000
           |EXCEPT ALL
           |SELECT o_orderpriority, o_orderstatus
-          |FROM orders WHERE o_totalprice > 50000
+          |FROM orders WHERE o_totalprice > 120000 AND o_totalprice < 150000
           |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
       QDef.sql("q59_except_all", q) { (s, dir) =>
         val o = t(s, dir, "orders")
         o.filter(col("o_totalprice") < 150000)
           .select(col("o_orderpriority"), col("o_orderstatus"))
           .exceptAll(
-            o.filter(col("o_totalprice") > 50000)
+            o.filter(col("o_totalprice") > 120000 && col("o_totalprice") < 150000)
               .select(col("o_orderpriority"), col("o_orderstatus")))
           .orderBy(col("o_orderpriority"), col("o_orderstatus"))
       }
