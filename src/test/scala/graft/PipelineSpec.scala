@@ -27,6 +27,24 @@ class PipelineSpec extends AnyFunSuite {
       assert(pairs.contains((i, i + 10000)), s"planted pair $i not found")
   }
 
+  test("bucket-local lshJaccardPairs emits the pair-then-attach pipeline's exact output") {
+    // the r5 rewrite's contract: same pair set, same exact jaccard —
+    // only the shuffle shape changed
+    val fused = Dedup.lshJaccardPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, estThreshold = 0.35, gramN = 3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val reps = Dedup.representatives(docs, "doc_id", "text")
+    val staged = Dedup.jaccardVerify(
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.35),
+        reps, "id", "__text", n = 3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fused == staged)
+    assert(fused.nonEmpty)
+  }
+
   test("minhash estimate is high for tiny edits; exact twins collapse") {
     val twin = docs.filter(col("doc_id") === 0)
       .select(lit(20000L).as("doc_id"), col("text")) // exact copy
