@@ -111,6 +111,24 @@ object Probe {
           time(s"r$round full")(println(s"  pairs=${full.count()}"))
         }
         spark.stop(); return
+      case "d07stages" :: _ =>
+        import graft.llm.Dedup
+        val docs = graft.sources.Catalog.table(spark, sfDir, "documents")
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        (1 to 2).foreach { round =>
+          val stars = Dedup.minhashStarPairs(docs, "doc_id", "text",
+            numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.35)
+          time(s"r$round stars")(println(s"  stars=${stars.count()}"))
+          val reps = Dedup.representatives(docs, "doc_id", "text")
+          val verified = Dedup.jaccardVerify(
+              stars.select(col("id_a"), col("id_b")), reps, "id", "__text", n = 3)
+            .filter(col("jaccard") >= 0.5)
+          time(s"r$round verify")(println(s"  verified=${verified.count()}"))
+          val cc = Dedup.connectedComponents(verified, "id_a", "id_b")
+          time(s"r$round cc")(noop(cc))
+        }
+        spark.stop(); return
       case "st02stages" :: _ =>
         // stage-by-stage wall-clock of the sessionize window plan
         import org.apache.spark.sql.expressions.Window
