@@ -24,7 +24,7 @@ object Bench {
     // deliberately, because bucketing IS a write-time layout decision
     // whose cost amortizes across every subsequent orderkey query.
     "tpch_q3_bucketed", "tpch_q5_bucketed", "tpch_q10_bucketed",
-    "tpch_q12_bucketed",
+    "tpch_q12_bucketed", "tpch_q18_bucketed",
     "q06_theta_join", "q07_groupjoin", "q13_window_rank", "q31_asof_join",
     "q32_range_join", "q48_window_range", "q53_topk_custom",
     "d01_dedup_exact", "s01_cosine_topk", "s03_ann_ivf",

@@ -103,6 +103,25 @@ object Tpch {
       .orderBy(col("l_linestatus"))
   }
 
+  private[queries] def q18Plan(tab: String => DataFrame): DataFrame = {
+    val li = tab("lineitem")
+    val bigOrders = li.groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("__sq"))
+      .filter(col("__sq") > 30000)
+      .select(col("l_orderkey").as("__bigkey"))
+    tab("customer")
+      .join(tab("orders"), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(bigOrders), col("o_orderkey") === col("__bigkey"), "left_semi")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // Q1: pricing summary. One shuffle; everything else map-side.
@@ -256,25 +275,10 @@ object Tpch {
         |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin) { (s, dir) =>
-      val li = t(s, dir, "lineitem")
       // HAVING sum > 300 in long fixed-point units (30000 hundredths):
       // same exact comparison, ~3× cheaper than the decimal sum over a
       // 15 M-group aggregate (the dominant stage of this query).
-      val bigOrders = li.groupBy(col("l_orderkey"))
-        .agg(sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("__sq"))
-        .filter(col("__sq") > 30000)
-        .select(col("l_orderkey").as("__bigkey"))
-      t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-        .join(broadcast(bigOrders), col("o_orderkey") === col("__bigkey"), "left_semi")
-        .join(li, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
-          col("o_orderdate"), col("o_totalprice"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"))
-        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
-          to_date(col("o_orderdate")).as("order_date"), col("o_totalprice"), col("sum_qty"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        .limit(100)
+      q18Plan(n => t(s, dir, n))
     },
 
     // Q19 shape: disjunctive predicates inside the join condition —

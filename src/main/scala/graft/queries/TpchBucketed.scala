@@ -30,6 +30,13 @@ object TpchBucketed {
     },
     QDef.sql("tpch_q12_bucketed", oracleOf("tpch_q12")) { (s, dir) =>
       Tpch.q12Plan(n => Bucketize.table(s, dir, n))
+    },
+    // q18 touches the orderkey layout twice: the 15 M-group HAVING
+    // aggregate (groupBy on the bucket key → NO exchange before the
+    // partial/final agg) and the fact join — both go exchange-free on
+    // the bucketed tables.
+    QDef.sql("tpch_q18_bucketed", oracleOf("tpch_q18")) { (s, dir) =>
+      Tpch.q18Plan(n => Bucketize.table(s, dir, n))
     }
   )
 }
