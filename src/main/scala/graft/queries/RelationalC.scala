@@ -46,6 +46,35 @@ object RelationalC {
         .orderBy(col("c_mktsegment"), col("pr"), col("c_custkey"))
     },
 
+    // R41b: IGNORE NULLS navigation — LAG / FIRST_VALUE / LAST_VALUE
+    // skipping NULL inputs (the reference's WindowBoundariesState
+    // ignore_nulls path; SQL:2011 <null treatment>). Same single
+    // window pass as the honor-NULLS forms; the sparse `v` column
+    // (NULL for ~half the events) makes the skip semantics visible
+    // in every partition.
+    QDef.sql("q41b_ignore_nulls",
+      """SELECT user_id, event_id,
+        | LAG(v IGNORE NULLS) OVER w AS prev_v,
+        | FIRST_VALUE(v IGNORE NULLS) OVER w AS first_v,
+        | LAST_VALUE(v IGNORE NULLS) OVER w AS last_v
+        |FROM (SELECT user_id, event_id, ts,
+        |        CASE WHEN value > 0.5
+        |             THEN CAST(FLOOR(value*100) AS BIGINT) END AS v
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("value") > 0.5, floor(col("value") * 100).cast("long")).as("v"))
+        .select(col("user_id"), col("event_id"),
+          lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"),
+          first(col("v"), ignoreNulls = true).over(w).as("first_v"),
+          last(col("v"), ignoreNulls = true).over(w).as("last_v"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // R42: boolean/bitwise aggregates + conditional count.
     QDef.sql("q42_agg_bool_bit",
       """SELECT c_mktsegment,
