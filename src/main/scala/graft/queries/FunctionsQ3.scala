@@ -311,6 +311,38 @@ object FunctionsQ3 {
         .orderBy(col("o_orderstatus"), col("bin"))
     },
 
+    // F35: MAP / STRUCT construction and access — the reference's
+    // nested types (src/include/duckdb/common/types/: MAP, STRUCT;
+    // map.cpp, struct_extract.cpp). All accesses project back to
+    // SCALAR columns so the hash gate sees plain values; note the
+    // reference's map[k] yields a LIST (unwrapped with [1]) while
+    // Spark's element_at yields the value directly — same semantics,
+    // different spelling, pinned by the oracle.
+    QDef.sql("f35_map_struct",
+      """SELECT p_partkey,
+        |  map([p_brand, p_type],
+        |      [CAST(p_size AS BIGINT), CAST(p_partkey % 100 AS BIGINT)])[p_brand][1]
+        |    AS brand_val,
+        |  CAST(cardinality(map([p_brand, p_type], [1, 2])) AS BIGINT) AS m_card,
+        |  struct_pack(brand := p_brand, size := p_size).brand AS s_brand,
+        |  CAST({'k': p_size, 'j': p_partkey}.k AS BIGINT) AS s_size
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").select(
+          col("p_partkey"),
+          element_at(
+            map_from_arrays(
+              array(col("p_brand"), col("p_type")),
+              array(col("p_size").cast("long"), (col("p_partkey") % 100).cast("long"))),
+            col("p_brand")).as("brand_val"),
+          size(map_from_arrays(array(col("p_brand"), col("p_type")),
+            array(lit(1), lit(2)))).cast("long").as("m_card"),
+          struct(col("p_brand").as("brand"), col("p_size").as("size"))
+            .getField("brand").as("s_brand"),
+          struct(col("p_size").as("k"), col("p_partkey").as("j"))
+            .getField("k").cast("long").as("s_size"))
+        .orderBy(col("p_partkey"))
+    },
+
     // F34: timezone-aware timestamp operations — the reference
     // bundles extension/icu/ for TIMESTAMPTZ / AT TIME ZONE; Spark's
     // equivalent is from_utc_timestamp over the JDK tz database. Both
