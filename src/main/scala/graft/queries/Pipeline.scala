@@ -259,6 +259,34 @@ object Pipeline {
     // placeholders, a standard pre-training scrub pass. Pure
     // projection (no shuffle); identical regex dialect in both engines
     // makes it exactly oracle-checkable.
+    // T6: fixed-size chunking with overlap — the standard
+    // pre-tokenization step of a training-data pipeline (500-char
+    // chunks, 100-char overlap → stride 400). Pure per-row generate +
+    // substring: linear, shuffle-free until the presentation sort; at
+    // 100 TB chunking is a map-only stage that composes with any
+    // downstream tokenize/dedup. Chunk grid is integer arithmetic on
+    // exact small ints (the float ceil is exact), so both engines
+    // produce the identical chunk set.
+    QDef.sql("t06_chunk_text",
+      """SELECT doc_id, i AS chunk_idx,
+        |  substr(text, i*400 + 1, 500) AS chunk
+        |FROM (SELECT doc_id, text,
+        |        greatest(1, CAST(ceil(CAST(length(text) - 100 AS DOUBLE) / 400) AS INT)) AS nchunks
+        |      FROM documents),
+        |  LATERAL unnest(generate_series(0, nchunks - 1)) AS gs(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          greatest(lit(1),
+            ceil((length(col("text")) - 100).cast("double") / 400).cast("int"))
+            .as("nchunks"))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), col("nchunks") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          expr("substring(text, chunk_idx*400 + 1, 500)").as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     QDef.sql("t05_pii_redact",
       """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
