@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.WindowExclude
+import graft.operators.{GroupsFrame, WindowExclude}
 import graft.operators.WindowExclude._
 import graft.sources.Catalog
 
@@ -123,6 +123,38 @@ object RelationalF {
         .agg(count(lit(1)).as("n"),
           graft.functions.Exact.dsum(col("amt")).as("total"),
           sum(when(col("seg").isNull, 0).otherwise(1)).cast("bigint").as("n_seg"))
+    },
+
+    // R61: GROUPS window frame — SQL:2011 frame bounds counted in
+    // peer groups (operators/GroupsFrame.scala: RANGE-over-dense_rank
+    // rewrite; neither engine ships native GROUPS, so the oracle
+    // spells the same rank formulation — the rewrite IS the portable
+    // definition). Ties are real: hour buckets group many events.
+    QDef.sql("q60_groups_frame",
+      """WITH b AS (SELECT user_id, event_id,
+        |        CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v,
+        |        date_trunc('hour', ts) AS hb
+        |      FROM events),
+        |d AS (SELECT *, DENSE_RANK() OVER
+        |        (PARTITION BY user_id ORDER BY hb) AS dr FROM b)
+        |SELECT user_id, event_id,
+        |  CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY dr
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS sg,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY dr
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS cg
+        |FROM d ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val b = t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"),
+        date_trunc("hour", col("ts")).as("hb"))
+      val part = Seq(col("user_id")); val ord = Seq(col("hb"))
+      val withSum = GroupsFrame.withGroupsAgg(
+        b, "sg", sum(col("v")), part, ord, 1, 1)
+      GroupsFrame.withGroupsAgg(
+          withSum, "cg", count(lit(1)), part, ord, 1, 1)
+        .select(col("user_id"), col("event_id"),
+          col("sg").cast("long").as("sg"), col("cg").cast("long").as("cg"))
+        .orderBy(col("user_id"), col("event_id"))
     },
 
     // R59: INTERSECT ALL — bag-semantics intersection (multiplicity =
