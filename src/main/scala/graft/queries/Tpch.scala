@@ -104,18 +104,26 @@ object Tpch {
   }
 
   private[queries] def q18Plan(tab: String => DataFrame): DataFrame = {
-    val li = tab("lineitem")
-    val bigOrders = li.groupBy(col("l_orderkey"))
+    // Every output group key is functionally dependent on o_orderkey,
+    // so the HAVING aggregate IS the final aggregate: its long-unit
+    // sum divided back down equals dsum(l_quantity) bit-exactly (same
+    // units representation — functions/Exact.scala). Lineitem is
+    // scanned ONCE; the >300 survivors are a tiny set that broadcasts
+    // through orders and then (orders ⋈ survivors, still tiny)
+    // through customer — the only exchange in the whole plan is the
+    // lineitem aggregation's own partial→final hop, and the bucketed
+    // variant removes even that.
+    val big = tab("lineitem").groupBy(col("l_orderkey"))
       .agg(sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("__sq"))
       .filter(col("__sq") > 30000)
-      .select(col("l_orderkey").as("__bigkey"))
+      .select(col("l_orderkey"),
+        (col("__sq").cast("double") / 100.0).as("sum_qty"))
+    val ob = tab("orders")
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
     tab("customer")
-      .join(tab("orders"), col("c_custkey") === col("o_custkey"))
-      .join(broadcast(bigOrders), col("o_orderkey") === col("__bigkey"), "left_semi")
-      .join(li, col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
-        col("o_orderdate"), col("o_totalprice"))
-      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .join(broadcast(ob), col("c_custkey") === col("o_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("order_date"), col("o_totalprice"), col("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
