@@ -39,6 +39,30 @@ object SourcesQ {
         .orderBy(col("o_orderstatus"))
     },
 
+    // S12: ORC round-trip — the columnar format Spark ships natively
+    // besides parquet (the reference reads ORC through extensions;
+    // here it is a first-class source). Full-fidelity check: doubles,
+    // strings, timestamps and the row count all survive the
+    // write→read cycle, proven by hash-matching an aggregate computed
+    // from the ORIGINAL parquet in the oracle.
+    QDef.sql("s12_orc_roundtrip",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | CAST(MAX(o_orderdate) AS DATE) AS last_day
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val path = tmp("graft_orc")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+        .write.mode(SaveMode.Overwrite).orc(path)
+      s.read.orc(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.dsum(col("o_totalprice")).as("total"),
+          to_date(max(col("o_orderdate"))).as("last_day"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // S3: JSON lines round-trip.
     QDef.sql("s03_json_roundtrip",
       """SELECT c_mktsegment, COUNT(*) AS n,
