@@ -259,6 +259,54 @@ object Pipeline {
     // placeholders, a standard pre-training scrub pass. Pure
     // projection (no shuffle); identical regex dialect in both engines
     // makes it exactly oracle-checkable.
+    // T7: benchmark DECONTAMINATION — remove/flag training documents
+    // sharing word n-grams with an evaluation set (the GPT-3-style
+    // 13-gram wash, here 3-grams against a 2% held-out slice so the
+    // synthetic corpus shows real hits). Scale shape: the benchmark
+    // gram set is bounded (eval suites are small) → distinct once and
+    // BROADCAST; the training side is a map-only explode + broadcast
+    // semi-probe + per-doc count — no training-corpus shuffle at all.
+    // This entry joins on gram STRINGS so the DuckDB oracle can
+    // replay it exactly; the production path swaps in the 64-bit gram
+    // hashes of TextOps (identical plan, narrower rows).
+    QDef.sql("t07_decontaminate",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+        |  FROM toks, LATERAL unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i)),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+        |train AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 50 <> 0),
+        |hits AS (SELECT t.doc_id, COUNT(*) AS n_shared
+        |         FROM train t JOIN bench b ON t.gram = b.gram GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |  COALESCE(h.n_shared, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("w"))
+      val grams = toks.filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+          .as("gram"))
+      val bench = grams.filter(col("doc_id") % 50 === 0)
+        .select(col("gram")).distinct()
+      val hits = grams.filter(col("doc_id") % 50 =!= 0)
+        .dropDuplicates("doc_id", "gram")
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+
     // T6: fixed-size chunking with overlap — the standard
     // pre-tokenization step of a training-data pipeline (500-char
     // chunks, 100-char overlap → stride 400). Pure per-row generate +
