@@ -259,6 +259,40 @@ object Pipeline {
     // placeholders, a standard pre-training scrub pass. Pure
     // projection (no shuffle); identical regex dialect in both engines
     // makes it exactly oracle-checkable.
+    // T8: repetition filtering — within-document duplicate-n-gram
+    // fraction (the Gopher-family repetition signal; heavily repeated
+    // docs are TEMPLATE/SPAM and get dropped before training). Two
+    // aggregations on (doc, gram) then doc: the repeated-gram ratio
+    // is emitted as integer ppm — exact-int division is correctly
+    // rounded identically on both engines, then snapped to the grid.
+    QDef.sql("t08_repetition",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+        |      FROM toks, LATERAL unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i))
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+        |  CAST(FLOOR(1e6 * (CAST(COUNT(*) - COUNT(DISTINCT gram) AS DOUBLE)
+        |    / greatest(COUNT(*), 1)) + 0.5) AS BIGINT) AS dup_ppm
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("w"))
+      toks.filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+          .as("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("gram")).as("n_distinct"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          floor(lit(1e6) * ((col("n_grams") - col("n_distinct")).cast("double")
+            / greatest(col("n_grams"), lit(1))) + 0.5).cast("long").as("dup_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
     // T7: benchmark DECONTAMINATION — remove/flag training documents
     // sharing word n-grams with an evaluation set (the GPT-3-style
     // 13-gram wash, here 3-grams against a 2% held-out slice so the
