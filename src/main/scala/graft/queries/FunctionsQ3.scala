@@ -390,6 +390,32 @@ object FunctionsQ3 {
         .agg(expr("lpad(bin(bit_or(shiftleft(1L, 7 - l_linenumber))), 7, '0')")
           .as("line_bits"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // F36: string-distance family (scalar/string/damerau_levenshtein
+    // .cpp, hamming.cpp, jaccard.cpp, jaro_winkler.cpp). Spark has
+    // only levenshtein (f09); the other four are custom codegen'd
+    // expressions over raw UTF-8 bytes — the reference's alphabet —
+    // in plans/StringDistances.scala. The jaro/jw doubles are exact
+    // (only +,*,/ on small integers, reference operation order), so
+    // they hash-compare raw; hamming demands equal lengths, which the
+    // fixed-width substrings guarantee.
+    QDef.sql("f36_string_distance",
+      """SELECT p_partkey,
+        |  damerau_levenshtein(p_brand, 'Brand#25') AS dl,
+        |  CAST(hamming(substr(p_name, 1, 6), substr(reverse(p_name), 1, 6)) AS BIGINT) AS hm,
+        |  jaccard(p_name, p_type) AS jc,
+        |  jaro_similarity(p_name, p_type) AS js,
+        |  jaro_winkler_similarity(p_name, p_brand) AS jw
+        |FROM part""".stripMargin) { (s, dir) =>
+      import graft.plans.{StringDistances => D}
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        D.damerauLevenshtein(col("p_brand"), lit("Brand#25")).as("dl"),
+        D.hamming(substring(col("p_name"), 1, 6), substring(reverse(col("p_name")), 1, 6)).as("hm"),
+        D.jaccard(col("p_name"), col("p_type")).as("jc"),
+        D.jaro(col("p_name"), col("p_type")).as("js"),
+        D.jaroWinkler(col("p_name"), col("p_brand")).as("jw"))
     }
   )
 }
