@@ -1,0 +1,119 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation stages of a training-data pipeline: deterministic
+  * splits, mixture re-weighting, per-source caps, and GPT-style
+  * sequence packing. All decisions are pure functions of (stable id,
+  * md5) — NO rand(): re-running the pipeline on the same corpus, on
+  * any cluster size, reproduces byte-identical train/val/test sets,
+  * which is what makes 100 TB runs auditable and resumable. Every op
+  * here is either map-only or a standard keyed aggregate — nothing
+  * collects data to the driver except per-PARTITION counters (one
+  * long each) in [[packOffsets]].
+  */
+object Curation {
+
+  /** First two hex chars of md5(id) — 256 stable buckets, portable
+    * across engines (md5 is md5 everywhere, unlike engine hash()).
+    */
+  private def bucket2(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, 2)
+
+  /** Deterministic train/val/test assignment: doc follows its md5
+    * bucket forever — adding or removing OTHER docs never flips it
+    * (contrast: rand() or ntile re-deal on every run / every
+    * repartition). Thresholds are hex-string compares over 256
+    * buckets: 'cd' ⇒ 205/256 ≈ 80%, 'e6' ⇒ next 25/256 ≈ 10%.
+    */
+  def hashSplit(df: DataFrame, id: Column,
+      trainUpper: String = "cd", valUpper: String = "e6"): Column = {
+    val b = bucket2(id, "split:")
+    when(b < lit(trainUpper), "train")
+      .when(b < lit(valUpper), "val")
+      .otherwise("test")
+  }
+
+  /** Mixture re-weighting: per-source accept rate
+    * min(1, weight·total/count) hits the requested source mix in
+    * expectation; the accept decision is a per-doc md5 threshold, so
+    * it's exact-reproducible and embarrassingly parallel. The counts
+    * come from one keyed aggregate whose result (#sources rows) rides
+    * back as BROADCAST joins — no `COUNT(*) OVER ()`, which Spark
+    * executes as a single-partition window. `weights` maps source →
+    * target share; sources not listed get `defaultWeight`.
+    */
+  def mixtureSample(df: DataFrame, id: Column, source: Column,
+      weights: Map[String, Double], defaultWeight: Double): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, wt)) =>
+      when(source === lit(s), lit(wt)).otherwise(acc)
+    }
+    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__cnt"))
+    val totalDf = counts.agg(sum(col("__cnt")).as("__total"))
+    val rate = least(lit(1.0),
+      w * col("__total").cast("double") / col("__cnt").cast("double"))
+    // first 4 hex chars of md5 as a uniform 16-bit integer
+    val u16 = conv(substring(md5(concat(lit("mix:"), id.cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+    df.join(broadcast(counts), source === col("__src"))
+      .crossJoin(broadcast(totalDf))
+      .withColumn("__u16", u16)
+      .withColumn("__thr", floor(rate * lit(65536.0)))
+      .where(col("__u16") < col("__thr"))
+      .drop("__src", "__cnt", "__total", "__u16", "__thr")
+  }
+
+  /** Per-source document cap (the "no domain may dominate" rule):
+    * keep the top `cap` docs of each source by the given quality
+    * ordering. One hash-partition window; at scale the heavy groups
+    * are bounded by the cap itself after the rank filter.
+    */
+  def sourceCap(df: DataFrame, source: Column, cap: Int,
+      quality: Column*): DataFrame = {
+    val w = Window.partitionBy(source).orderBy(quality: _*)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
+  /** GPT-style sequence packing: concatenate the corpus in stable id
+    * order and cut fixed `seqLen`-token sequences, so each doc spans
+    * chunks [start/seqLen, (start+tokens-1)/seqLen]. The global
+    * exclusive prefix sum is computed WITHOUT a single-partition
+    * window (the naive `SUM OVER (ORDER BY id)` serializes the whole
+    * corpus through one task): range-partition by id, one long of
+    * per-partition totals to the driver (O(#partitions), the
+    * zipWithIndex pattern), then a second map-only pass starts each
+    * partition at its broadcast offset.
+    *
+    * Input must have unique ids; rows with tokens ≤ 0 carry start but
+    * no chunks. Output: (id, tokens, start) with id named as the
+    * input column.
+    */
+  def packOffsets(df: DataFrame, id: String, tokens: String,
+      parts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(id).cast("long"), col(tokens).cast("long"))
+      .as[(Long, Long)]
+      .repartitionByRange(parts, col(id))
+      .sortWithinPartitions(col(id))
+    val rdd = ds.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = bc.value(i)
+      it.map { case (docId, tk) => val st = s; s += tk; (docId, tk, st) }
+    }
+    val res = spark.createDataFrame(out).toDF(id, tokens, "start")
+    res
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, FullText, Multimodal, Similarity, TextOps}
+import graft.llm.{Curation, Dedup, FullText, Multimodal, Similarity, TextOps}
 import graft.sources.Catalog
 
 /** LLM-pipeline operators L1–L12 (SURVEY §2.5) over the documents and
@@ -425,6 +425,107 @@ object Pipeline {
         .toDF()
         .select(col("doc_id"), col("width"), col("height"),
           length(col("media")).as("n_bytes"))
+        .orderBy(col("doc_id"))
+    },
+
+    // L17: deterministic train/val/test split — each doc follows its
+    // md5 bucket forever (adding/removing other docs never flips an
+    // assignment, unlike rand() or ntile). Map-only; md5 is portable
+    // across engines so the oracle replays the same thresholds.
+    QDef.sql("p01_hash_split",
+      """SELECT doc_id,
+        |  CASE WHEN b < 'cd' THEN 'train'
+        |       WHEN b < 'e6' THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Curation.hashSplit(t(s, dir, "documents"), col("doc_id")).as("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // L18: source-mixture re-weighting — per-source accept rate
+    // min(1, w·total/cnt), per-doc md5-threshold accept. Counts ride
+    // back as broadcast joins (no OVER () single-partition window);
+    // the oracle recomputes the identical rate and the identical
+    // 16-bit hash threshold (hex digits → integer via ascii maths —
+    // DuckDB has no conv(); both reductions produce the same value).
+    QDef.sql("p02_mixture_sample",
+      """WITH c AS (SELECT source AS src, COUNT(*) AS cnt FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(cnt) AS total FROM c),
+        |d AS (
+        |  SELECT doc_id, source, cnt, total,
+        |    CASE WHEN source IN ('src0','src1','src2','src3') THEN 0.04
+        |         WHEN source IN ('src4','src5') THEN 0.02
+        |         ELSE 0.01 END AS w,
+        |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents, c, tot WHERE source = src),
+        |u AS (
+        |  SELECT doc_id, source, w, cnt, total,
+        |    (ascii(substr(h,1,1)) - CASE WHEN substr(h,1,1) >= 'a' THEN 87 ELSE 48 END) * 4096
+        |  + (ascii(substr(h,2,1)) - CASE WHEN substr(h,2,1) >= 'a' THEN 87 ELSE 48 END) * 256
+        |  + (ascii(substr(h,3,1)) - CASE WHEN substr(h,3,1) >= 'a' THEN 87 ELSE 48 END) * 16
+        |  + (ascii(substr(h,4,1)) - CASE WHEN substr(h,4,1) >= 'a' THEN 87 ELSE 48 END) AS u16
+        |  FROM d)
+        |SELECT doc_id, source FROM u
+        |WHERE u16 < FLOOR(LEAST(1.0, w * (CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE))) * 65536.0)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.mixtureSample(t(s, dir, "documents"), col("doc_id"), col("source"),
+          Map("src0" -> 0.04, "src1" -> 0.04, "src2" -> 0.04, "src3" -> 0.04,
+            "src4" -> 0.02, "src5" -> 0.02),
+          defaultWeight = 0.01)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // L19: per-source document cap — no source may contribute more
+    // than K docs; survivors are the top-K by quality (longest docs
+    // here), ties broken by id for determinism. After the rank filter
+    // every group is bounded by K, so downstream stages see bounded
+    // skew regardless of the input distribution.
+    QDef.sql("p03_source_cap",
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars, ROW_NUMBER() OVER
+        |    (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 10
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.sourceCap(t(s, dir, "documents"), col("source"), cap = 10,
+          col("n_chars").desc, col("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // L20: GPT-style sequence packing — concatenate the corpus in id
+    // order, cut fixed 512-token sequences, report each doc's token
+    // start offset and chunk span. The Spark side computes the global
+    // exclusive prefix sum with range partitions + an O(#partitions)
+    // offset exchange (packOffsets), NOT the oracle's single-ordered
+    // window — same numbers, cluster-scalable shape.
+    QDef.sql("p04_pack_offsets",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, tokens,
+        |    COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM tok)
+        |SELECT doc_id, tokens, start,
+        |  CAST(FLOOR(start / 512.0) AS BIGINT) AS first_chunk,
+        |  CAST(FLOOR((start + tokens - 1) / 512.0) AS BIGINT) AS last_chunk
+        |FROM o WHERE tokens > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val counts = graft.plans.HashExpressions.columnOf(
+        graft.plans.TokenCounts(graft.plans.HashExpressions.exprOf(col("text"))))
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), counts.getItem(0).as("tokens"))
+      Curation.packOffsets(tok, "doc_id", "tokens")
+        .where(col("tokens") > 0)
+        .select(col("doc_id"), col("tokens"), col("start"),
+          floor(col("start") / lit(512.0)).cast("long").as("first_chunk"),
+          floor((col("start") + col("tokens") - lit(1)) / lit(512.0)).cast("long").as("last_chunk"))
         .orderBy(col("doc_id"))
     }
   )

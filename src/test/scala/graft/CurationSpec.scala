@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Curation
+import graft.sources.Catalog
+
+/** Contracts for the corpus-curation stages that the SQL oracles
+  * can't express: partition-count invariance of the distributed
+  * prefix sum, stability of hash-based assignment under corpus
+  * edits, and the mixture/cap bounds.
+  */
+class CurationSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def docs = Catalog.table(spark, sfDir, "documents")
+
+  test("packOffsets equals the single-window prefix sum at any partition count") {
+    val tok = docs.select(col("doc_id"), (col("n_chars") % 97 + 1).as("tokens"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val expected = tok
+      .select(col("doc_id"), coalesce(sum("tokens").over(w), lit(0L)).as("start"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Curation.packOffsets(tok, "doc_id", "tokens", parts)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expected, s"prefix sums diverge at parts=$parts")
+    }
+  }
+
+  test("packOffsets total equals the sum of tokens and starts are strictly increasing") {
+    val tok = docs.select(col("doc_id"), (col("n_chars") % 97 + 1).as("tokens"))
+    val rows = Curation.packOffsets(tok, "doc_id", "tokens", 8)
+      .orderBy("doc_id").collect()
+    val totalTokens = tok.agg(sum("tokens")).head().getLong(0)
+    val last = rows.last
+    assert(last.getLong(2) + last.getLong(1) == totalTokens)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(2) + a.getLong(1),
+        "each start must be the previous start + previous tokens")
+    }
+  }
+
+  test("hashSplit assignment is per-doc stable under corpus edits") {
+    val full = docs.select(col("doc_id"),
+      Curation.hashSplit(docs, col("doc_id")).as("split"))
+    val half = docs.where(col("doc_id") % 2 === 0)
+    val halfSplit = half.select(col("doc_id"),
+      Curation.hashSplit(half, col("doc_id")).as("split"))
+    val fullMap = full.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    halfSplit.collect().foreach { r =>
+      assert(fullMap(r.getLong(0)) == r.getString(1),
+        s"doc ${r.getLong(0)} flipped split when other docs were removed")
+    }
+    val frac = full.where(col("split") === "train").count().toDouble /
+      full.count().toDouble
+    assert(frac > 0.72 && frac < 0.88, s"train fraction $frac far from 205/256")
+  }
+
+  test("mixtureSample accept rate tracks min(1, w*total/cnt) per source") {
+    val sampled = Curation.mixtureSample(docs, col("doc_id"), col("source"),
+      Map("src0" -> 0.04), defaultWeight = 0.01)
+    val perSrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = perSrc.values.sum.toDouble
+    val kept = sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, w) <- Seq("src0" -> 0.04, "src7" -> 0.01)) {
+      val rate = math.min(1.0, w * total / perSrc(src))
+      val got = kept.getOrElse(src, 0L).toDouble / perSrc(src)
+      // 16-bit hash threshold: binomial noise at n=25 docs is wide,
+      // just require the right ballpark and the cap
+      assert(got <= 1.0 && math.abs(got - rate) < 0.35,
+        s"$src kept fraction $got vs target rate $rate")
+    }
+  }
+
+  test("sourceCap keeps at most K per source and exactly the quality top-K") {
+    val capped = Curation.sourceCap(docs, col("source"), cap = 5,
+      col("n_chars").desc, col("doc_id"))
+    val sizes = capped.groupBy("source").count().collect()
+    sizes.foreach(r => assert(r.getLong(1) <= 5, s"${r.getString(0)} over cap"))
+    // top-5 of one source by (n_chars desc, doc_id) must match exactly
+    val src = "src3"
+    val expect = docs.where(col("source") === src)
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(5).select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = capped.where(col("source") === src)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+  }
+}
