@@ -52,6 +52,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Brute-force top-k over an int8-QUANTIZED corpus
+    * ([[graft.plans.Quantization]]): per-vector max-abs scales cancel
+    * in cosine, so search runs entirely on 4×-smaller byte vectors
+    * with an integer inner loop — the memory/bandwidth shape that
+    * matters when the corpus is 100 TB. Same plan skeleton as
+    * [[bruteForceTopK]]: scan + broadcast query + TakeOrdered, zero
+    * corpus shuffles.
+    */
+  def int8TopK(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    import graft.plans.Quantization
+    corpus
+      .select(col(idCol), Quantization.quantizeInt8(col(vecCol)).as("__q"))
+      .crossJoin(broadcast(
+        query.select(Quantization.quantizeInt8(col(queryVecCol)).as("__qq"))))
+      .select(col(idCol),
+        Quantization.int8Cosine(col("__q"), col("__qq")).as("q_cos"))
+      .orderBy(col("q_cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic random hyperplanes (seeded) for sign-LSH. */
   def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -145,6 +145,18 @@ object Pipeline {
         k = 10, nprobe = 4)
     },
 
+    // L7e: int8-quantized brute-force ANN — the corpus rides as
+    // 4×-smaller byte vectors (per-vector max-abs scales cancel in
+    // cosine) with an integer inner loop. Recall vs the exact float
+    // path is a measured contract in QuantizationSpec; rows-only here
+    // (DuckDB has no int8 vector type to oracle against).
+    QDef.rowsOnly("s07_ann_int8") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.int8TopK(
+        emb, "embedding", "vec_id",
+        emb.filter(col("vec_id") === 0), "embedding", k = 10)
+    },
+
     // L7d: BM25 full-text ranking (the reference's fts extension,
     // extension/fts/fts_indexing.cpp) — index-free scoring path,
     // hash-matched against a full brute-force BM25 in DuckDB SQL.
