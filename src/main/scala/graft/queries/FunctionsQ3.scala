@@ -416,6 +416,36 @@ object FunctionsQ3 {
         D.jaccard(col("p_name"), col("p_type")).as("jc"),
         D.jaro(col("p_name"), col("p_type")).as("js"),
         D.jaroWinkler(col("p_name"), col("p_brand")).as("jw"))
+    },
+
+    // F37: rendering / radix long tail — to_base (= conv + lpad),
+    // format_bytes + format_readable_decimal_size (custom kernels
+    // mirroring BytesToHumanReadableString's divmod ladder and
+    // truncated single decimal), bar (eighth-block unicode bars,
+    // byte-length padding quirk preserved), translate, unicode.
+    // o_orderkey is an exact integer on both sides, so every input is
+    // portable; bar's width arithmetic is *,/ on exact doubles.
+    QDef.sql("f37_render_funcs",
+      """SELECT o_orderkey,
+        |  to_base(o_orderkey % 4096, 2, 12) AS bits,
+        |  to_base(o_orderkey, 36) AS b36,
+        |  format_bytes(o_orderkey * 1000000) AS fb,
+        |  formatReadableDecimalSize(o_orderkey * 1000000) AS fd,
+        |  bar(CAST(o_orderkey % 100 AS DOUBLE) / 7.0, 0, 15, 12) AS chart,
+        |  translate(o_orderpriority, '1-5URGENT', 'x_yABCDEF') AS tr,
+        |  unicode(o_orderpriority) AS uc
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import graft.plans.Formats
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        lpad(conv((col("o_orderkey") % 4096).cast("string"), 10, 2), 12, "0").as("bits"),
+        conv(col("o_orderkey").cast("string"), 10, 36).as("b36"),
+        Formats.formatBytes(col("o_orderkey") * 1000000L).as("fb"),
+        Formats.formatReadableDecimalSize(col("o_orderkey") * 1000000L).as("fd"),
+        Formats.bar((col("o_orderkey") % 100).cast("double") / lit(7.0), 0, 15, 12).as("chart"),
+        translate(col("o_orderpriority"), "1-5URGENT", "x_yABCDEF").as("tr"),
+        ascii(col("o_orderpriority")).as("uc"))
+        .orderBy(col("o_orderkey"))
     }
   )
 }

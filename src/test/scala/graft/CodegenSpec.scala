@@ -71,4 +71,44 @@ class CodegenSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("string-distance, quantization, and render kernels under codegen-only") {
+    noFallback {
+      import graft.plans.{Formats, Quantization, StringDistances => D}
+      val part = graft.sources.Catalog.table(spark, sfDir, "part")
+      val out = part.select(
+        D.damerauLevenshtein(col("p_brand"), lit("Brand#25")).as("dl"),
+        D.hamming(substring(col("p_name"), 1, 6), substring(reverse(col("p_name")), 1, 6)).as("hm"),
+        D.jaccard(col("p_name"), col("p_type")).as("jc"),
+        D.jaro(col("p_name"), col("p_type")).as("js"),
+        D.jaroWinkler(col("p_name"), col("p_brand")).as("jw"),
+        Formats.formatBytes(col("p_partkey") * 1000000L).as("fb"),
+        Formats.bar(col("p_partkey").cast("double") % 100, 0, 100, 10).as("chart"))
+      assert(out.count() > 0)
+      val emb = graft.sources.Catalog.table(spark, sfDir, "embeddings")
+      val q = emb.select(Quantization.quantizeInt8(col("embedding")).as("q"))
+        .select(Quantization.int8Cosine(col("q"), col("q")).as("c"))
+      assert(q.filter(col("c") > 0.999).count() > 0)
+    }
+  }
+
+  test("distance kernels match known hand-computed values") {
+    // classic literature cases, byte alphabet
+    import graft.plans.StringDistanceKernels._
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(damerauLevenshtein(u("ca"), u("abc")) == 2L) // true DL (OSA gives 3)
+    assert(damerauLevenshtein(u("abcde"), u("abdce")) == 1L)
+    assert(hamming(u("abcdef"), u("abdcef")) == 2L)
+    assert(math.abs(jaro(u("martha"), u("marhta")) - 0.9444444444444445) < 1e-15)
+    assert(math.abs(jaroWinkler(u("martha"), u("marhta")) - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jaroWinkler(u("DWAYNE"), u("DUANE")) - 0.8400000000000001) < 1e-15)
+    assert(math.abs(jaccard(u("hello"), u("world")) - 0.2857142857142857) < 1e-15)
+    // format: reference ladder with truncated decimal
+    import graft.plans.FormatKernels
+    assert(FormatKernels.formatBytes(1536L, 1024L).toString == "1.5 KiB")
+    assert(FormatKernels.formatBytes(999L, 1024L).toString == "999 bytes")
+    assert(FormatKernels.formatBytes(1L, 1024L).toString == "1 byte")
+    assert(FormatKernels.formatBytes(1536000000L, 1024L).toString == "1.4 GiB")
+    assert(FormatKernels.bar(7.5, 0, 10, 10).toString == "███████▌")
+  }
 }
