@@ -104,6 +104,44 @@ case class BarChart(child: Expression, min: Double, max: Double, width: Double)
     copy(child = c)
 }
 
+/** gcd/lcm over BIGINT (reference: core_functions/scalar/math —
+  * greatest_common_divisor / least_common_multiple), absent from
+  * Spark's function surface. Euclid on magnitudes; gcd(0,0)=0.
+  */
+object IntMathKernels {
+  def gcd(a: Long, b: Long): Long = {
+    var x = math.abs(a); var y = math.abs(b)
+    while (y != 0) { val t = x % y; x = y; y = t }
+    x
+  }
+  def lcm(a: Long, b: Long): Long = {
+    if (a == 0 || b == 0) 0L
+    else math.abs(a / gcd(a, b) * b)
+  }
+}
+
+case class Gcd(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntMathKernels.gcd(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.plans.IntMathKernels.gcd($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Gcd =
+    copy(left = l, right = r)
+}
+
+case class Lcm(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntMathKernels.lcm(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.plans.IntMathKernels.lcm($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Lcm =
+    copy(left = l, right = r)
+}
+
 object Formats {
   import HashExpressions.{columnOf, exprOf}
 
@@ -111,4 +149,6 @@ object Formats {
   def formatReadableDecimalSize(c: Column): Column = columnOf(FormatBytes(exprOf(c), 1000L))
   def bar(x: Column, min: Double, max: Double, width: Double): Column =
     columnOf(BarChart(exprOf(x), min, max, width))
+  def gcd(a: Column, b: Column): Column = columnOf(Gcd(exprOf(a), exprOf(b)))
+  def lcm(a: Column, b: Column): Column = columnOf(Lcm(exprOf(a), exprOf(b)))
 }

@@ -83,7 +83,9 @@ class CodegenSpec extends AnyFunSuite {
         D.jaro(col("p_name"), col("p_type")).as("js"),
         D.jaroWinkler(col("p_name"), col("p_brand")).as("jw"),
         Formats.formatBytes(col("p_partkey") * 1000000L).as("fb"),
-        Formats.bar(col("p_partkey").cast("double") % 100, 0, 100, 10).as("chart"))
+        Formats.bar(col("p_partkey").cast("double") % 100, 0, 100, 10).as("chart"),
+        Formats.gcd(col("p_partkey"), lit(36L)).as("g"),
+        Formats.lcm(col("p_partkey"), lit(6L)).as("l"))
       assert(out.count() > 0)
       val emb = graft.sources.Catalog.table(spark, sfDir, "embeddings")
       val q = emb.select(Quantization.quantizeInt8(col("embedding")).as("q"))
