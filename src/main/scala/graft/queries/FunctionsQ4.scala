@@ -181,6 +181,32 @@ object FunctionsQ4 {
           aggregate(col("lens"), lit(0L), (a, x) => a + x).as("total"),
           array_max(col("lens")).as("mx"))
         .orderBy(col("p_partkey"))
+    },
+
+    // F42: list_grade_up — the argsort primitive (scalar/list/
+    // grade_up; APL lineage): indices that would sort the list,
+    // ties broken by original position. Spark spells it
+    // zip-with-index → sort → project index; the (value, index)
+    // struct sort is lexicographic on both engines, so tie-handling
+    // matches by construction. Joined-string rendering as in F41.
+    QDef.sql("f42_grade_up",
+      """WITH w AS (
+        |  SELECT p_partkey,
+        |    list_transform(string_split(p_name, ' '), x -> CAST(len(x) AS BIGINT)) AS lens
+        |  FROM part)
+        |SELECT p_partkey,
+        |  array_to_string(list_grade_up(lens), ',') AS grade
+        |FROM w ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val lens = transform(split(col("p_name"), " "), x => length(x).cast("long"))
+      val graded = transform(
+        array_sort(zip_with(col("lens"), sequence(lit(1), size(col("lens"))),
+          (v, i) => struct(v.as("v"), i.as("i")))),
+        x => x.getField("i"))
+      t(s, dir, "part")
+        .select(col("p_partkey"), lens.as("lens"))
+        .select(col("p_partkey"),
+          array_join(transform(graded, x => x.cast("string")), ",").as("grade"))
+        .orderBy(col("p_partkey"))
     }
   )
 }
