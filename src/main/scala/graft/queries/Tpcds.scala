@@ -124,6 +124,85 @@ object Tpcds {
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY p_type, p_partkey)
         |SELECT p_type, p_partkey, itemrev, itemrev * 100.0 / classrev AS ratio
-        |FROM r ORDER BY p_type, p_partkey""".stripMargin)
+        |FROM r ORDER BY p_type, p_partkey""".stripMargin),
+
+    // DS q11 shape: year-over-year customer growth — the aggregate
+    // CTE self-joined on entity with per-year slices; ratio filter on
+    // exactly-derived doubles.
+    mk("tpcds_q11",
+      """WITH yr AS (
+        |  SELECT o_custkey, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT a.o_custkey, a.spend AS spend_a, b.spend AS spend_b
+        |FROM yr a JOIN yr b ON a.o_custkey = b.o_custkey
+        |WHERE a.yr = 1995 AND b.yr = 1996 AND a.spend > 0 AND b.spend / a.spend > 1.5
+        |ORDER BY a.o_custkey""".stripMargin),
+
+    // DS q88 shape: one scan, many banded counts via FILTER — the
+    // multi-count pattern that replaces 8 self-joins in the original.
+    mk("tpcds_q88",
+      """SELECT
+        |  COUNT(*) FILTER (WHERE l_quantity < 10) AS band1,
+        |  COUNT(*) FILTER (WHERE l_quantity >= 10 AND l_quantity < 20) AS band2,
+        |  COUNT(*) FILTER (WHERE l_quantity >= 20 AND l_quantity < 30) AS band3,
+        |  COUNT(*) FILTER (WHERE l_quantity >= 30 AND l_quantity < 40) AS band4,
+        |  COUNT(*) FILTER (WHERE l_quantity >= 40) AS band5,
+        |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS hi_disc,
+        |  COUNT(*) FILTER (WHERE l_returnflag = 'R') AS returned
+        |FROM lineitem""".stripMargin),
+
+    // DS q23 shape: frequent items ∩ best customers — two HAVING
+    // CTEs driving IN-subquery semi-joins into the fact scan.
+    mk("tpcds_q23",
+      """WITH freq AS (
+        |  SELECT l_partkey FROM lineitem
+        |  GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) > 3),
+        |best AS (
+        |  SELECT o_custkey FROM orders
+        |  GROUP BY o_custkey
+        |  HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 400000),
+        |j AS (
+        |  SELECT l_partkey, o_custkey, l_extendedprice
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sales,
+        |       COUNT(*) AS n_lines
+        |FROM j
+        |WHERE l_partkey IN (SELECT l_partkey FROM freq)
+        |  AND o_custkey IN (SELECT o_custkey FROM best)""".stripMargin),
+
+    // DS q59 shape: same-month sales ratio across consecutive years
+    // per nation (aggregate CTE self-join keyed on (entity, month)).
+    mk("tpcds_q59",
+      """WITH m AS (
+        |  SELECT c_nationkey AS nk, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        |         CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT a.nk, a.mo, a.sales AS sales_a, b.sales AS sales_b,
+        |       b.sales / a.sales AS ratio
+        |FROM m a JOIN m b ON a.nk = b.nk AND a.mo = b.mo
+        |WHERE a.yr = 1995 AND b.yr = 1996
+        |ORDER BY a.nk, a.mo""".stripMargin),
+
+    // DS q67 shape: ROLLUP hierarchy + rank-within-nation over it —
+    // subtotal rows (NULL brand) rank alongside leaves.
+    mk("tpcds_q67",
+      """WITH agg AS (
+        |  SELECT n_name, p_brand,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY ROLLUP(n_name, p_brand)),
+        |rk AS (
+        |  SELECT n_name, p_brand, sales,
+        |         RANK() OVER (PARTITION BY n_name ORDER BY sales DESC) AS rnk
+        |  FROM agg WHERE n_name IS NOT NULL)
+        |SELECT n_name, p_brand, sales, rnk
+        |FROM rk WHERE rnk <= 3
+        |ORDER BY n_name, rnk, p_brand""".stripMargin)
   )
 }
