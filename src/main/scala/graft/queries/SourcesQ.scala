@@ -63,6 +63,27 @@ object SourcesQ {
         .orderBy(col("o_orderstatus"))
     },
 
+    // S14: Delta Lake round-trip (sources/DeltaLake.scala — the
+    // reference's delta extension as a native transaction log). The
+    // snapshot SEMANTICS are what the oracle checks: append the full
+    // table, then OVERWRITE with the doc_id<250 slice — the read-back
+    // must see only the overwrite (old files still on disk, log stops
+    // naming them), hash-matching the oracle's filtered aggregate.
+    QDef.sql("s14_delta_scan",
+      """SELECT source, COUNT(*) AS n, SUM(n_chars) AS chars
+        |FROM documents WHERE doc_id < 250
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import graft.sources.DeltaLake
+      val path = tmp("graft_delta")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+      DeltaLake.append(s, docs, path)
+      DeltaLake.overwrite(s, docs.where(col("doc_id") < 250), path)
+      DeltaLake.read(s, path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("source"))
+    },
+
     // S3: JSON lines round-trip.
     QDef.sql("s03_json_roundtrip",
       """SELECT c_mktsegment, COUNT(*) AS n,

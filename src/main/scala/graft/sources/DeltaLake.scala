@@ -1,0 +1,186 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Minimal Delta Lake transaction log — the Spark-native analog of the
+  * reference's delta extension (reference: extension/delta/src/
+  * delta_functions.cpp `delta_scan`), built directly on the PUBLIC
+  * Delta protocol: a table is a directory of parquet files plus
+  * `_delta_log/<20-digit version>.json` commits, each a newline list
+  * of actions (`protocol` / `metaData` / `add` / `remove`). The
+  * current snapshot is the log replay: union of adds minus removes,
+  * in version order.
+  *
+  * What this buys over a bare parquet directory, at any scale:
+  * - **Atomic visibility**: readers only see files named by a
+  *   committed version — a crashed writer leaves invisible orphans,
+  *   never a torn table (the swap-in-place DML layer cannot say that).
+  * - **Overwrite without delete**: old files stay on disk; the commit
+  *   just stops referencing them. That makes overwrite O(#files)
+  *   metadata work, not data work.
+  * - **Time travel**: `read(.., versionAsOf = Some(n))` replays the
+  *   prefix of the log — audit/repro for free.
+  *
+  * Single-writer by design (no optimistic-concurrency loop); the
+  * schema rides in `metaData.schemaString`, which the Delta protocol
+  * defines as Spark's own schema JSON — zero translation here.
+  * Partitioned tables are out of scope and fail fast on read.
+  */
+object DeltaLake {
+  private val mapper = new ObjectMapper
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logPath(table: String) = new Path(table, "_delta_log")
+
+  private def versionFile(table: String, v: Long) =
+    new Path(logPath(table), f"$v%020d.json")
+
+  /** Highest committed version, or -1 for a fresh table. */
+  def latestVersion(spark: SparkSession, table: String): Long = {
+    val dir = logPath(table)
+    val hfs = fs(spark, dir)
+    if (!hfs.exists(dir)) return -1L
+    hfs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Replay the log through `versionAsOf` (default: all). Returns
+    * (live file relative paths in first-add order, schema).
+    */
+  private def replay(spark: SparkSession, table: String,
+      versionAsOf: Option[Long]): (Seq[String], StructType) = {
+    val last = latestVersion(spark, table)
+    require(last >= 0, s"not a delta table (no _delta_log): $table")
+    val upTo = versionAsOf.getOrElse(last)
+    require(upTo <= last, s"versionAsOf $upTo > latest $last")
+    val hfs = fs(spark, logPath(table))
+    val live = mutable.LinkedHashMap.empty[String, Boolean]
+    var schema: StructType = null
+    var v = 0L
+    while (v <= upTo) {
+      val in = hfs.open(versionFile(table, v))
+      val content = try {
+        new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      } finally in.close()
+      content.split("\n").iterator.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("metaData")) {
+          val md = node.get("metaData")
+          val parts = md.get("partitionColumns")
+          require(parts == null || parts.size() == 0,
+            s"partitioned delta tables unsupported: $table")
+          schema = DataType.fromJson(md.get("schemaString").asText).asInstanceOf[StructType]
+        }
+        if (node.has("add")) live += node.get("add").get("path").asText -> true
+        if (node.has("remove")) live -= node.get("remove").get("path").asText
+      }
+      v += 1
+    }
+    require(schema != null, s"no metaData action in log: $table")
+    (live.keys.toSeq, schema)
+  }
+
+  /** Snapshot read — only files the log names, never strays. */
+  def read(spark: SparkSession, table: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val (files, schema) = replay(spark, table, versionAsOf)
+    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(f => new Path(table, f).toString): _*)
+  }
+
+  private def writeActions(spark: SparkSession, table: String, v: Long,
+      actions: Seq[ObjectNode]): Unit = {
+    val target = versionFile(table, v)
+    val hfs = fs(spark, target)
+    hfs.mkdirs(logPath(table))
+    // createFile w/o overwrite: committing an existing version fails
+    // loudly instead of clobbering history (single-writer guard)
+    val out = hfs.create(target, false)
+    try out.write(actions.map(mapper.writeValueAsString).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def metaActions(df: DataFrame, table: String): Seq[ObjectNode] = {
+    val protocol = mapper.createObjectNode
+    protocol.putObject("protocol").put("minReaderVersion", 1).put("minWriterVersion", 2)
+    val meta = mapper.createObjectNode
+    val md = meta.putObject("metaData")
+    md.put("id", java.util.UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString)
+    md.putObject("format").put("provider", "parquet").putObject("options")
+    md.put("schemaString", df.schema.json)
+    md.putArray("partitionColumns")
+    md.put("createdTime", 0L)
+    md.putObject("configuration")
+    Seq(protocol, meta)
+  }
+
+  /** Write df's rows as new parquet files inside the table dir and
+    * return their (relative path, size) — the files exist but are
+    * INVISIBLE until a commit names them.
+    */
+  private def stageFiles(spark: SparkSession, df: DataFrame,
+      table: String): Seq[(String, Long)] = {
+    val root = new Path(table)
+    val hfs = fs(spark, root)
+    def dataFiles(): Set[String] = {
+      if (!hfs.exists(root)) return Set.empty
+      hfs.listStatus(root).iterator
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName).toSet
+    }
+    val before = dataFiles()
+    df.write.mode("append").parquet(table)
+    val added = (dataFiles() -- before).toSeq.sorted
+    added.map(n => n -> hfs.getFileStatus(new Path(root, n)).getLen)
+  }
+
+  private def addAction(path: String, size: Long): ObjectNode = {
+    val n = mapper.createObjectNode
+    val add = n.putObject("add")
+    add.put("path", path).put("size", size)
+      .put("modificationTime", 0L).put("dataChange", true)
+    add.putObject("partitionValues")
+    n
+  }
+
+  private def removeAction(path: String): ObjectNode = {
+    val n = mapper.createObjectNode
+    n.putObject("remove").put("path", path)
+      .put("deletionTimestamp", 0L).put("dataChange", true)
+    n
+  }
+
+  /** Append commit: stage files, then one atomic log entry. */
+  def append(spark: SparkSession, df: DataFrame, table: String): Long = {
+    val v = latestVersion(spark, table) + 1
+    val staged = stageFiles(spark, df, table)
+    val head = if (v == 0) metaActions(df, table) else Nil
+    writeActions(spark, table, v, head ++ staged.map((addAction _).tupled))
+    v
+  }
+
+  /** Overwrite commit: remove every live file, add the staged ones —
+    * pure metadata; old files stay on disk for time travel.
+    */
+  def overwrite(spark: SparkSession, df: DataFrame, table: String): Long = {
+    val prior = latestVersion(spark, table)
+    val removes =
+      if (prior < 0) Nil
+      else replay(spark, table, None)._1.map(removeAction)
+    val v = prior + 1
+    val staged = stageFiles(spark, df, table)
+    val head = if (v == 0) metaActions(df, table) else Nil
+    writeActions(spark, table, v, head ++ removes ++ staged.map((addAction _).tupled))
+    v
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Catalog, DeltaLake}
+
+/** Transaction-log contracts for the minimal Delta analog: snapshot
+  * isolation from uncommitted/stale files, overwrite-as-metadata,
+  * time travel, and single-writer commit protection.
+  */
+class DeltaLakeSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def freshTable(name: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_delta_$name"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    dir
+  }
+
+  private def docs = Catalog.table(spark, sfDir, "documents")
+
+  test("append commits accumulate; overwrite replaces the snapshot") {
+    val t = freshTable("basic")
+    val a = docs.where(col("doc_id") < 100).select("doc_id", "source")
+    val b = docs.where(col("doc_id") >= 100 && col("doc_id") < 150).select("doc_id", "source")
+    assert(DeltaLake.append(spark, a, t) == 0L)
+    assert(DeltaLake.append(spark, b, t) == 1L)
+    assert(DeltaLake.read(spark, t).count() == a.count() + b.count())
+    val c = docs.where(col("doc_id") >= 400).select("doc_id", "source")
+    assert(DeltaLake.overwrite(spark, c, t) == 2L)
+    assert(DeltaLake.read(spark, t).count() == c.count())
+    // overwrite is metadata-only: the version-0/1 parquet files remain
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(t))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val live = DeltaLake.read(spark, t).inputFiles.length
+    assert(nFiles > live, s"expected stale files kept on disk ($nFiles vs $live live)")
+  }
+
+  test("time travel replays the log prefix") {
+    val t = freshTable("tt")
+    val a = docs.where(col("doc_id") < 50).select("doc_id")
+    val b = docs.where(col("doc_id") >= 50 && col("doc_id") < 80).select("doc_id")
+    DeltaLake.append(spark, a, t)
+    DeltaLake.append(spark, b, t)
+    DeltaLake.overwrite(spark, docs.limit(3).select("doc_id"), t)
+    assert(DeltaLake.read(spark, t, versionAsOf = Some(0L)).count() == a.count())
+    assert(DeltaLake.read(spark, t, versionAsOf = Some(1L)).count() == a.count() + b.count())
+    assert(DeltaLake.read(spark, t).count() == 3)
+    assert(DeltaLake.latestVersion(spark, t) == 2L)
+  }
+
+  test("snapshot ignores files the log does not name") {
+    val t = freshTable("stray")
+    DeltaLake.append(spark, docs.limit(10).select("doc_id"), t)
+    val before = DeltaLake.read(spark, t).count()
+    // a crashed writer's orphan: parquet on disk, never committed
+    docs.limit(7).select("doc_id").write.mode("append").parquet(t)
+    assert(DeltaLake.read(spark, t).count() == before,
+      "uncommitted parquet files must stay invisible")
+    // while a bare directory read sees the torn state
+    assert(spark.read.parquet(t).count() == before + 7)
+  }
+
+  test("schema rides the log and survives empty snapshots") {
+    val t = freshTable("schema")
+    val df = docs.limit(5).select(col("doc_id"), col("n_chars").as("len"))
+    DeltaLake.append(spark, df, t)
+    DeltaLake.overwrite(spark, df.where(lit(false)), t)
+    val empty = DeltaLake.read(spark, t)
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSeq == Seq("doc_id", "len"))
+  }
+
+  test("foreign commits are never clobbered — new commits sequence past them") {
+    val t = freshTable("guard")
+    DeltaLake.append(spark, docs.limit(5).select("doc_id"), t)
+    // another writer landed version 1 (empty commit) out-of-band
+    val p = new org.apache.hadoop.fs.Path(s"$t/_delta_log/${"0" * 19}1.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, false)
+    out.write("{}".getBytes("UTF-8")); out.close()
+    // next append must observe it and take version 2, leaving v1 intact
+    assert(DeltaLake.append(spark, docs.limit(3).select("doc_id"), t) == 2L)
+    assert(fs.getFileStatus(p).getLen == 2L, "foreign commit file rewritten")
+    assert(DeltaLake.read(spark, t).count() == 8)
+  }
+}
