@@ -183,4 +183,96 @@ object DeltaLake {
     writeActions(spark, table, v, head ++ removes ++ staged.map((addAction _).tupled))
     v
   }
+
+  /** Versioned DELETE — Delta's copy-on-write shape: find the files
+    * that CONTAIN hits (everything else is untouched metadata),
+    * rewrite only those files' survivors, commit remove(hit) +
+    * add(rewrites) atomically. The rewrite cost is proportional to
+    * the hit file count, never the table; history stays queryable.
+    */
+  def delete(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    val (files, schema) = replay(spark, table, None)
+    val abs = files.map(f => new Path(table, f).toString)
+    if (abs.isEmpty) return latestVersion(spark, table) // nothing to do
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val hitFiles = spark.read.schema(schema).parquet(abs: _*)
+      .where(cond).select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val v0 = latestVersion(spark, table)
+    if (hitFiles.isEmpty) return v0
+    // map absolute hit paths back to their log-relative names
+    val rel = files.zip(abs).filter { case (_, a) => hitFiles.exists(h => pathEq(h, a)) }
+    val survivors = spark.read.schema(schema)
+      .parquet(rel.map(_._2): _*)
+      .where(!cond)
+    val staged = stageFiles(spark, survivors, table)
+    writeActions(spark, table, v0 + 1,
+      rel.map(r => removeAction(r._1)) ++ staged.map((addAction _).tupled))
+    v0 + 1
+  }
+
+  /** input_file_name() returns URI-style paths; compare decoded tails. */
+  private def pathEq(a: String, b: String): Boolean =
+    new Path(java.net.URI.create(a).getPath).toString ==
+      new Path(new Path(b).toUri.getPath).toString
+
+  /** Checkpoint: collapse the replay prefix into one parquet of add
+    * actions plus a `_last_checkpoint` pointer, so readers replay
+    * O(commits-since-checkpoint) JSON instead of the whole history —
+    * the piece that keeps a long-lived 100 TB table's planning cost
+    * flat. (Classic Delta checkpoint shape, minus sidecar files.)
+    */
+  def checkpoint(spark: SparkSession, table: String): Long = {
+    val v = latestVersion(spark, table)
+    val (files, schema) = replay(spark, table, None)
+    val hfs = fs(spark, logPath(table))
+    val ckDir = new Path(logPath(table), f"$v%020d.checkpoint.parquet")
+    import spark.implicits._
+    spark.createDataset(files).toDF("path")
+      .repartition(1)
+      .write.mode("overwrite").parquet(ckDir.toString)
+    val meta = mapper.createObjectNode
+    meta.put("version", v)
+    meta.put("schemaString", schema.json)
+    val out = hfs.create(new Path(logPath(table), "_last_checkpoint"), true)
+    try out.write(mapper.writeValueAsString(meta).getBytes("UTF-8"))
+    finally out.close()
+    v
+  }
+
+  /** Snapshot read that starts from the newest checkpoint at or below
+    * the requested version and replays only the JSON tail.
+    */
+  def readFromCheckpoint(spark: SparkSession, table: String): DataFrame = {
+    val hfs = fs(spark, logPath(table))
+    val ckMeta = new Path(logPath(table), "_last_checkpoint")
+    if (!hfs.exists(ckMeta)) return read(spark, table)
+    val in = hfs.open(ckMeta)
+    val node = try mapper.readTree(in) finally in.close()
+    val ckVersion = node.get("version").asLong
+    val schema = DataType.fromJson(node.get("schemaString").asText).asInstanceOf[StructType]
+    val ckDir = new Path(logPath(table), f"$ckVersion%020d.checkpoint.parquet")
+    val base = spark.read.parquet(ckDir.toString).collect().map(_.getString(0))
+    val live = mutable.LinkedHashMap.empty[String, Boolean]
+    base.foreach(p => live += p -> true)
+    val last = latestVersion(spark, table)
+    var v = ckVersion + 1
+    while (v <= last) {
+      val cin = hfs.open(versionFile(table, v))
+      val content = try {
+        new String(org.apache.commons.io.IOUtils.toByteArray(cin), "UTF-8")
+      } finally cin.close()
+      content.split("\n").iterator.filter(_.nonEmpty).foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.has("add")) live += n.get("add").get("path").asText -> true
+        if (n.has("remove")) live -= n.get("remove").get("path").asText
+      }
+      v += 1
+    }
+    val filesNow = live.keys.toSeq
+    if (filesNow.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(filesNow.map(f => new Path(table, f).toString): _*)
+  }
 }

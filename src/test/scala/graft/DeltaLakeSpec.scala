@@ -76,6 +76,37 @@ class DeltaLakeSpec extends AnyFunSuite {
     assert(empty.schema.fieldNames.toSeq == Seq("doc_id", "len"))
   }
 
+  test("versioned delete rewrites only hit files and keeps history") {
+    val t = freshTable("del")
+    val a = docs.where(col("doc_id") < 100).select("doc_id", "source")
+    val b = docs.where(col("doc_id") >= 100 && col("doc_id") < 200).select("doc_id", "source")
+    DeltaLake.append(spark, a, t)
+    DeltaLake.append(spark, b, t)
+    val total = a.count() + b.count()
+    val hits = DeltaLake.read(spark, t).where(col("doc_id") % 10 === 3).count()
+    assert(hits > 0)
+    val v = DeltaLake.delete(spark, t, col("doc_id") % 10 === 3)
+    assert(v == 2L)
+    assert(DeltaLake.read(spark, t).count() == total - hits)
+    assert(DeltaLake.read(spark, t).where(col("doc_id") % 10 === 3).count() == 0)
+    // pre-delete snapshot still intact
+    assert(DeltaLake.read(spark, t, versionAsOf = Some(1L)).count() == total)
+    // deleting nothing commits nothing
+    assert(DeltaLake.delete(spark, t, col("doc_id") < 0) == 2L)
+  }
+
+  test("checkpoint collapses replay; tail commits still apply") {
+    val t = freshTable("ck")
+    DeltaLake.append(spark, docs.where(col("doc_id") < 60).select("doc_id"), t)
+    DeltaLake.append(spark, docs.where(col("doc_id") >= 60 && col("doc_id") < 90).select("doc_id"), t)
+    DeltaLake.checkpoint(spark, t)
+    // a post-checkpoint commit that must layer on top of the checkpoint
+    DeltaLake.append(spark, docs.where(col("doc_id") >= 400).select("doc_id"), t)
+    val full = DeltaLake.read(spark, t).count()
+    assert(DeltaLake.readFromCheckpoint(spark, t).count() == full)
+    assert(full == docs.where(col("doc_id") < 90 || col("doc_id") >= 400).count())
+  }
+
   test("foreign commits are never clobbered — new commits sequence past them") {
     val t = freshTable("guard")
     DeltaLake.append(spark, docs.limit(5).select("doc_id"), t)
