@@ -212,6 +212,25 @@ object DeltaLake {
     v0 + 1
   }
 
+  /** OPTIMIZE analog: rewrite the current snapshot's many small files
+    * into `targetFiles` larger ones and commit remove(all)+add(new) —
+    * values unchanged (a reader at this version or the last sees the
+    * same rows), but scan planning drops from O(small files) to
+    * O(target). History before the compaction stays time-travelable.
+    */
+  def compact(spark: SparkSession, table: String, targetFiles: Int = 1): Long = {
+    val (files, schema) = replay(spark, table, None)
+    val v0 = latestVersion(spark, table)
+    if (files.size <= targetFiles) return v0
+    val snapshot = spark.read.schema(schema)
+      .parquet(files.map(f => new Path(table, f).toString): _*)
+      .repartition(targetFiles)
+    val staged = stageFiles(spark, snapshot, table)
+    writeActions(spark, table, v0 + 1,
+      files.map(removeAction) ++ staged.map((addAction _).tupled))
+    v0 + 1
+  }
+
   /** input_file_name() returns URI-style paths; compare decoded tails. */
   private def pathEq(a: String, b: String): Boolean =
     new Path(java.net.URI.create(a).getPath).toString ==

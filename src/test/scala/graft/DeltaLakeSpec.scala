@@ -107,6 +107,26 @@ class DeltaLakeSpec extends AnyFunSuite {
     assert(full == docs.where(col("doc_id") < 90 || col("doc_id") >= 400).count())
   }
 
+  test("compact rewrites the snapshot into fewer files, values unchanged") {
+    val t = freshTable("opt")
+    for (lo <- Seq(0, 100, 200, 300)) {
+      DeltaLake.append(spark,
+        docs.where(col("doc_id") >= lo && col("doc_id") < lo + 100)
+          .select("doc_id", "n_chars").repartition(4), t)
+    }
+    val before = DeltaLake.read(spark, t)
+    val sumBefore = before.agg(sum("n_chars")).head().getLong(0)
+    val filesBefore = before.inputFiles.length
+    assert(filesBefore >= 8)
+    val v = DeltaLake.compact(spark, t, targetFiles = 2)
+    val after = DeltaLake.read(spark, t)
+    assert(after.inputFiles.length <= 2)
+    assert(after.agg(sum("n_chars")).head().getLong(0) == sumBefore)
+    assert(after.count() == before.count())
+    // pre-compaction version still reads the old layout
+    assert(DeltaLake.read(spark, t, versionAsOf = Some(v - 1)).count() == before.count())
+  }
+
   test("foreign commits are never clobbered — new commits sequence past them") {
     val t = freshTable("guard")
     DeltaLake.append(spark, docs.limit(5).select("doc_id"), t)
