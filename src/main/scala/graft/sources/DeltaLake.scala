@@ -231,6 +231,98 @@ object DeltaLake {
     v0 + 1
   }
 
+  /** Highest committed `txn` version for an application id, or -1.
+    * The txn action is the Delta protocol's idempotence handle: a
+    * writer that tags each commit with (appId, monotonically
+    * increasing version) can be re-run safely — re-delivered work is
+    * recognized and skipped.
+    */
+  def lastTxnVersion(spark: SparkSession, table: String, appId: String): Long = {
+    val last = latestVersion(spark, table)
+    if (last < 0) return -1L
+    val hfs = fs(spark, logPath(table))
+    var best = -1L
+    var v = 0L
+    while (v <= last) {
+      val in = hfs.open(versionFile(table, v))
+      val content = try {
+        new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      } finally in.close()
+      content.split("\n").iterator.filter(_.nonEmpty).foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.has("txn") && n.get("txn").get("appId").asText == appId)
+          best = math.max(best, n.get("txn").get("version").asLong)
+      }
+      v += 1
+    }
+    best
+  }
+
+  /** Append exactly once per (appId, txnVersion): re-delivery of an
+    * already-committed version is a silent no-op. Returns the delta
+    * version committed, or -1 when skipped.
+    */
+  def appendIdempotent(spark: SparkSession, df: DataFrame, table: String,
+      appId: String, txnVersion: Long): Long = {
+    if (txnVersion <= lastTxnVersion(spark, table, appId)) return -1L
+    val v = latestVersion(spark, table) + 1
+    val staged = stageFiles(spark, df, table)
+    val head = if (v == 0) metaActions(df, table) else Nil
+    val txn = mapper.createObjectNode
+    txn.putObject("txn").put("appId", appId).put("version", txnVersion)
+    writeActions(spark, table, v, head ++ Seq(txn) ++ staged.map((addAction _).tupled))
+    v
+  }
+
+  /** Streaming sink: each micro-batch lands as one atomic, idempotent
+    * delta commit (foreachBatch + txn(appId, batchId)). A restart
+    * from the same checkpoint re-delivers at most the last batch,
+    * which the txn ledger recognizes and drops — exactly-once into a
+    * transactional table, downstream readers never see a torn batch.
+    */
+  def streamTo(df: DataFrame, table: String, checkpointDir: String,
+      appId: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendIdempotent(batch.sparkSession, batch, table, appId, batchId)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** VACUUM: physically delete data files no snapshot in the retained
+    * version window references. Reclaims the space overwrite/delete/
+    * compact deliberately left behind; time travel older than the
+    * window dies with it (the classic Delta trade, made explicit by
+    * `retainLast`).
+    */
+  def vacuum(spark: SparkSession, table: String, retainLast: Int = 1): Long = {
+    require(retainLast >= 1, "must retain at least the current snapshot")
+    val last = latestVersion(spark, table)
+    require(last >= 0, s"not a delta table: $table")
+    val keep = mutable.Set.empty[String]
+    var v = math.max(0L, last - retainLast + 1)
+    while (v <= last) {
+      keep ++= replay(spark, table, Some(v))._1
+      v += 1
+    }
+    val root = new Path(table)
+    val hfs = fs(spark, root)
+    var removed = 0L
+    hfs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.endsWith(".parquet") && !keep.contains(n)) {
+        hfs.delete(st.getPath, false); removed += 1
+      }
+    }
+    removed
+  }
+
   /** input_file_name() returns URI-style paths; compare decoded tails. */
   private def pathEq(a: String, b: String): Boolean =
     new Path(java.net.URI.create(a).getPath).toString ==

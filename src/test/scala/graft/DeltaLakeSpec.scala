@@ -127,6 +127,42 @@ class DeltaLakeSpec extends AnyFunSuite {
     assert(DeltaLake.read(spark, t, versionAsOf = Some(v - 1)).count() == before.count())
   }
 
+  test("streaming sink: exactly-once batches survive a checkpoint restart") {
+    val t = freshTable("stream")
+    val src = java.nio.file.Files.createTempDirectory("graft_dstream_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dstream_ck").toString
+    val events = Catalog.table(spark, sfDir, "events")
+    events.write.mode("overwrite").parquet(src)
+    def stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .select("event_id", "user_id", "event_type")
+    graft.sources.DeltaLake.streamTo(stream, t, ckpt, appId = "dstream").stop()
+    val want = events.count()
+    assert(DeltaLake.read(spark, t).count() == want)
+    // restart over the drained checkpoint: no duplicate commits
+    graft.sources.DeltaLake.streamTo(stream, t, ckpt, appId = "dstream").stop()
+    assert(DeltaLake.read(spark, t).count() == want, "restart duplicated rows")
+    // explicit re-delivery of an old batch id is a silent no-op
+    val before = DeltaLake.latestVersion(spark, t)
+    assert(DeltaLake.appendIdempotent(spark, events.limit(5).select("event_id", "user_id", "event_type"),
+      t, "dstream", txnVersion = 0L) == -1L)
+    assert(DeltaLake.latestVersion(spark, t) == before)
+  }
+
+  test("vacuum reclaims unreferenced files; the retained snapshot is untouched") {
+    val t = freshTable("vac")
+    DeltaLake.append(spark, docs.where(col("doc_id") < 200).select("doc_id"), t)
+    DeltaLake.overwrite(spark, docs.where(col("doc_id") >= 300).select("doc_id"), t)
+    val want = DeltaLake.read(spark, t).count()
+    val removed = DeltaLake.vacuum(spark, t, retainLast = 1)
+    assert(removed > 0, "overwrite leftovers should be reclaimed")
+    assert(DeltaLake.read(spark, t).count() == want)
+    // version 0's files are gone — time travel there now fails
+    intercept[Exception] {
+      DeltaLake.read(spark, t, versionAsOf = Some(0L)).count()
+    }
+  }
+
   test("foreign commits are never clobbered — new commits sequence past them") {
     val t = freshTable("guard")
     DeltaLake.append(spark, docs.limit(5).select("doc_id"), t)
