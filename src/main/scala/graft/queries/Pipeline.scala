@@ -440,6 +440,63 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // L21: cross-document repeated n-grams — the exact-substring
+    // signal of Lee et al.'s training-data dedup, bounded to 3-gram
+    // granularity: for each doc, how many of its distinct grams occur
+    // in at least one OTHER document (ppm). Shape that scales: one
+    // (doc, gram) dedup, one gram-frequency aggregate, one
+    // gram-co-partitioned join back — the inverted-index plan, never
+    // doc×doc pairs.
+    QDef.sql("p05_crossdoc_grams",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+        |  FROM toks, LATERAL unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i)),
+        |dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+        |freq AS (SELECT gram, COUNT(*) AS nd FROM dg GROUP BY gram),
+        |per_doc AS (
+        |  SELECT d.doc_id, COUNT(*) AS n_grams,
+        |         SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS n_crossdoc
+        |  FROM dg d JOIN freq f ON d.gram = f.gram GROUP BY d.doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(n_crossdoc AS BIGINT) AS n_crossdoc,
+        |  CAST((n_crossdoc * 1000000) // n_grams AS BIGINT) AS crossdoc_ppm
+        |FROM per_doc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("w"))
+      val dg = toks.filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+          .as("gram"))
+        .dropDuplicates("doc_id", "gram")
+      val freq = dg.groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+      dg.join(freq, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_crossdoc"))
+        .select(col("doc_id"), col("n_grams"), col("n_crossdoc"),
+          expr("(n_crossdoc * 1000000) div n_grams").as("crossdoc_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    // L22: distributed k-means over embeddings — Lloyd iterations
+    // with shuffle-free assignment (broadcast centroid projection)
+    // and one k·dim aggregation per iteration; rows-only (iterative
+    // float fit has no SQL oracle), contracts in ClusteringSpec.
+    QDef.rowsOnly("p06_kmeans") { (s, dir) =>
+      import graft.llm.Clustering
+      val emb = t(s, dir, "embeddings")
+      val fit = Clustering.kmeans(emb, "embedding", "vec_id", k = 8, maxIters = 5)
+      Clustering.assign(emb, "embedding", "vec_id", fit.centroids)
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_members"),
+          avg(col("cos_to_centroid")).as("avg_cohesion"))
+        .orderBy(col("centroid_id"))
+    },
+
     // L17: deterministic train/val/test split — each doc follows its
     // md5 bucket forever (adding/removing other docs never flips an
     // assignment, unlike rand() or ntile). Map-only; md5 is portable
