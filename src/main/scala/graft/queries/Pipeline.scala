@@ -465,15 +465,19 @@ object Pipeline {
         |  CAST(n_crossdoc AS BIGINT) AS n_crossdoc,
         |  CAST((n_crossdoc * 1000000) // n_grams AS BIGINT) AS crossdoc_ppm
         |FROM per_doc ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = t(s, dir, "documents").select(col("doc_id"),
-        filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("w"))
-      val dg = toks.filter(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(w)-2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
-          .as("gram"))
-        .dropDuplicates("doc_id", "gram")
-      val freq = dg.groupBy(col("gram")).agg(count(lit(1)).as("nd"))
-      dg.join(freq, Seq("gram"))
+      // gram IDENTITY rides as the 64-bit hash of WordNgramHashes
+      // (same whitespace+lowercase tokenization as the oracle's
+      // lower+split — the d04/t08-proven equivalence), already
+      // DISTINCT per doc at the kernel: one map-side pass replaces
+      // split + transform + explode + dropDuplicates, and the two
+      // remaining shuffles carry (id, int64) instead of gram strings.
+      // Collisions at 64 bits are ~1e-10 at gate scale.
+      val dg = t(s, dir, "documents").select(col("doc_id"),
+        explode(graft.plans.HashExpressions.columnOf(
+          graft.plans.WordNgramHashes(
+            graft.plans.HashExpressions.exprOf(col("text")), 3))).as("gh"))
+      val freq = dg.groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      dg.join(freq, Seq("gh"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_crossdoc"))
