@@ -98,6 +98,61 @@ object DeltaLake {
     else spark.read.schema(schema).parquet(files.map(f => new Path(table, f).toString): _*)
   }
 
+  /** Data-skipping read: prune files whose logged [min, max] interval
+    * for `statsCol` cannot intersect [lo, hi] — the Delta `stats`
+    * field put to work. Planning-time pruning over the LOG, before
+    * any parquet footer is opened: at 100 TB, a selective range
+    * predicate touches the handful of files that can match and the
+    * scan never even lists the rest. Files committed without stats
+    * (pre-stats history, foreign writers) are conservatively kept.
+    * The residual predicate still applies row-level — this is a
+    * superset guarantee, proven equal to the unpruned read in
+    * DeltaLakeSpec.
+    */
+  def readRange(spark: SparkSession, table: String, statsCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    val last = latestVersion(spark, table)
+    require(last >= 0, s"not a delta table: $table")
+    val hfs = fs(spark, logPath(table))
+    val live = mutable.LinkedHashMap.empty[String, JsonNode]
+    var schema: StructType = null
+    var v = 0L
+    while (v <= last) {
+      val in = hfs.open(versionFile(table, v))
+      val content = try {
+        new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      } finally in.close()
+      content.split("\n").iterator.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("metaData"))
+          schema = DataType.fromJson(node.get("metaData").get("schemaString").asText)
+            .asInstanceOf[StructType]
+        if (node.has("add")) {
+          val add = node.get("add")
+          live += add.get("path").asText -> add.get("stats")
+        }
+        if (node.has("remove")) live -= node.get("remove").get("path").asText
+      }
+      v += 1
+    }
+    val keep = live.iterator.filter { case (_, stats) =>
+      if (stats == null || stats.isNull) true // no stats: cannot prune
+      else {
+        val mn = stats.get("minValues"); val mx = stats.get("maxValues")
+        val hasCol = mn != null && mn.has(statsCol) && mx != null && mx.has(statsCol)
+        !hasCol || (mn.get(statsCol).asDouble <= hi && mx.get(statsCol).asDouble >= lo)
+      }
+    }.map(_._1).toSeq
+    import org.apache.spark.sql.functions.col
+    val residual = col(statsCol) >= lo && col(statsCol) <= hi
+    if (keep.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .where(residual)
+    else spark.read.schema(schema)
+      .parquet(keep.map(f => new Path(table, f).toString): _*)
+      .where(residual)
+  }
+
   private def writeActions(spark: SparkSession, table: String, v: Long,
       actions: Seq[ObjectNode]): Unit = {
     val target = versionFile(table, v)
@@ -144,13 +199,51 @@ object DeltaLake {
     added.map(n => n -> hfs.getFileStatus(new Path(root, n)).getLen)
   }
 
-  private def addAction(path: String, size: Long): ObjectNode = {
+  private def addAction(path: String, size: Long): ObjectNode =
+    addActionWithStats(path, size, None)
+
+  private def addActionWithStats(path: String, size: Long,
+      stats: Option[ObjectNode]): ObjectNode = {
     val n = mapper.createObjectNode
     val add = n.putObject("add")
     add.put("path", path).put("size", size)
       .put("modificationTime", 0L).put("dataChange", true)
     add.putObject("partitionValues")
+    stats.foreach(s => add.set[ObjectNode]("stats", s))
     n
+  }
+
+  /** Per-file min/max/count for numeric `statsCols`, one grouped scan
+    * over just the staged files (stats collection IS a scan; it reads
+    * only this commit's data, not the table).
+    */
+  private def collectStats(spark: SparkSession, table: String,
+      staged: Seq[(String, Long)],
+      statsCols: Seq[String]): Map[String, ObjectNode] = {
+    if (statsCols.isEmpty || staged.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    val paths = staged.map { case (f, _) => new Path(table, f).toString }
+    val aggs = count(lit(1)).as("__n") +:
+      statsCols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val rows = spark.read.parquet(paths: _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val fileName = new Path(java.net.URI.create(r.getString(0)).getPath).getName
+      val stats = mapper.createObjectNode
+      stats.put("numRecords", r.getLong(1))
+      val mn = stats.putObject("minValues"); val mx = stats.putObject("maxValues")
+      statsCols.foreach { c =>
+        val vMin = r.getAs[Any](s"__min_$c"); val vMax = r.getAs[Any](s"__max_$c")
+        (vMin, vMax) match {
+          case (a: Number, b: Number) =>
+            mn.put(c, a.doubleValue); mx.put(c, b.doubleValue)
+          case _ => // non-numeric or null: no stats for this column
+        }
+      }
+      fileName -> stats
+    }.toMap
   }
 
   private def removeAction(path: String): ObjectNode = {
@@ -160,12 +253,18 @@ object DeltaLake {
     n
   }
 
-  /** Append commit: stage files, then one atomic log entry. */
-  def append(spark: SparkSession, df: DataFrame, table: String): Long = {
+  /** Append commit: stage files, then one atomic log entry.
+    * `statsCols` opts numeric columns into per-file min/max stats for
+    * [[readRange]] data skipping.
+    */
+  def append(spark: SparkSession, df: DataFrame, table: String,
+      statsCols: Seq[String] = Nil): Long = {
     val v = latestVersion(spark, table) + 1
     val staged = stageFiles(spark, df, table)
+    val stats = collectStats(spark, table, staged, statsCols)
     val head = if (v == 0) metaActions(df, table) else Nil
-    writeActions(spark, table, v, head ++ staged.map((addAction _).tupled))
+    writeActions(spark, table, v,
+      head ++ staged.map { case (f, sz) => addActionWithStats(f, sz, stats.get(f)) })
     v
   }
 

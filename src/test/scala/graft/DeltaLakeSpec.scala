@@ -163,6 +163,32 @@ class DeltaLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("stats-based data skipping prunes files but never rows") {
+    val t = freshTable("skip")
+    // 5 commits, each a disjoint doc_id range → disjoint file stats
+    for (lo <- 0 to 400 by 100) {
+      DeltaLake.append(spark,
+        docs.where(col("doc_id") >= lo && col("doc_id") < lo + 100)
+          .select("doc_id", "n_chars").coalesce(1),
+        t, statsCols = Seq("doc_id"))
+    }
+    val all = DeltaLake.read(spark, t)
+    val totalFiles = all.inputFiles.length
+    val pruned = DeltaLake.readRange(spark, t, "doc_id", 150, 249)
+    assert(pruned.inputFiles.length < totalFiles,
+      s"expected pruning below $totalFiles files")
+    assert(pruned.inputFiles.length <= 2)
+    val expect = all.where(col("doc_id") >= 150 && col("doc_id") <= 249)
+      .agg(sum("n_chars"), count(lit(1))).head()
+    val got = pruned.agg(sum("n_chars"), count(lit(1))).head()
+    assert(got == expect, "pruned read changed the answer")
+    // files without stats are conservatively kept
+    DeltaLake.append(spark, docs.where(col("doc_id") < 20).select("doc_id", "n_chars"), t)
+    val withUnstatted = DeltaLake.readRange(spark, t, "doc_id", 150, 249)
+    assert(withUnstatted.count() == expect.getLong(1),
+      "residual predicate must still filter unstatted files' rows")
+  }
+
   test("foreign commits are never clobbered — new commits sequence past them") {
     val t = freshTable("guard")
     DeltaLake.append(spark, docs.limit(5).select("doc_id"), t)
