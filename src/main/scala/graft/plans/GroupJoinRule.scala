@@ -110,5 +110,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => GroupJoinRule)
     e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    SqlRegistry.registerAll(e)
   }
 }

@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Ascii, Cast, Conv, Expression, ExpressionInfo, Literal, StringLPad}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+
+/** The custom expression family under its REFERENCE SQL names —
+  * injected into Spark's FunctionRegistry so the reference engine's
+  * own query text runs verbatim through `spark.sql(...)`:
+  * damerau_levenshtein, hamming/mismatches, jaccard, jaro_similarity,
+  * jaro_winkler_similarity, gcd/lcm (+ long aliases), factorial-free
+  * to_base (conv+lpad tree), format_bytes /
+  * format_readable_decimal_size / formatReadableDecimalSize, bar,
+  * unicode, plus the int8 ANN pair under graft names. A user of the
+  * reference switching engines keeps their SQL.
+  */
+object SqlRegistry {
+
+  private def info(name: String, clazz: Class[_]) =
+    new ExpressionInfo(clazz.getCanonicalName, name)
+
+  private def register(e: SparkSessionExtensions, name: String, clazz: Class[_],
+      builder: Seq[Expression] => Expression): Unit =
+    e.injectFunction((FunctionIdentifier(name), info(name, clazz), builder))
+
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+
+  private def long(e: Expression): Expression = Cast(e, LongType)
+  private def dbl(e: Expression): Expression = Cast(e, DoubleType)
+
+  /** Constant-fold a numeric argument at resolution time (bar's
+    * range/width are plan constants, like the reference's bind).
+    */
+  private def constDouble(name: String, e: Expression): Double = {
+    require(e.foldable, s"$name expects a constant argument")
+    Cast(e, DoubleType).eval(null).asInstanceOf[Double]
+  }
+
+  def registerAll(e: SparkSessionExtensions): Unit = {
+    register(e, "damerau_levenshtein", classOf[DamerauLevenshtein],
+      args => { arity("damerau_levenshtein", 2, args); DamerauLevenshtein(args(0), args(1)) })
+    for (n <- Seq("hamming", "mismatches"))
+      register(e, n, classOf[HammingDistance],
+        args => { arity(n, 2, args); HammingDistance(args(0), args(1)) })
+    register(e, "jaccard", classOf[JaccardSim],
+      args => { arity("jaccard", 2, args); JaccardSim(args(0), args(1)) })
+    register(e, "jaro_similarity", classOf[JaroSim],
+      args => { arity("jaro_similarity", 2, args); JaroSim(args(0), args(1)) })
+    register(e, "jaro_winkler_similarity", classOf[JaroWinklerSim],
+      args => { arity("jaro_winkler_similarity", 2, args); JaroWinklerSim(args(0), args(1)) })
+    for (n <- Seq("gcd", "greatest_common_divisor"))
+      register(e, n, classOf[Gcd],
+        args => { arity(n, 2, args); Gcd(long(args(0)), long(args(1))) })
+    for (n <- Seq("lcm", "least_common_multiple"))
+      register(e, n, classOf[Lcm],
+        args => { arity(n, 2, args); Lcm(long(args(0)), long(args(1))) })
+    register(e, "format_bytes", classOf[FormatBytes],
+      args => { arity("format_bytes", 1, args); FormatBytes(long(args(0)), 1024L) })
+    for (n <- Seq("format_readable_decimal_size", "formatReadableDecimalSize"))
+      register(e, n, classOf[FormatBytes],
+        args => { arity(n, 1, args); FormatBytes(long(args(0)), 1000L) })
+    register(e, "bar", classOf[BarChart], args => {
+      arity("bar", 4, args)
+      BarChart(dbl(args(0)), constDouble("bar", args(1)),
+        constDouble("bar", args(2)), constDouble("bar", args(3)))
+    })
+    // to_base(n, radix [, min_length]) as a conv+lpad tree
+    register(e, "to_base", classOf[Conv], args => {
+      require(args.length == 2 || args.length == 3,
+        s"to_base expects 2 or 3 arguments, got ${args.length}")
+      val conv = Conv(Cast(args(0), StringType), Literal(10), Cast(args(1), IntegerType))
+      if (args.length == 2) conv
+      else StringLPad(conv, Cast(args(2), IntegerType), Literal("0"))
+    })
+    register(e, "unicode", classOf[Ascii],
+      args => { arity("unicode", 1, args); Ascii(args(0)) })
+    register(e, "quantize_int8", classOf[QuantizeInt8],
+      args => { arity("quantize_int8", 1, args); QuantizeInt8(args(0)) })
+    register(e, "int8_cosine", classOf[Int8Cosine],
+      args => { arity("int8_cosine", 2, args); Int8Cosine(args(0), args(1)) })
+  }
+}

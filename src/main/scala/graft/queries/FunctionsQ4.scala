@@ -207,6 +207,34 @@ object FunctionsQ4 {
         .select(col("p_partkey"),
           array_join(transform(graded, x => x.cast("string")), ",").as("grade"))
         .orderBy(col("p_partkey"))
+    },
+
+    // F43: the registered SQL surface — ONE query text, run VERBATIM
+    // by both engines. The custom expressions ride Spark's
+    // FunctionRegistry under their reference names
+    // (plans/SqlRegistry.scala via GraftExtensions), so a reference
+    // user's SQL needs zero translation. This entry is the proof: the
+    // string below is both the oracle AND the Spark plan.
+    {
+      val q =
+        """SELECT p_partkey,
+          |  damerau_levenshtein(p_brand, 'Brand#25') AS dl,
+          |  CAST(hamming(substr(p_name, 1, 6), substr(reverse(p_name), 1, 6)) AS BIGINT) AS hm,
+          |  jaccard(p_name, p_type) AS jc,
+          |  jaro_similarity(p_name, p_type) AS js,
+          |  jaro_winkler_similarity(p_name, p_brand) AS jw,
+          |  gcd(CAST(p_size AS BIGINT), 36) AS g,
+          |  lcm(CAST(p_size AS BIGINT), 6) AS l,
+          |  format_bytes(p_partkey * 1000000) AS fb,
+          |  formatReadableDecimalSize(p_partkey * 1000000) AS fd,
+          |  bar(CAST(p_size AS DOUBLE), 0, 50, 12) AS chart,
+          |  to_base(p_size, 2, 8) AS bits,
+          |  unicode(p_brand) AS uc
+          |FROM part ORDER BY p_partkey""".stripMargin
+      QDef.sql("f43_sql_surface", q) { (s, dir) =>
+        Catalog.registerAll(s, dir)
+        s.sql(q)
+      }
     }
   )
 }

@@ -94,6 +94,30 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL registry: reference function names resolve in spark.sql") {
+    val r = spark.sql(
+      """SELECT damerau_levenshtein('ca', 'abc') AS dl,
+        |  hamming('abcdef', 'abdcef') AS hm,
+        |  mismatches('abcdef', 'abdcef') AS hm2,
+        |  jaro_winkler_similarity('martha', 'marhta') AS jw,
+        |  gcd(36, 24) AS g, lcm(4, 6) AS l,
+        |  format_bytes(1536) AS fb,
+        |  to_base(255, 2, 12) AS bits,
+        |  bar(7.5, 0, 10, 10) AS chart,
+        |  unicode('A') AS uc,
+        |  int8_cosine(quantize_int8(array(1.0f, 2.0f)), quantize_int8(array(2.0f, 4.0f))) AS qc
+        |""".stripMargin).head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - 0.9611111111111111) < 1e-15)
+    assert(r.getLong(4) == 12L && r.getLong(5) == 12L)
+    assert(r.getString(6) == "1.5 KiB")
+    assert(r.getString(7) == "000011111111")
+    assert(r.getString(8) == "███████▌")
+    assert(r.getInt(9) == 65)
+    assert(r.getDouble(10) > 0.999)
+  }
+
   test("distance kernels match known hand-computed values") {
     // classic literature cases, byte alphabet
     import graft.plans.StringDistanceKernels._
