@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Ascii, Cast, Conv, Expression, ExpressionInfo, Literal, StringLPad}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Add, Ascii, Cast, Conv, DateAdd, DateFormatClass, DayOfWeek, Divide, Expression, ExpressionInfo, Floor, Literal, Multiply, Pmod, StringLPad, Subtract, UnixTimestamp, Year}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, TimestampType}
 
 /** The custom expression family under its REFERENCE SQL names —
   * injected into Spark's FunctionRegistry so the reference engine's
@@ -80,5 +80,37 @@ object SqlRegistry {
       args => { arity("quantize_int8", 1, args); QuantizeInt8(args(0)) })
     register(e, "int8_cosine", classOf[Int8Cosine],
       args => { arity("int8_cosine", 2, args); Int8Cosine(args(0), args(1)) })
+
+    // ---- date-part family as expression trees (same f39 identities,
+    // now under the reference's SQL names) ----
+    register(e, "dayname", classOf[DateFormatClass],
+      args => { arity("dayname", 1, args)
+        DateFormatClass(Cast(args(0), TimestampType), Literal("EEEE")) })
+    register(e, "monthname", classOf[DateFormatClass],
+      args => { arity("monthname", 1, args)
+        DateFormatClass(Cast(args(0), TimestampType), Literal("MMMM")) })
+    def isodowOf(d: Expression): Expression = // Mon=1 .. Sun=7
+      Add(Pmod(Add(DayOfWeek(d), Literal(5)), Literal(7)), Literal(1))
+    register(e, "isodow", classOf[DayOfWeek],
+      args => { arity("isodow", 1, args); Cast(isodowOf(args(0)), LongType) })
+    register(e, "isoyear", classOf[Year], args => {
+      arity("isoyear", 1, args)
+      // ISO year = calendar year of this week's Thursday
+      Cast(Year(DateAdd(args(0), Subtract(Literal(4), isodowOf(args(0))))), LongType)
+    })
+    register(e, "century", classOf[Year], args => {
+      arity("century", 1, args)
+      Cast(Add(Floor(Divide(Cast(Subtract(Year(args(0)), Literal(1)), DoubleType), Literal(100.0))),
+        Literal(1L)), LongType)
+    })
+    register(e, "decade", classOf[Year], args => {
+      arity("decade", 1, args)
+      Cast(Floor(Divide(Cast(Year(args(0)), DoubleType), Literal(10.0))), LongType)
+    })
+    register(e, "epoch_ms", classOf[UnixTimestamp], args => {
+      arity("epoch_ms", 1, args)
+      Multiply(UnixTimestamp(Cast(args(0), TimestampType),
+        Literal("yyyy-MM-dd HH:mm:ss")), Literal(1000L))
+    })
   }
 }

@@ -235,6 +235,27 @@ object FunctionsQ4 {
         Catalog.registerAll(s, dir)
         s.sql(q)
       }
+    },
+
+    // F44: verbatim date-part SQL — the registry's date family
+    // (dayname/monthname/isodow/isoyear/century/decade/epoch_ms as
+    // expression trees over Spark's own date primitives); one query
+    // text for both engines, same proof shape as F43.
+    {
+      val q =
+        """SELECT o_orderkey,
+          |  dayname(o_orderdate) AS dname,
+          |  monthname(o_orderdate) AS mname,
+          |  isodow(o_orderdate) AS idow,
+          |  isoyear(o_orderdate) AS iyear,
+          |  century(o_orderdate) AS cent,
+          |  decade(o_orderdate) AS dec,
+          |  epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ems
+          |FROM orders ORDER BY o_orderkey""".stripMargin
+      QDef.sql("f44_sql_dates", q) { (s, dir) =>
+        Catalog.registerAll(s, dir)
+        s.sql(q)
+      }
     }
   )
 }
