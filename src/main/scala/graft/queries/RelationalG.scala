@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Catalog
+
+/** Relational long tail G: DISTINCT aggregates over window
+  * partitions (reference window segment tree handles DISTINCT
+  * natively — src/execution/window_segment_tree.cpp) and time-series
+  * gap filling (generate_series grid + IGNORE NULLS forward fill),
+  * the canonical DuckDB time-series recipe.
+  */
+object RelationalG {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  val defs: Seq[QDef] = Seq(
+
+    // R62: COUNT(DISTINCT) / SUM(DISTINCT) over a window partition.
+    // Spark's window engine rejects DISTINCT aggregates, so the
+    // rewrite is collect_set over the partition — size() for the
+    // count, an integer fold for the sum (exact, order-free). The
+    // oracle runs the genuine DISTINCT window aggregate. Scale note:
+    // the partition is one customer's orders (bounded); the state is
+    // a per-partition set, same asymptotics as DuckDB's segment tree.
+    QDef.sql("q61_window_distinct",
+      """SELECT o_orderkey,
+        |  count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS n_prio,
+        |  count(DISTINCT o_orderstatus)   OVER (PARTITION BY o_custkey) AS n_stat,
+        |  sum(DISTINCT CAST(FLOOR(o_totalprice) AS BIGINT)) OVER (PARTITION BY o_custkey) AS sd_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        size(collect_set(col("o_orderpriority")).over(w)).cast("long").as("n_prio"),
+        size(collect_set(col("o_orderstatus")).over(w)).cast("long").as("n_stat"),
+        aggregate(collect_set(floor(col("o_totalprice")).cast("long")).over(w),
+          lit(0L), (acc, x) => acc + x).as("sd_price"))
+        .orderBy("o_orderkey")
+    },
+
+    // R63: time-series gap fill — per-user daily activity grid from
+    // min to max day (generate_series ≡ Spark sequence), missing days
+    // forward-filled with the last observed count (IGNORE NULLS
+    // running last_value). The metric is an exact integer count, so
+    // no float summation order can drift. Scale note: the grid
+    // explodes per key and joins co-partitioned on (user_id, d); the
+    // fill is one window pass per key — no global sort.
+    QDef.sql("q62_gapfill",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM spans)
+        |SELECT g.user_id, g.d,
+        |  last_value(daily.c IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  daily.c IS NOT NULL AS observed
+        |FROM grid g LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = g.d
+        |ORDER BY g.user_id, g.d""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(date_trunc("DAY", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("c"))
+      val grid = daily.groupBy("user_id")
+        .agg(min("d").as("lo"), max("d").as("hi"))
+        .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("d"))
+      val w = Window.partitionBy("user_id").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "d"), "left")
+        .select(
+          col("user_id"), col("d"),
+          last(col("c"), ignoreNulls = true).over(w).as("filled"),
+          col("c").isNotNull.as("observed"))
+        .orderBy("user_id", "d")
+    }
+  )
+}
