@@ -148,6 +148,82 @@ object DmlQ {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("total"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // U6: CREATE SEQUENCE analog — contiguous ids in key order with
+    // START WITH / INCREMENT BY, assigned without any global window
+    // (range partition + per-partition counts + O(#parts) offset
+    // exchange; Dml.assignSequence). The oracle states the same ids
+    // as a row_number arithmetic — the deterministic meaning of
+    // nextval over a keyed scan.
+    QDef.sql("u06_sequence",
+      """SELECT o_orderkey,
+        |  1000 + (row_number() OVER (ORDER BY o_orderkey) - 1) * 5 AS seq_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Dml.assignSequence(t(s, dir, "orders"), "o_orderkey",
+          startWith = 1000L, incrementBy = 5L)
+        .select(col("o_orderkey"), col("seq_id"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // U7: FOREIGN KEY audit (events.user_id → customer.c_custkey).
+    // The generator keeps the data referentially clean, so orphans
+    // are planted (u04 pattern: shifted user ids) and must come back
+    // with exact multiplicities. NULL child keys are exempt per SQL
+    // FK semantics — one is planted to prove it stays out. Write-side
+    // batch rejection is DmlSpec's insertChecked cases.
+    QDef.sql("u07_fk_audit",
+      """WITH planted AS (
+        |  SELECT user_id FROM events
+        |  UNION ALL
+        |  SELECT user_id + 9000000 AS user_id FROM events WHERE event_id % 199 = 0
+        |  UNION ALL
+        |  SELECT CAST(NULL AS BIGINT) AS user_id FROM events WHERE event_id % 500 = 0)
+        |SELECT p.user_id, COUNT(*) AS n
+        |FROM planted p
+        |WHERE p.user_id IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = p.user_id)
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+      val planted = e.select(col("user_id"))
+        .unionAll(e.filter(col("event_id") % 199 === 0)
+          .select((col("user_id") + 9000000L).as("user_id")))
+        .unionAll(e.filter(col("event_id") % 500 === 0)
+          .select(lit(null).cast("long").as("user_id")))
+      Dml.fkViolations(planted, t(s, dir, "customer"),
+          Seq("user_id" -> "c_custkey"))
+        .orderBy(col("user_id"))
+    },
+
+    // U8: CHECK + NOT NULL audit. SQL CHECK semantics: only FALSE
+    // violates — a NULL predicate (planted via NULL price) passes the
+    // CHECK but trips the NOT NULL audit, so both behaviors are
+    // pinned by the same entry.
+    QDef.sql("u08_check_audit",
+      """WITH planted AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 7000000, -o_totalprice FROM orders WHERE o_orderkey % 211 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 8000000, CAST(NULL AS DOUBLE) FROM orders WHERE o_orderkey % 401 = 0)
+        |SELECT
+        |  (SELECT COUNT(*) FROM planted WHERE NOT COALESCE(o_totalprice > 0.0, TRUE)) AS check_bad,
+        |  (SELECT COUNT(*) FROM planted WHERE o_totalprice IS NULL) AS null_bad,
+        |  (SELECT COUNT(*) FROM planted) AS total""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val planted = o
+        .unionAll(o.filter(col("o_orderkey") % 211 === 0)
+          .select((col("o_orderkey") + 7000000L).as("o_orderkey"),
+            negate(col("o_totalprice")).as("o_totalprice")))
+        .unionAll(o.filter(col("o_orderkey") % 401 === 0)
+          .select((col("o_orderkey") + 8000000L).as("o_orderkey"),
+            lit(null).cast("double").as("o_totalprice")))
+      val checkBad = Dml.checkViolations(planted, col("o_totalprice") > 0.0)
+        .agg(count(lit(1)).as("check_bad"))
+      val nullBad = planted.filter(col("o_totalprice").isNull)
+        .agg(count(lit(1)).as("null_bad"))
+      val total = planted.agg(count(lit(1)).as("total"))
+      checkBad.crossJoin(nullBad).crossJoin(total)
     }
   )
 }

@@ -322,4 +322,88 @@ object Dml {
           obsIns.get("n").asInstanceOf[Long])
     }
   }
+
+  /** FOREIGN KEY audit — the read-side half of the reference's FK
+    * enforcement (physical_insert.cpp probes the referenced table's
+    * ART index per row). On a columnar store the equivalent is one
+    * key-only anti join: DISTINCT parent keys (key columns scanned,
+    * nothing else) against the child's non-NULL key tuples. SQL FK
+    * semantics: a child tuple with any NULL key column passes. Only
+    * key columns ever shuffle; at 100 TB the parent side reduces to
+    * its key cardinality before the join and AQE broadcasts it when
+    * small.
+    */
+  def fkViolations(child: DataFrame, parent: DataFrame,
+                   fk: Seq[(String, String)]): DataFrame = {
+    val p = parent.select(fk.map { case (_, pc) => col(pc) }.toIndexedSeq: _*).distinct()
+    val nonNull = fk.map { case (c, _) => child(c).isNotNull }.reduce(_ && _)
+    val cond = fk.map { case (c, pc) => child(c) === p(pc) }.reduce(_ && _)
+    child.filter(nonNull)
+      .join(p, cond, "left_anti")
+      .groupBy(fk.map { case (c, _) => col(c) }.toIndexedSeq: _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** CHECK constraint audit. SQL semantics: a row violates only when
+    * the predicate evaluates to FALSE — UNKNOWN (NULL) passes, same
+    * as the reference's CheckConstraint
+    * (src/planner/filter/constant_filter.cpp posture). Pure filter,
+    * no shuffle.
+    */
+  def checkViolations(df: DataFrame, check: Column): DataFrame =
+    df.filter(not(coalesce(check, lit(true))))
+
+  /** INSERT with FK / CHECK enforcement layered on [[insert]]'s PK
+    * probe — the write-side constraint surface. The batch is rejected
+    * whole (nothing written) on any violation, matching the
+    * reference's statement-level rollback.
+    */
+  def insertChecked(spark: SparkSession, path: String, rows: DataFrame,
+                    pk: Seq[String] = Nil,
+                    fkParent: Option[(DataFrame, Seq[(String, String)])] = None,
+                    check: Option[Column] = None): DmlStats = {
+    fkParent.foreach { case (parent, fk) =>
+      val orphans = fkViolations(rows, parent, fk).limit(1).count()
+      require(orphans == 0,
+        s"INSERT violates FOREIGN KEY (${fk.map(_._1).mkString(", ")}): unmatched referenced key")
+    }
+    check.foreach { c =>
+      val bad = checkViolations(rows, c).limit(1).count()
+      require(bad == 0, s"INSERT violates CHECK ($c)")
+    }
+    insert(spark, path, rows, pk)
+  }
+
+  /** CREATE SEQUENCE analog: contiguous ids `startWith + i*incrementBy`
+    * assigned in `key` order (the reference's sequence catalog entry +
+    * nextval, src/catalog/catalog_entry/sequence_catalog_entry.cpp —
+    * deterministic here where a parallel nextval scan is not).
+    * NO global single-partition window: rows range-partition on the
+    * key, each partition counts locally, the driver exchanges only
+    * #partitions counts for the prefix offsets, and ids are assigned
+    * partition-locally — the p04 pack-offsets machinery applied to
+    * row ranks. Returns (key, seq_id); join back on the key for full
+    * rows.
+    */
+  def assignSequence(df: DataFrame, key: String, startWith: Long = 1L,
+                     incrementBy: Long = 1L, parts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rdd = df.select(col(key).cast("long"))
+      .as[Long]
+      .repartitionByRange(parts, col(key))
+      .sortWithinPartitions(col(key))
+      .rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = rdd
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var rank = bc.value(i)
+      it.map { k => val r = rank; rank += 1; (k, startWith + r * incrementBy) }
+    }
+    spark.createDataFrame(out).toDF(key, "seq_id")
+  }
 }

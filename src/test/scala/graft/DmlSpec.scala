@@ -191,6 +191,40 @@ class DmlSpec extends AnyFunSuite {
       == Dml.DmlStats(0, 0, 0))
   }
 
+  test("insertChecked rejects FK orphans and CHECK violations; accepts clean batches") {
+    val path = seed()
+    val parent = (1L to 50L).toDF("pk")
+    // clean: fk satisfied (10 ∈ parent), check satisfied
+    val ok = Seq((10L, "n", 5.0)).toDF("k", "name", "amt")
+    Dml.insertChecked(spark, path, ok,
+      fkParent = Some((parent, Seq("k" -> "pk"))), check = Some(col("amt") > 0.0))
+    assertThrows[IllegalArgumentException] {
+      Dml.insertChecked(spark, path, Seq((999L, "x", 5.0)).toDF("k", "name", "amt"),
+        fkParent = Some((parent, Seq("k" -> "pk"))))
+    }
+    assertThrows[IllegalArgumentException] {
+      Dml.insertChecked(spark, path, Seq((10L, "x", -5.0)).toDF("k", "name", "amt"),
+        check = Some(col("amt") > 0.0))
+    }
+    // NULL check predicate passes (SQL UNKNOWN), NULL fk key exempt
+    val nullRow = Seq((java.lang.Long.valueOf(10L), "x", null: java.lang.Double))
+      .toDF("k", "name", "amt")
+    Dml.insertChecked(spark, path, nullRow,
+      fkParent = Some((parent, Seq("k" -> "pk"))), check = Some(col("amt") > 0.0))
+  }
+
+  test("assignSequence: contiguous ids in key order, invariant to partition count") {
+    val df = (1L to 997L).map(k => k * 3 + 11).toDF("k")
+    val a = Dml.assignSequence(df, "k", startWith = 100L, incrementBy = 7L, parts = 4)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val b = Dml.assignSequence(df, "k", startWith = 100L, incrementBy = 7L, parts = 17)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "sequence must not depend on partitioning")
+    val expected = (1L to 997L).map(k => k * 3 + 11).sorted.zipWithIndex
+      .map { case (k, i) => (k, 100L + i * 7L) }
+    assert(a.toSeq == expected)
+  }
+
   private implicit class Tup3Ops(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map(r => r._1 -> ((r._2, r._3))).toMap
