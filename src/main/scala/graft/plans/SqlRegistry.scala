@@ -80,6 +80,10 @@ object SqlRegistry {
       args => { arity("quantize_int8", 1, args); QuantizeInt8(args(0)) })
     register(e, "int8_cosine", classOf[Int8Cosine],
       args => { arity("int8_cosine", 2, args); Int8Cosine(args(0), args(1)) })
+    register(e, "strip_accents", classOf[StripAccents],
+      args => { arity("strip_accents", 1, args); StripAccents(args(0)) })
+    register(e, "nfc_normalize", classOf[NfcNormalize],
+      args => { arity("nfc_normalize", 1, args); NfcNormalize(args(0)) })
 
     // ---- date-part family as expression trees (same f39 identities,
     // now under the reference's SQL names) ----

@@ -314,6 +314,44 @@ object SourcesQ {
         .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     }) { (s, dir) =>
       graft.operators.Summarize.summarize(t(s, dir, "events"))
+    },
+
+    // S15: read_text / read_file / glob (reference
+    // src/function/table/{read_file,glob}.cpp) — files-as-a-table.
+    // The Spark analog of read_file is the binaryFile source (path,
+    // modificationTime, length, content) with pathGlobFilter for the
+    // glob; hive `r_name=...` directories written by partitionBy are
+    // re-derived from the file PATH (read_text's filename column).
+    // The oracle aggregates the original table — the check is the
+    // values surviving text write → glob → binary read → parse.
+    // Scale: binaryFile is a standard FileFormat — listing and reads
+    // distribute; one file per partition value here, but nothing in
+    // the plan is single-node.
+    QDef.sql("s15_read_text",
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val path = tmp("graft_text")
+      t(s, dir, "nation")
+        .select(col("n_regionkey"),
+          concat_ws("|", col("n_nationkey"), col("n_name")).as("value"))
+        .write.partitionBy("n_regionkey").mode(SaveMode.Overwrite).text(path)
+      val raw = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(path + "/n_regionkey=*")
+      raw
+        // read_file hands back whole contents — one row per FILE;
+        // the per-line view (read_text's row shape) is an explode
+        .select(col("path"),
+          explode(split(decode(col("content"), "UTF-8"), "\n")).as("line"))
+        .filter(length(col("line")) > 0)
+        .select(
+          expr("split_part(line, '|', 1)").cast("int").as("n_nationkey"),
+          expr("split_part(line, '|', 2)").as("n_name"),
+          // the hive directory IS the partition value — read_text's
+          // filename column re-derived from the path
+          regexp_extract(col("path"), "n_regionkey=([0-9]+)", 1)
+            .cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
     }
   )
 }

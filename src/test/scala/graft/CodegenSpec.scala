@@ -137,4 +137,27 @@ class CodegenSpec extends AnyFunSuite {
     assert(FormatKernels.formatBytes(1536000000L, 1024L).toString == "1.4 GiB")
     assert(FormatKernels.bar(7.5, 0, 10, 10).toString == "███████▌")
   }
+
+  test("unicode normalize kernels: codegen-only, SQL names, known values") {
+    import graft.plans.{UnicodeFns, UnicodeKernels}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // NFD + strip marks, reference utf8proc_remove_accents semantics
+    assert(UnicodeKernels.stripAccents(u("áéîöû ñ Ç")).toString == "aeiou n C")
+    assert(UnicodeKernels.stripAccents(u("plain ascii")).toString == "plain ascii")
+    // decomposed e + combining acute composes to precomposed é
+    assert(UnicodeKernels.nfcNormalize(u("café")).toString == "café")
+    assert(UnicodeKernels.nfcNormalize(u("café")).toString == "café")
+    noFallback {
+      val part = graft.sources.Catalog.table(spark, sfDir, "part")
+      val out = part.select(
+        UnicodeFns.stripAccents(translate(col("p_name"), "aeiou", "áéîöû")).as("sa"),
+        UnicodeFns.nfcNormalize(concat(col("p_brand"), lit("é"))).as("nfc"))
+      // strip_accents(translate vowels→accented) must round-trip p_name
+      assert(out.join(part, out("sa") === part("p_name"), "left_anti").count() == 0)
+    }
+    val r = spark.sql(
+      "SELECT strip_accents('áéî') AS sa, nfc_normalize('é') AS nfc").head()
+    assert(r.getString(0) == "aei")
+    assert(r.getString(1) == "é")
+  }
 }
