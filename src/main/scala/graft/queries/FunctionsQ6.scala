@@ -20,20 +20,10 @@ object FunctionsQ6 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Catalog.table(s, dir, name)
 
-  /** The reference's type names for the schema types this suite
-    * touches — what `typeof()` constant-folds to per column. The
-    * honest Spark analog of typeof is catalog-schema introspection
-    * (the value never leaves the plan in either engine).
+  /** typeof() constant-folds from the catalog schema in both engines —
+    * the honest Spark analog is schema introspection (DuckTypes).
     */
-  private def duckTypeName(dt: DataType): String = dt match {
-    case LongType => "BIGINT"
-    case IntegerType => "INTEGER"
-    case DoubleType => "DOUBLE"
-    case DateType => "DATE"
-    case StringType => "VARCHAR"
-    case TimestampType | TimestampNTZType => "TIMESTAMP"
-    case other => other.sql
-  }
+  private def duckTypeName(dt: DataType): String = DuckTypes.name(dt)
 
   val defs: Seq[QDef] = Seq(
 
@@ -194,6 +184,29 @@ object FunctionsQ6 {
           "12, 34, 56.789)").as("mts"),
         (isoyear.cast("long") * 100L + weekofyear(d).cast("long")).as("yw"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // F55: PREPARE / EXECUTE (reference
+    // src/parser/statement/prepare_statement.cpp + execute_statement
+    // .cpp). The Spark-native analog is the parameterized
+    // spark.sql(text, args) front door — the SQL text carries named
+    // placeholders, values bind at execution, the plan is compiled
+    // once per bind exactly like EXECUTE. The oracle is the same
+    // query with the parameters bound as literals (what EXECUTE
+    // evaluates to).
+    QDef.sql("f55_prepared",
+      """SELECT o_orderstatus, count(*) AS n, max(o_totalprice) AS mx
+        |FROM orders
+        |WHERE o_totalprice > 150000.0
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_prep")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n, max(o_totalprice) AS mx
+          |FROM orders_prep
+          |WHERE o_totalprice > :lo AND o_orderdate >= CAST(:cut AS TIMESTAMP)
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+        Map("lo" -> 150000.0, "cut" -> "1995-01-01 00:00:00"))
     }
   )
 }

@@ -501,6 +501,52 @@ object Pipeline {
         .orderBy(col("centroid_id"))
     },
 
+    // L23: benchmark decontamination (the Lee et al./GPT-3 report
+    // practice: drop training docs sharing n-grams with the eval
+    // set). Eval set = deterministic doc_id slice; its DISTINCT gram
+    // set is tiny at any corpus scale (benchmarks are MBs), so it
+    // BROADCASTS — the corpus side is one map-side gram pass + a
+    // broadcast probe + one groupBy(doc_id): no corpus-vs-corpus
+    // shuffle anywhere, linear in corpus grams at 100 TB. Gram
+    // identity rides as the p05 int64 kernel hash; the oracle spells
+    // the same plan over gram STRINGS (only counts survive, the
+    // d04/p05-proven equivalence).
+    QDef.sql("p07_contamination",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+        |  FROM toks, LATERAL unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i)),
+        |dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+        |eg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+        |cd AS (
+        |  SELECT d.doc_id, COUNT(*) AS n_grams,
+        |         SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |  FROM dg d LEFT JOIN eg e ON d.gram = e.gram
+        |  WHERE d.doc_id % 97 <> 0 GROUP BY d.doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(n_hit AS BIGINT) AS n_hit,
+        |  CAST((n_hit * 1000000) // n_grams AS BIGINT) AS hit_ppm
+        |FROM cd WHERE n_hit > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val dg = t(s, dir, "documents").select(col("doc_id"),
+        explode(graft.plans.HashExpressions.columnOf(
+          graft.plans.WordNgramHashes(
+            graft.plans.HashExpressions.exprOf(col("text")), 3))).as("gh"))
+      val eg = dg.filter(col("doc_id") % 97 === 0)
+        .select(col("gh").as("egh")).distinct()
+      dg.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(eg), col("gh") === col("egh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("egh").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .filter(col("n_hit") > 0)
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          expr("(n_hit * 1000000) div n_grams").as("hit_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
     // L17: deterministic train/val/test split — each doc follows its
     // md5 bucket forever (adding/removing other docs never flips an
     // assignment, unlike rand() or ntile). Map-only; md5 is portable

@@ -352,6 +352,25 @@ object SourcesQ {
           regexp_extract(col("path"), "n_regionkey=([0-9]+)", 1)
             .cast("int").as("n_regionkey"))
         .orderBy(col("n_nationkey"))
+    },
+
+    // S17: DESCRIBE — table metadata AS a result set (reference
+    // src/parser/statement/... DESCRIBE → pragma_table_info). The
+    // Spark analog reads the catalog schema, never the data: six
+    // columns (column_name, column_type, null, key, default, extra)
+    // with the reference's type names from DuckTypes. Metadata-only
+    // on both engines — zero scan tasks.
+    QDef.sql("s16_describe", "DESCRIBE orders") { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val schema = StructType(
+        Seq("column_name", "column_type", "null", "key", "default", "extra")
+          .map(StructField(_, StringType, nullable = true)))
+      val rows = t(s, dir, "orders").schema.fields.toSeq.map { f =>
+        Row(f.name, DuckTypes.name(f.dataType),
+          if (f.nullable) "YES" else "NO", null, null, null)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
     }
   )
 }

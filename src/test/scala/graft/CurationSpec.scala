@@ -91,4 +91,25 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == expect)
   }
+
+  test("contamination: planted eval copy is flagged, disjoint text is not") {
+    import spark.implicits._
+    import graft.plans.{HashExpressions => H, WordNgramHashes}
+    // doc 0 is the "benchmark"; doc 5 copies a span of it verbatim,
+    // doc 9 shares no 3-gram with it (eval slice = doc_id % 97 == 0)
+    val eval = "the quick brown fox jumps over the lazy dog near the river bank"
+    val dirty = "intro words then the quick brown fox jumps over something else"
+    val clean = "completely different content with no overlapping trigrams here at all"
+    val df = Seq((0L, eval), (5L, dirty), (9L, clean)).toDF("doc_id", "text")
+    val dg = df.select(col("doc_id"),
+      explode(H.columnOf(WordNgramHashes(H.exprOf(col("text")), 3))).as("gh"))
+    val eg = dg.filter(col("doc_id") % 97 === 0).select(col("gh").as("egh")).distinct()
+    val hits = dg.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(eg), col("gh") === col("egh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("egh").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(5L) >= 3, s"planted copy under-detected: ${hits(5L)} shared grams")
+    assert(hits(9L) == 0, "disjoint doc falsely flagged")
+  }
 }
