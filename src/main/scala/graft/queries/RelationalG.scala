@@ -77,6 +77,27 @@ object RelationalG {
           last(col("c"), ignoreNulls = true).over(w).as("filled"),
           col("c").isNotNull.as("observed"))
         .orderBy("user_id", "d")
+    },
+
+    // R64: locale-aware ICU collation beyond NOCASE (reference
+    // bundles extension/icu/ — COLLATE "de"). Both engines delegate
+    // to ICU's German tailoring, so the TOP-N set under the collated
+    // order is engine-independent; accented strings are manufactured
+    // by translate (ä/é/ö sort with their base letters under "de",
+    // far from their binary code points). The LIMIT makes collation
+    // semantics decide the result SET — the driver's sorted-hash
+    // compare would not see order alone. Tiebreak on p_partkey keeps
+    // the cut deterministic.
+    QDef.sql("q63_icu_collation",
+      """SELECT p_partkey, translate(p_name, 'aeo', 'äéö') AS t
+        |FROM part
+        |ORDER BY translate(p_name, 'aeo', 'äéö') COLLATE "de", p_partkey
+        |LIMIT 120""".stripMargin) { (s, dir) =>
+      val tcol = translate(col("p_name"), "aeo", "äéö")
+      t(s, dir, "part")
+        .select(col("p_partkey"), tcol.as("t"))
+        .orderBy(collate(tcol, "de"), col("p_partkey"))
+        .limit(120)
     }
   )
 }
