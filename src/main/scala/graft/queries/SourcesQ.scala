@@ -371,6 +371,36 @@ object SourcesQ {
           if (f.nullable) "YES" else "NO", null, null, null)
       }
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+    },
+
+    // S18: EXPORT DATABASE / IMPORT DATABASE round-trip (reference
+    // export_statement.cpp — dir of per-table parquet + schema.sql +
+    // load.sql). The check: a three-table join computed from the
+    // IMPORTED catalog hash-matches the oracle computed from the
+    // ORIGINALS — full catalog fidelity through the dump/reload
+    // cycle. Each table write/read is an ordinary distributed
+    // parquet job; import is lazy view registration.
+    QDef.sql("s17_export_import",
+      """SELECT r_name, count(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN nation ON o_custkey % 25 = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, dir) =>
+      import graft.sources.ExportDb
+      val path = tmp("graft_export")
+      ExportDb.exportDatabase(Map(
+        "exp_orders" -> t(s, dir, "orders"),
+        "exp_nation" -> t(s, dir, "nation"),
+        "exp_region" -> t(s, dir, "region")), path)
+      val imported = ExportDb.importDatabase(s, path)
+      imported("exp_orders")
+        .join(imported("exp_nation"),
+          col("o_custkey") % 25 === col("n_nationkey"))
+        .join(imported("exp_region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("r_name"))
     }
   )
 }
