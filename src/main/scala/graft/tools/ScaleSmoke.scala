@@ -55,13 +55,19 @@ object ScaleSmoke {
     val spark = graft.GraftSession.get()
     build(spark)
 
-    val names = Seq("tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18",
+    val all = Seq("tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18",
       "q07_groupjoin", "q31_asof_join", "d01_dedup_exact",
       "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
       "d07_dedup_star_clusters", "s03_ann_ivf", "s04_ann_ivf_index",
       "t04_fingerprint", "t05_pii_redact", "st02_sessionize",
       "q55_window_exclude", "s10_summarize", "t02_quality_score",
-      "t03_token_count")
+      "t03_token_count", "p05_crossdoc_grams", "p07_contamination")
+    // optional name filter: runMain graft.tools.ScaleSmoke p07_contamination
+    val names = if (args.isEmpty) all else {
+      val unknown = args.toSeq.filterNot(all.contains)
+      require(unknown.isEmpty, s"unknown ScaleSmoke queries: ${unknown.mkString(", ")}")
+      args.toSeq
+    }
 
     def run(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
