@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, Ascii, Cast, Conv, DateAdd, DateFormatClass, DayOfWeek, Divide, Expression, ExpressionInfo, Floor, Literal, Multiply, Pmod, StringLPad, Subtract, UnixTimestamp, Year}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, ArrayCompact, ArrayDistinct, ArrayFilter, ArrayIntersect, ArrayJoin, ArrayMax, ArrayMin, ArraySort, Ascii, Cast, Coalesce, Conv, CreateArray, DateAdd, DateFormatClass, DayOfWeek, Divide, Expression, ExpressionInfo, Floor, If, IsNotNull, LambdaFunction, Literal, Multiply, Pmod, Size, Slice, StringLPad, Subtract, UnixTimestamp, UnresolvedNamedLambdaVariable, WeekOfYear, Year, ZipWith}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 
 /** The custom expression family under its REFERENCE SQL names —
   * injected into Spark's FunctionRegistry so the reference engine's
@@ -115,6 +115,68 @@ object SqlRegistry {
       arity("epoch_ms", 1, args)
       Multiply(UnixTimestamp(Cast(args(0), TimestampType),
         Literal("yyyy-MM-dd HH:mm:ss")), Literal(1000L))
+    })
+    register(e, "yearweek", classOf[WeekOfYear], args => {
+      arity("yearweek", 1, args)
+      // ISO year (Thursday-of-week) * 100 + ISO week — crosses year
+      // boundaries together (2021-01-01 → 202053)
+      val isoyear = Year(DateAdd(args(0), Subtract(Literal(4), isodowOf(args(0)))))
+      Cast(Add(Multiply(isoyear, Literal(100)), WeekOfYear(args(0))), LongType)
+    })
+
+    // ---- list family as expression trees (the f49 identities under
+    // the reference's SQL names; lambdas built with unresolved
+    // lambda variables, resolved by the analyzer like any HOF) ----
+    def lambda1(body: Expression => Expression): LambdaFunction = {
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      LambdaFunction(body(x), Seq(x))
+    }
+    def lambda2(body: (Expression, Expression) => Expression): LambdaFunction = {
+      val a = UnresolvedNamedLambdaVariable(Seq("a"))
+      val b = UnresolvedNamedLambdaVariable(Seq("b"))
+      LambdaFunction(body(a, b), Seq(a, b))
+    }
+    register(e, "list_value", classOf[CreateArray],
+      args => CreateArray(args))
+    register(e, "list_unique", classOf[ArrayDistinct], args => {
+      arity("list_unique", 1, args)
+      // distinct NON-NULL element count (reference list/functions.json)
+      Cast(Size(ArrayDistinct(ArrayCompact(args(0)))), LongType)
+    })
+    register(e, "list_intersect", classOf[ArrayIntersect],
+      args => { arity("list_intersect", 2, args); ArrayIntersect(args(0), args(1)) })
+    register(e, "list_sort", classOf[ArraySort],
+      args => { arity("list_sort", 1, args); new ArraySort(args(0)) })
+    register(e, "array_to_string", classOf[ArrayJoin],
+      args => { arity("array_to_string", 2, args); ArrayJoin(args(0), args(1), None) })
+    register(e, "array_slice", classOf[Slice], args => {
+      arity("array_slice", 3, args)
+      // reference bounds are INCLUSIVE: length = hi - lo + 1
+      Slice(args(0), args(1), Add(Subtract(args(2), args(1)), Literal(1)))
+    })
+    register(e, "list_aggregate", classOf[ArrayAggregate], args => {
+      arity("list_aggregate", 2, args)
+      require(args(1).foldable, "list_aggregate expects a constant function name")
+      val fn = args(1).eval(null).toString
+      fn match {
+        case "sum" =>
+          ArrayAggregate(Cast(args(0), ArrayType(LongType)), Literal(0L),
+            lambda2(Add(_, _)), lambda1(identity))
+        case "min" => ArrayMin(args(0))
+        case "max" => ArrayMax(args(0))
+        case "count" => Cast(Size(ArrayCompact(args(0))), LongType)
+        case other => throw new IllegalArgumentException(
+          s"list_aggregate: unsupported function '$other' (sum/min/max/count)")
+      }
+    })
+    register(e, "list_where", classOf[ZipWith], args => {
+      arity("list_where", 2, args)
+      // mask gather: zip values with booleans, keep where the mask
+      // holds (NULL mask drops, matching the reference)
+      ArrayFilter(
+        ZipWith(args(0), args(1),
+          lambda2((v, m) => If(Coalesce(Seq(m, Literal(false))), v, Literal(null)))),
+        lambda1(IsNotNull))
     })
   }
 }

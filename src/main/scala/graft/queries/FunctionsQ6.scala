@@ -207,6 +207,30 @@ object FunctionsQ6 {
           |WHERE o_totalprice > :lo AND o_orderdate >= CAST(:cut AS TIMESTAMP)
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
         Map("lo" -> 150000.0, "cut" -> "1995-01-01 00:00:00"))
+    },
+
+    // F56: verbatim list-function SQL — the f49 family registered
+    // under the reference's names as expression trees (list_unique,
+    // list_intersect, list_sort, array_to_string, array_slice,
+    // list_aggregate, list_where, yearweek; SqlRegistry lambda-built
+    // HOFs). One query text, both engines — the f43 proof shape.
+    {
+      val q =
+        """SELECT p_partkey,
+          |  CAST(list_unique(list_value(p_partkey % 7, p_partkey % 5, p_partkey % 3)) AS BIGINT) AS uniq,
+          |  array_to_string(list_sort(list_intersect(
+          |    list_value(p_partkey % 7, p_partkey % 5), list_value(p_partkey % 5, p_partkey % 3))), ',') AS inter,
+          |  array_to_string(array_slice(list_value(p_partkey % 7, p_partkey % 5, p_partkey % 3), 2, 3), ',') AS sl,
+          |  CAST(list_aggregate(list_value(p_partkey % 7, p_partkey % 5, p_partkey % 3), 'sum') AS BIGINT) AS asum,
+          |  CAST(list_aggregate(list_value(p_partkey % 7, p_partkey % 5, p_partkey % 3), 'max') AS BIGINT) AS amax,
+          |  array_to_string(list_where(list_value(p_partkey % 7, p_partkey % 5, p_partkey % 3),
+          |    list_value(true, p_partkey % 2 = 0, false)), ',') AS wh,
+          |  yearweek(DATE '1995-01-01') AS yw
+          |FROM part ORDER BY p_partkey""".stripMargin
+      QDef.sql("f56_sql_lists", q) { (s, dir) =>
+        graft.sources.Catalog.registerAll(s, dir)
+        s.sql(q)
+      }
     }
   )
 }
