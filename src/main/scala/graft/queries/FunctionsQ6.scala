@@ -231,6 +231,55 @@ object FunctionsQ6 {
         graft.sources.Catalog.registerAll(s, dir)
         s.sql(q)
       }
+    },
+
+    // F57: corr (algebraic/corr.cpp) + any_value
+    // (distributive/arbitrary.cpp). corr follows the f27 float
+    // discipline — exact DECIMAL moments, VARCHAR round-trip on the
+    // oracle side (DuckDB's wide-decimal→double cast double-rounds),
+    // then the √-only arrangement cxy/(√cxx·√cyy): every step is
+    // IEEE exact-rounded, so the doubles hash raw. any_value is
+    // nondeterministic under parallel scans by contract, so it is
+    // pinned over input CONSTANT within each group — the one shape
+    // where both engines must agree.
+    QDef.sql("f57_corr_any",
+      """WITH m AS (
+        |  SELECT o_orderstatus,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(CAST(SUM(xd) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(yd) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(xd*xd) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(yd*yd) AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(SUM(xd*yd) AS VARCHAR) AS DOUBLE) AS sxy,
+        |    any_value(substr(o_orderstatus, 1, 1)) AS tag
+        |  FROM (SELECT o_orderstatus,
+        |          CAST(o_totalprice AS DECIMAL(18,2)) AS xd,
+        |          CAST(o_custkey AS DECIMAL(12,0)) AS yd
+        |        FROM orders)
+        |  GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, CAST(n AS BIGINT) AS cnt, tag,
+        |  (sxy - (sx*sy)/n)
+        |    / (sqrt(sxx - (sx*sx)/n) * sqrt(syy - (sy*sy)/n)) AS r
+        |FROM m ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val m = t(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("xd"),
+          col("o_custkey").cast(DecimalType(12, 0)).as("yd"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("xd")).cast("double").as("sx"),
+          sum(col("yd")).cast("double").as("sy"),
+          sum(col("xd") * col("xd")).cast("double").as("sxx"),
+          sum(col("yd") * col("yd")).cast("double").as("syy"),
+          sum(col("xd") * col("yd")).cast("double").as("sxy"),
+          any_value(substring(col("o_orderstatus"), 1, 1)).as("tag"))
+      val n = col("n")
+      m.select(col("o_orderstatus"), n.cast("long").as("cnt"), col("tag"),
+          ((col("sxy") - (col("sx") * col("sy")) / n)
+            / (sqrt(col("sxx") - (col("sx") * col("sx")) / n)
+               * sqrt(col("syy") - (col("sy") * col("sy")) / n))).as("r"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 }
