@@ -6,12 +6,14 @@ import org.apache.spark.sql.types._
 
 import graft.sources.Catalog
 
-/** Scalar-function surface F49–F54: the list set-operation tail,
+/** Scalar-function surface F49–F57: the list set-operation tail,
   * dynamic star expressions (* REPLACE, COLUMNS, typeof), JSON
-  * construction, Unicode normalization, and the remaining temporal
-  * constructors — closing the last uncovered names under the
-  * reference's src/core_functions/scalar/{list,generic,string,date}
-  * and its bundled JSON extension.
+  * construction, Unicode normalization, temporal constructors,
+  * PREPARE/EXECUTE, verbatim list SQL, and corr/any_value — closing
+  * the last uncovered names under the reference's
+  * src/core_functions/scalar/{list,generic,string,date},
+  * core_functions/aggregate/{algebraic,distributive}, and its
+  * bundled JSON extension.
   *
   * Array-valued intermediates always render as joined strings before
   * they reach the driver's hash gate (the f24 lesson).
