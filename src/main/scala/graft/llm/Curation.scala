@@ -92,6 +92,59 @@ object Curation {
     * no chunks. Output: (id, tokens, start) with id named as the
     * input column.
     */
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw doc
+    * by how much its hashed-n-gram feature mass looks like a small
+    * TARGET corpus vs the raw corpus, then keep the docs whose target
+    * affinity exceeds their raw affinity.
+    *
+    * Fidelity vs oracle-safety: real DSIR weights are
+    * Σ log(p_target[b]/p_raw[b]) — float logs that no two engines sum
+    * identically. The selection RULE here is re-arranged to exact
+    * integer cross-multiplication: with per-doc bucket masses
+    * t_mass = Σ_grams cnt_target[bucket], r_mass = Σ_grams
+    * cnt_raw[bucket] and corpus totals T, R, keep docs where
+    * t_mass·R > r_mass·T (i.e. mean target affinity above the
+    * corpus-neutral line). All BIGINT — hash-stable across engines.
+    * The float log-ratio weight is still exposed (`dsir_logw`) for
+    * ranking consumers; it just isn't part of the oracle contract.
+    *
+    * Buckets are the first two hex chars of md5(gram) — 256 stable
+    * buckets, portable across engines like [[hashSplit]]. Scale
+    * posture: the bucket tables are ≤256 rows each and BROADCAST;
+    * the corpus side is one gram explode + broadcast probe + one
+    * groupBy(doc) — linear in corpus grams, no corpus×corpus join.
+    */
+  def dsirMasses(df: DataFrame, id: Column, text: Column,
+      isTarget: Column, gramN: Int = 2): DataFrame = {
+    val words = filter(split(lower(text), "\\s+"), w => w =!= lit(""))
+    // guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) rather than
+    // returning empty — a doc shorter than gramN must yield no grams
+    val nGrams = size(words) - lit(gramN - 1)
+    val gramArr = when(nGrams >= 1,
+        transform(sequence(lit(1), nGrams),
+          i => array_join(slice(words, i, lit(gramN)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val grams = df.select(id.as("__id"), isTarget.as("__t"),
+        explode(gramArr).as("gram"))
+      .withColumn("__b", substring(md5(col("gram")), 1, 2))
+    val buckets = grams.groupBy(col("__b"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+        count(lit(1)).as("__cr"))
+    val totals = buckets.agg(sum(col("__ct")).as("__T"), sum(col("__cr")).as("__R"))
+    grams.join(broadcast(buckets), Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("__ct")).as("t_mass"),
+        sum(col("__cr")).as("r_mass"),
+        // the real DSIR importance weight, +1-smoothed; NOT oracle-gated
+        sum(log((col("__ct") + lit(1.0)) / (col("__cr") + lit(1.0)))).as("dsir_logw"))
+      .crossJoin(broadcast(totals))
+      .select(col("__id").as("doc_id"), col("n_grams"), col("t_mass"),
+        col("r_mass"), col("dsir_logw"),
+        (col("t_mass") * col("__R") > col("r_mass") * col("__T")).as("selected"))
+  }
+
   def packOffsets(df: DataFrame, id: String, tokens: String,
       parts: Int = 32): DataFrame = {
     val spark = df.sparkSession

@@ -385,4 +385,52 @@ object Dedup {
     edgeBlocks.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     labels
   }
+
+  /** C4-style segment-level exact dedup ACROSS the corpus (Raffel et
+    * al. 2020 drop duplicate lines; here the segment is a fixed
+    * `segWords`-word window because the test corpus has no newlines —
+    * the machinery is delimiter-agnostic). Every segment is kept only
+    * at its first occurrence corpus-wide, first = smallest
+    * (doc id, position); documents are then reassembled from their
+    * surviving segments in original order.
+    *
+    * Scale posture: the only corpus-wide shuffle is the
+    * winner-per-segment aggregate, and it carries
+    * (md5 16 bytes, id+pos 12 bytes) — never the segment text; the
+    * winner table joins back on the same md5 key (co-partitioned, no
+    * second exchange of the big side), and reassembly is one
+    * groupBy(doc) whose groups are bounded by document length. Nothing
+    * is quadratic and no row ever carries more than one segment.
+    *
+    * Output: (id, n_segs, n_kept, text_dedup) — docs whose every
+    * segment lost keep a row with empty text, so corpus row count is
+    * preserved for downstream bookkeeping.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 8): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "\\s+"), w => w =!= lit(""))
+    val segs = df.select(col(idCol), posexplode(
+        transform(
+          sequence(lit(1), greatest(ceil(size(words) / lit(segWords.toDouble)), lit(1))
+            .cast("int")),
+          i => array_join(slice(words, (i - lit(1)) * lit(segWords) + lit(1),
+            lit(segWords)), " ")))
+        .as(Seq("pos0", "seg")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("seg"),
+        md5(col("seg")).as("__h"))
+    // first corpus-wide occurrence per segment content
+    val winners = segs.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__w"))
+    val kept = segs.join(winners, Seq("__h"))
+      .where(struct(col(idCol), col("pos")) === col("__w"))
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")), " ").as("text_dedup"))
+    segs.groupBy(col(idCol)).agg(count(lit(1)).as("n_segs"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

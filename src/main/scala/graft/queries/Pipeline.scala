@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Curation, Dedup, FullText, Multimodal, Similarity, TextOps}
+import graft.llm.{Curation, Dedup, FullText, Multimodal, ProductQuant, Similarity, TextOps}
 import graft.sources.Catalog
 
 /** LLM-pipeline operators L1–L12 (SURVEY §2.5) over the documents and
@@ -646,6 +646,92 @@ object Pipeline {
           floor(col("start") / lit(512.0)).cast("long").as("first_chunk"),
           floor((col("start") + col("tokens") - lit(1)) / lit(512.0)).cast("long").as("last_chunk"))
         .orderBy(col("doc_id"))
+    },
+
+    // L24: C4-style segment-level exact dedup across the corpus
+    // (Raffel et al. 2020 drop-duplicate-lines; segments are fixed
+    // 8-word windows because the test corpus has no newlines). Keep
+    // each segment only at its first corpus-wide occurrence — first =
+    // min (doc_id, pos) — and reassemble docs from survivors. The
+    // Spark side's corpus shuffle carries (md5, id, pos), never the
+    // segment text (Dedup.segmentDedup); the oracle spells the same
+    // winner rule as a row_number window over the raw segments.
+    QDef.sql("d08_line_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, i AS pos, array_to_string(w[(i-1)*8+1 : i*8], ' ') AS seg
+        |  FROM toks, LATERAL unnest(generate_series(1,
+        |    CAST(greatest(ceil(len(w) / 8.0), 1) AS BIGINT))) AS t(i)),
+        |kept AS (
+        |  SELECT doc_id, pos, seg FROM (
+        |    SELECT doc_id, pos, seg,
+        |      ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |    FROM segs) WHERE rn = 1),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |          string_agg(seg, ' ' ORDER BY pos) AS text_dedup
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n_segs AS BIGINT) AS n_segs,
+        |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(a.text_dedup, '') AS text_dedup
+        |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text", segWords = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // L25: DSIR data selection (Xie et al. 2023) — hashed-bigram
+    // importance scoring of every raw doc against a target slice
+    // (sources src0-src2 here). Bucket tables (≤256 rows) broadcast;
+    // the corpus side is one gram explode + broadcast probe + one
+    // groupBy(doc) — linear at 100 TB. The selection rule is exact
+    // integer cross-multiplication (see Curation.dsirMasses) so the
+    // oracle hash-matches; the float log-ratio weight is spec-tested
+    // instead (CurationSpec).
+    QDef.sql("p08_dsir_select",
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source, array_to_string(w[i:i+1], ' ') AS gram
+        |  FROM toks, LATERAL unnest(generate_series(1, greatest(len(w)-1, 0))) AS t(i)),
+        |g AS (SELECT doc_id, source IN ('src0','src1','src2') AS tgt,
+        |        substr(md5(gram), 1, 2) AS b FROM grams),
+        |buckets AS (SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+        |              COUNT(*) AS cr FROM g GROUP BY b),
+        |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM buckets),
+        |per_doc AS (
+        |  SELECT doc_id, COUNT(*) AS n_grams, SUM(ct) AS t_mass, SUM(cr) AS r_mass
+        |  FROM g JOIN buckets USING (b) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(t_mass AS BIGINT) AS t_mass, CAST(r_mass AS BIGINT) AS r_mass,
+        |  (t_mass * tr > r_mass * tt) AS selected
+        |FROM per_doc, tot ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.dsirMasses(t(s, dir, "documents"), col("doc_id"), col("text"),
+          col("source").isin("src0", "src1", "src2"), gramN = 2)
+        .select(col("doc_id"), col("n_grams"), col("t_mass"), col("r_mass"),
+          col("selected"))
+        .orderBy(col("doc_id"))
+    },
+
+    // L26: product-quantization ANN (Jégou et al. 2011) — the
+    // memory-bound 100 TB search path: per-subspace codebooks trained
+    // with the distributed k-means of p06, corpus stored as 4 codes
+    // per 64-dim vector (64× compression), query scored by ADC table
+    // lookups over the codes. Rows-only (iterative float fit);
+    // recall-vs-brute-force and compression contracts in
+    // QuantizationSpec.
+    QDef.rowsOnly("s08_ann_pq") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = ProductQuant.train(emb, "embedding", "vec_id", m = 16, k = 16, iters = 4)
+      val codes = ProductQuant.encode(emb, "embedding", "vec_id", model)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      ProductQuant.searchRerankTopK(codes, emb, "embedding", "vec_id", q, model,
+        k = 10, shortlist = 100)
     }
   )
 }

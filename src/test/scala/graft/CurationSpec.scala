@@ -112,4 +112,25 @@ class CurationSpec extends AnyFunSuite {
     assert(hits(5L) >= 3, s"planted copy under-detected: ${hits(5L)} shared grams")
     assert(hits(9L) == 0, "disjoint doc falsely flagged")
   }
+
+  test("dsirMasses: target-like docs are selected and out-rank dissimilar ones") {
+    import spark.implicits._
+    // target corpus speaks vocabulary A; doc 10 speaks A (should be
+    // kept, high log-weight), doc 11 speaks disjoint vocabulary B
+    // (zero target mass → never selected, lower log-weight)
+    val a = "alpha beta gamma delta alpha beta gamma delta alpha beta"
+    val b = "xray yankee zulu quebec xray yankee zulu quebec xray yankee"
+    val df = Seq(
+      (1L, a, true), (2L, a, true), (3L, a, true),
+      (10L, a, false), (11L, b, false)
+    ).toDF("doc_id", "text", "is_t")
+    val got = Curation.dsirMasses(df, col("doc_id"), col("text"), col("is_t"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    val (t10, _, w10, sel10) = got(10L)
+    val (t11, _, w11, sel11) = got(11L)
+    assert(sel10 && !sel11, s"selection flags wrong: $got")
+    assert(t10 > 0 && t11 == 0, "target mass should reflect vocabulary overlap")
+    assert(w10 > w11, s"log-weight should rank the target-like doc higher ($w10 vs $w11)")
+  }
 }

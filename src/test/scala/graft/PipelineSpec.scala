@@ -151,4 +151,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(20L) == 20L && got(21L) == 20L)
     assert(!got.contains(6L))
   }
+
+  test("segmentDedup keeps each segment at its first corpus occurrence only") {
+    val w = (1 to 16).map(i => s"w$i").mkString(" ") // two 8-word segments
+    val head8 = (1 to 8).map(i => s"w$i").mkString(" ")
+    val tail8 = (9 to 16).map(i => s"w$i").mkString(" ")
+    val uniq = (1 to 8).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, w),                  // owns both segments
+      (2L, s"$head8 $uniq"),    // first segment loses to doc 1; tail survives
+      (3L, w),                  // full copy: every segment loses
+      (4L, "solo words only")   // short doc, single unique segment
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, "doc_id", "text", segWords = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0) == ((1L, 2L, 2L, s"$head8 $tail8")))
+    assert(got(1) == ((2L, 2L, 1L, uniq)))
+    // full duplicate keeps its row with empty text (corpus row count preserved)
+    assert(got(2) == ((3L, 2L, 0L, "")))
+    assert(got(3) == ((4L, 1L, 1L, "solo words only")))
+  }
+
+  test("PQ ADC-shortlist rerank hits at least 0.8 recall@10 vs brute force") {
+    import graft.llm.ProductQuant
+    val emb = graft.sources.Catalog.table(spark, sfDir, "embeddings")
+    val model = ProductQuant.train(emb, "embedding", "vec_id", m = 16, k = 16, iters = 4)
+    val codes = ProductQuant.encode(emb, "embedding", "vec_id", model)
+    // every code is one of k codewords, m codes per vector
+    val bad = codes.where(size(col("codes")) =!= 16 ||
+      exists(col("codes"), c => c < 0 || c >= 16)).count()
+    assert(bad == 0, "codes out of range")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id",
+        emb.filter(col("vec_id") === 0), "embedding", 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pq = ProductQuant.searchRerankTopK(codes, emb, "embedding", "vec_id",
+        q, model, k = 10, shortlist = 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall@10 = $recall")
+  }
+
+  test("PQ training is deterministic: same corpus, same codebooks") {
+    import graft.llm.ProductQuant
+    val emb = graft.sources.Catalog.table(spark, sfDir, "embeddings")
+    val a = ProductQuant.train(emb, "embedding", "vec_id", m = 4, k = 8, iters = 2)
+    val b = ProductQuant.train(emb, "embedding", "vec_id", m = 4, k = 8, iters = 2)
+    assert(a.codebooks.flatten.flatten.toSeq == b.codebooks.flatten.flatten.toSeq)
+  }
 }
