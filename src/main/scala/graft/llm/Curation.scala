@@ -128,17 +128,28 @@ object Curation {
     val grams = df.select(id.as("__id"), isTarget.as("__t"),
         explode(gramArr).as("gram"))
       .withColumn("__b", substring(md5(col("gram")), 1, 2))
-    val buckets = grams.groupBy(col("__b"))
-      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
-        count(lit(1)).as("__cr"))
+    // collapse gram instances to a per-(doc, bucket) histogram FIRST
+    // (≤256 rows per doc) and checkpoint it: the expensive
+    // explode+md5 pass over the corpus runs exactly once, and both
+    // the bucket tables and the per-doc masses derive from the small
+    // histogram. Per-gram sums distribute over the counts, so every
+    // integer below is identical to the gram-instance arrangement the
+    // oracle spells.
+    val hist = grams.groupBy(col("__id"), col("__t"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val buckets = hist.groupBy(col("__b"))
+      .agg(sum(when(col("__t"), col("__c")).otherwise(0L)).as("__ct"),
+        sum(col("__c")).as("__cr"))
     val totals = buckets.agg(sum(col("__ct")).as("__T"), sum(col("__cr")).as("__R"))
-    grams.join(broadcast(buckets), Seq("__b"))
+    hist.join(broadcast(buckets), Seq("__b"))
       .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(col("__ct")).as("t_mass"),
-        sum(col("__cr")).as("r_mass"),
+      .agg(sum(col("__c")).as("n_grams"),
+        sum(col("__c") * col("__ct")).as("t_mass"),
+        sum(col("__c") * col("__cr")).as("r_mass"),
         // the real DSIR importance weight, +1-smoothed; NOT oracle-gated
-        sum(log((col("__ct") + lit(1.0)) / (col("__cr") + lit(1.0)))).as("dsir_logw"))
+        sum(col("__c") * log((col("__ct") + lit(1.0)) / (col("__cr") + lit(1.0))))
+          .as("dsir_logw"))
       .crossJoin(broadcast(totals))
       .select(col("__id").as("doc_id"), col("n_grams"), col("t_mass"),
         col("r_mass"), col("dsir_logw"),

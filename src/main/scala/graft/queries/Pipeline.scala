@@ -719,11 +719,11 @@ object Pipeline {
 
     // L26: product-quantization ANN (Jégou et al. 2011) — the
     // memory-bound 100 TB search path: per-subspace codebooks trained
-    // with the distributed k-means of p06, corpus stored as 4 codes
-    // per 64-dim vector (64× compression), query scored by ADC table
-    // lookups over the codes. Rows-only (iterative float fit);
-    // recall-vs-brute-force and compression contracts in
-    // QuantizationSpec.
+    // with the distributed k-means of p06, corpus stored as 16 codes
+    // per 64-dim vector (16× compression), ADC table-lookup scan over
+    // the codes proposes a bounded shortlist, exact cosine re-ranks
+    // it. Rows-only (iterative float fit); recall-vs-brute-force,
+    // determinism, and code-range contracts in PipelineSpec.
     QDef.rowsOnly("s08_ann_pq") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val model = ProductQuant.train(emb, "embedding", "vec_id", m = 16, k = 16, iters = 4)
@@ -732,6 +732,43 @@ object Pipeline {
         .select(col("embedding")).head().getSeq[Float](0).toArray
       ProductQuant.searchRerankTopK(codes, emb, "embedding", "vec_id", q, model,
         k = 10, shortlist = 100)
+    },
+
+    // L27: linear quality-classifier training (the GPT-3 CommonCrawl
+    // practice: score raw docs with a simple classifier trained to
+    // recognize curated-looking text). Distributed full-batch GD in
+    // the k-means mold — broadcast weights, ONE dim+2-column aggregate
+    // per iteration, zero corpus shuffles (Classifier.trainLogistic).
+    // Labels here are weak supervision (docs above the corpus median
+    // stopword ratio), so the fit must recover a known boundary from
+    // correlated features — real learning on non-axis-aligned planted
+    // data is proven in ClassifierSpec. Rows-only: iterative float fit.
+    QDef.rowsOnly("p09_quality_classifier") { (s, dir) =>
+      import graft.llm.Classifier
+      val stats = graft.plans.HashExpressions.columnOf(
+        graft.plans.TextQualityStats(
+          graft.plans.HashExpressions.exprOf(col("text"))))
+      val feat = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), stats.as("__st"))
+        .select(col("doc_id"),
+          (col("__st").getItem(2).cast("double") /
+            (col("__st").getItem(0).cast("double") + 1.0)).as("stop_ratio"),
+          (col("__st").getItem(0).cast("double") /
+            (col("n_chars").cast("double") + 1.0)).as("token_density"),
+          log(col("n_chars").cast("double") + 1.0).as("log_len"))
+      val cut = feat.stat.approxQuantile("stop_ratio", Array(0.5), 0.0).head
+      val train = feat.select(col("doc_id"),
+          array(col("stop_ratio"), col("token_density"), col("log_len")).as("f"),
+          (col("stop_ratio") > cut).cast("int").as("y"))
+      train.persist()
+      val model = Classifier.trainLogistic(train, "f", "y", iters = 60, lr = 0.5)
+      val scored = train.select(col("doc_id"), col("y"),
+          (Classifier.predictProb(col("f"), model) > 0.5).cast("int").as("pred"))
+        .withColumn("correct", (col("y") === col("pred")).cast("int"))
+        .orderBy(col("doc_id"))
+      scored.count() // materialize before unpersist
+      train.unpersist()
+      scored
     }
   )
 }

@@ -61,7 +61,8 @@ object ScaleSmoke {
       "d07_dedup_star_clusters", "s03_ann_ivf", "s04_ann_ivf_index",
       "t04_fingerprint", "t05_pii_redact", "st02_sessionize",
       "q55_window_exclude", "s10_summarize", "t02_quality_score",
-      "t03_token_count", "p05_crossdoc_grams", "p07_contamination")
+      "t03_token_count", "p05_crossdoc_grams", "p07_contamination",
+      "d08_line_dedup", "p08_dsir_select", "s08_ann_pq", "p09_quality_classifier")
     // optional name filter: runMain graft.tools.ScaleSmoke p07_contamination
     val names = if (args.isEmpty) all else {
       val unknown = args.toSeq.filterNot(all.contains)
