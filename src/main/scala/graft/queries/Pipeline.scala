@@ -769,6 +769,20 @@ object Pipeline {
       scored.count() // materialize before unpersist
       train.unpersist()
       scored
+    },
+
+    // L28: distributed BPE merge learning (Sennrich et al. 2016) —
+    // the tokenizer-training stage. One corpus pass builds the word
+    // histogram; each merge round is ONE aggregate over the bounded
+    // vocabulary (pair frequencies weighted by word count) and a
+    // map-only rewrite of the winner. Ties break lexicographically,
+    // so the merge table reproduces at any cluster size. Rows-only
+    // (12-round iterative fit); worked-example order, greedy
+    // application, and determinism contracts in BpeSpec.
+    QDef.rowsOnly("p10_bpe_train") { (s, dir) =>
+      import graft.llm.Bpe
+      val hist = Bpe.wordHistogram(t(s, dir, "documents"), "text")
+      Bpe.mergesFrame(s, Bpe.train(hist, nMerges = 12)).orderBy(col("rank"))
     }
   )
 }
