@@ -29,6 +29,8 @@ HEADLINE = [
     "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash",
     "d04_ngram_jaccard", "d07_dedup_star_clusters", "s01_cosine_topk",
     "s03_ann_ivf", "t02_quality_score", "t04_fingerprint", "st02_sessionize",
+    "p05_crossdoc_grams", "p07_contamination",
+    "d08_line_dedup", "p08_dsir_select",
 ]
 
 
