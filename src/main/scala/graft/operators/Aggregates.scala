@@ -55,6 +55,85 @@ object Aggregates {
   def approxTopK(x: Column, k: Int, capacity: Int): Column =
     HashExpressions.columnOf(
       ApproxTopKAgg(HashExpressions.exprOf(x), k, capacity).toAggregateExpression())
+
+  /** KAHAN_SUM / FSUM (reference: aggregate/distributive/sum.cpp
+    * KahanSumOperation + sum_helpers.hpp KahanAddInternal):
+    * compensated summation carrying a (value, err) pair per group.
+    * The reference's EXACT operation order is mirrored — including
+    * its two quirks: merge folds the partner's value then its err
+    * through the same compensated add, and finalize returns `value`
+    * WITHOUT adding the residual err (sum_helpers.hpp:17, so e.g.
+    * kahan_sum(1e16, 1.0, -1e16) is 0.0 there, not 1.0 — see
+    * NumericFringeSpec for the contrast with textbook Kahan).
+    * Declarative — rides partial aggregation and codegen like any
+    * built-in sum; the buffer is two doubles + a bool per group.
+    */
+  def kahanSum(x: Column): Column =
+    HashExpressions.columnOf(
+      KahanSumAgg(HashExpressions.exprOf(x)).toAggregateExpression())
+}
+
+/** Compensated (Kahan) summation with the reference's exact operation
+  * order: update is KahanAddInternal(input, value, err); merge is
+  * KahanAddInternal(other.value) THEN KahanAddInternal(other.err);
+  * finalize returns value (err is dropped, as the reference does).
+  * NULL inputs are skipped; an empty/all-NULL group returns NULL.
+  */
+case class KahanSumAgg(child: Expression) extends DeclarativeAggregate {
+  import org.apache.spark.sql.catalyst.expressions.{Add, And, GreaterThan, If, IsNull, Or, Subtract}
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  private lazy val sum = AttributeReference("ksum", DoubleType, nullable = false)()
+  private lazy val err = AttributeReference("kerr", DoubleType, nullable = false)()
+  private lazy val isset = AttributeReference("kset", BooleanType, nullable = false)()
+
+  private def childD: Expression =
+    if (child.dataType == DoubleType) child else Cast(child, DoubleType)
+
+  private def add(a: Expression, b: Expression) = Add(a, b)
+  private def sub(a: Expression, b: Expression) = Subtract(a, b)
+
+  /** (newSum, newErr) after KahanAddInternal(x, s, e):
+    * diff = x − e; newval = s + diff; e' = (newval − s) − diff.
+    */
+  private def kahanStep(x: Expression, s: Expression, e: Expression): (Expression, Expression) = {
+    val diff = sub(x, e)
+    val newval = add(s, diff)
+    (newval, sub(sub(newval, s), diff))
+  }
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(sum, err, isset)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0.0), Literal(0.0), Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val (s1, e1) = kahanStep(childD, sum, err)
+    Seq(
+      If(IsNull(child), sum, s1),
+      If(IsNull(child), err, e1),
+      Or(isset, org.apache.spark.sql.catalyst.expressions.Not(IsNull(child))))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    // fold the partner's (value, err) through two sequential
+    // compensated adds, exactly as KahanSumState::Combine does —
+    // which (like the reference) folds UNCONDITIONALLY, even when the
+    // partner state is empty (its (0,0) pair is a no-op only because
+    // empty states initialize to exact zeros)
+    val (s1, e1) = kahanStep(sum.right, sum.left, err.left)
+    val (s2, e2) = kahanStep(err.right, s1, e1)
+    Seq(s2, e2, Or(isset.left, isset.right))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(isset, sum, Literal(null, DoubleType))
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KahanSumAgg =
+    copy(child = newChildren(0))
 }
 
 case class ProductAgg(child: Expression) extends DeclarativeAggregate {

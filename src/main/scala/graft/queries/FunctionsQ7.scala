@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Catalog
+import graft.plans.NumericFringe
+
+/** Scalar-function fringe F60–F64: the last uncovered names under the
+  * reference's src/core_functions/scalar/{math,date,bit,string} —
+  * even/signbit/isfinite/isinf/isnan/nextafter/gamma/lgamma (math_
+  * functions.cpp), the julian/millennium/era/week/weekday/epoch_us/
+  * epoch_ns/make_time/to_* date-part + interval-constructor tail
+  * (date/part.cpp, to_interval.cpp), the BIT-string family
+  * (bit/bitstring.cpp: get_bit/set_bit/bit_position/bitstring) over
+  * the same 0/1-string encoding f33 renders, and md5_number
+  * (string/md5.cpp — digest bytes as a little-endian uint128).
+  *
+  * Float discipline (see SURVEY §2.3 notes): nextafter and pi are
+  * IEEE-bit-portable and compare raw; gamma/lgamma/log2 are libm-
+  * dependent and snap to fixed grids; everything else here is exact
+  * integer/string/date arithmetic.
+  */
+object FunctionsQ7 {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.table(s, dir, name)
+
+  /** DuckDB's INTERVAL → VARCHAR render for whole-day intervals:
+    * zero renders as the zero-time '00:00:00', one day singular.
+    */
+  private def dayInterval(n: Column): Column =
+    when(n === 0, lit("00:00:00"))
+      .when(n === 1, lit("1 day"))
+      .otherwise(concat(n.cast("string"), lit(" days")))
+
+  /** Sub-day intervals render as (unbounded-hour) HH:MM:SS. */
+  private def hms(h: Column, m: Column, s: Column): Column =
+    format_string("%02d:%02d:%02d", h, m, s)
+
+  /** Month-granularity intervals render as "Y years M months" with
+    * singular forms and the zero-interval '00:00:00' fallback.
+    */
+  private def monthInterval(months: Column): Column = {
+    val y = floor(months / 12).cast("long")
+    val r = pmod(months, lit(12)).cast("long")
+    val yPart = when(y === 1, lit("1 year"))
+      .when(y > 1, concat(y.cast("string"), lit(" years")))
+    val mPart = when(r === 1, lit("1 month"))
+      .when(r > 1, concat(r.cast("string"), lit(" months")))
+    when(y === 0 && r === 0, lit("00:00:00"))
+      .when(y > 0 && r > 0, concat(yPart, lit(" "), mPart))
+      .when(y > 0, yPart)
+      .otherwise(mPart)
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // F60: math fringe (scalar/math/math_functions.cpp). even() is
+    // round-away-from-zero to the next even integer (ceil(|x|/2)·2,
+    // sign-restored; the `+ 0.0` normalizes Java's -0.0 for the zero
+    // row). signbit() on DuckDB 1.0 is false for -0.0, so plain x<0
+    // matches it exactly. nextafter is IEEE-defined — raw doubles
+    // compare bit-equal with no grid. gamma/lgamma go through
+    // commons-math3's Lanczos on the JVM vs libm tgamma/lgamma in the
+    // reference — ~1e-15 relative, snapped to 1e6/1e9 grids.
+    QDef.sql("f60_math_fringe",
+      """SELECT p_partkey,
+        |  even(p_retailprice / 100.0) AS ev,
+        |  even(50.0 - p_retailprice / 25.0) AS ev_neg,
+        |  signbit(1200.0 - p_retailprice) AS sb,
+        |  isfinite(CASE CAST(p_partkey % 4 AS INT) WHEN 0 THEN CAST('inf' AS DOUBLE) WHEN 1 THEN CAST('nan' AS DOUBLE) ELSE p_retailprice END) AS fin,
+        |  isinf(CASE CAST(p_partkey % 4 AS INT) WHEN 0 THEN CAST('-inf' AS DOUBLE) ELSE p_retailprice END) AS inf_f,
+        |  isnan(CASE CAST(p_partkey % 4 AS INT) WHEN 1 THEN CAST('nan' AS DOUBLE) ELSE p_retailprice END) AS nan_f,
+        |  nextafter(p_retailprice, 1e18) AS na_up,
+        |  nextafter(p_retailprice, -1e18) AS na_dn,
+        |  CAST(FLOOR(gamma(0.5 + CAST(p_partkey % 12 AS INT)) * 1e6 + 0.5) AS BIGINT) AS gamma_e6,
+        |  CAST(FLOOR(lgamma(0.5 + CAST(p_partkey % 40 AS INT)) * 1e9 + 0.5) AS BIGINT) AS lgamma_e9,
+        |  CAST(FLOOR(log2(CAST(p_partkey + 1 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS log2_e9,
+        |  CAST(sign(p_retailprice - 1500.0) AS INT) AS sgn,
+        |  pi() AS pi_v
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      def even(c: Column): Column =
+        (ceil(abs(c) / 2) * 2).cast("double") * signum(c) + lit(0.0)
+      val price = col("p_retailprice")
+      val m4 = pmod(col("p_partkey"), lit(4)).cast("int")
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        even(price / 100.0).as("ev"),
+        even(lit(50.0) - price / 25.0).as("ev_neg"),
+        (lit(1200.0) - price < 0).as("sb"),
+        not(isnan(when(m4 === 0, lit(Double.PositiveInfinity))
+            .when(m4 === 1, lit(Double.NaN)).otherwise(price)) ||
+          abs(when(m4 === 0, lit(Double.PositiveInfinity))
+            .when(m4 === 1, lit(Double.NaN)).otherwise(price)) === lit(Double.PositiveInfinity))
+          .as("fin"),
+        (abs(when(m4 === 0, lit(Double.NegativeInfinity)).otherwise(price))
+          === lit(Double.PositiveInfinity)).as("inf_f"),
+        isnan(when(m4 === 1, lit(Double.NaN)).otherwise(price)).as("nan_f"),
+        NumericFringe.nextafter(price, lit(1e18)).as("na_up"),
+        NumericFringe.nextafter(price, lit(-1e18)).as("na_dn"),
+        floor(NumericFringe.gamma(lit(0.5) + pmod(col("p_partkey"), lit(12)).cast("int")) * 1e6 + 0.5)
+          .cast("long").as("gamma_e6"),
+        floor(NumericFringe.lgamma(lit(0.5) + pmod(col("p_partkey"), lit(40)).cast("int")) * 1e9 + 0.5)
+          .cast("long").as("lgamma_e9"),
+        floor(log2((col("p_partkey") + 1).cast("double")) * 1e9 + 0.5)
+          .cast("long").as("log2_e9"),
+        signum(price - 1500.0).cast("int").as("sgn"),
+        lit(math.Pi).as("pi_v"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // F61: date-part + interval-constructor tail (scalar/date/
+    // date_part.cpp, to_interval.cpp). julian() anchors at
+    // julian(2000-01-01)=2451545 — day offsets stay exact in DOUBLE.
+    // millennium/era are the reference's integer arithmetic; weekday
+    // is Sunday=0 (Spark's dayofweek − 1); the to_* constructors
+    // reproduce DuckDB's INTERVAL VARCHAR renders (singular forms,
+    // "Y years M months" composition, '00:00:00' for zero, and
+    // unbounded-hour HH:MM:SS for sub-day widths).
+    QDef.sql("f61_date_fringe",
+      """SELECT o_orderkey,
+        |  last_day(CAST(o_orderdate AS DATE)) AS ld,
+        |  julian(CAST(o_orderdate AS DATE)) AS jd,
+        |  CAST(millennium(make_date(CAST(800 + o_orderkey % 2400 AS INT), 3, 15)) AS INT) AS mill,
+        |  CAST(era(CAST(o_orderdate AS DATE)) AS INT) AS er,
+        |  CAST(week(CAST(o_orderdate AS DATE)) AS INT) AS wk,
+        |  CAST(weekday(CAST(o_orderdate AS DATE)) AS INT) AS wd,
+        |  epoch_us(o_orderdate) AS eus,
+        |  epoch_ns(o_orderdate) AS ens,
+        |  make_time(CAST(o_orderkey % 24 AS INT), CAST(o_orderkey * 7 % 60 AS INT), CAST(o_orderkey * 13 % 60 AS INT))::VARCHAR AS mt,
+        |  to_days(CAST(o_orderkey % 40 AS INT))::VARCHAR AS iv_d,
+        |  to_weeks(CAST(o_orderkey % 5 AS INT))::VARCHAR AS iv_w,
+        |  to_hours(CAST(o_orderkey % 50 AS INT))::VARCHAR AS iv_h,
+        |  to_minutes(CAST(o_orderkey % 200 AS INT))::VARCHAR AS iv_m,
+        |  to_seconds(CAST(o_orderkey % 5000 AS INT))::VARCHAR AS iv_s,
+        |  to_months(CAST(o_orderkey % 30 AS INT))::VARCHAR AS iv_mo,
+        |  to_years(CAST(o_orderkey % 9 AS INT))::VARCHAR AS iv_y,
+        |  to_quarters(CAST(o_orderkey % 8 AS INT))::VARCHAR AS iv_q,
+        |  to_decades(CAST(o_orderkey % 4 AS INT))::VARCHAR AS iv_de,
+        |  to_centuries(CAST(o_orderkey % 3 AS INT))::VARCHAR AS iv_c,
+        |  to_millennia(CAST(o_orderkey % 2 AS INT))::VARCHAR AS iv_mil
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val k = col("o_orderkey")
+      val d = col("o_orderdate").cast("date")
+      val millYear = (lit(800) + pmod(k, lit(2400))).cast("int")
+      t(s, dir, "orders").select(
+        k,
+        last_day(d).as("ld"),
+        (datediff(d, to_date(lit("2000-01-01"))) + lit(2451545)).cast("double").as("jd"),
+        (floor((millYear - 1) / 1000) + 1).cast("int").as("mill"),
+        when(year(d) > 0, lit(1)).otherwise(lit(0)).cast("int").as("er"),
+        weekofyear(d).cast("int").as("wk"),
+        (dayofweek(d) - 1).cast("int").as("wd"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("eus"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L).as("ens"),
+        hms(pmod(k, lit(24)), pmod(k * 7, lit(60)), pmod(k * 13, lit(60))).as("mt"),
+        dayInterval(pmod(k, lit(40))).as("iv_d"),
+        dayInterval(pmod(k, lit(5)) * 7).as("iv_w"),
+        hms(pmod(k, lit(50)), lit(0), lit(0)).as("iv_h"),
+        hms(floor(pmod(k, lit(200)) / 60).cast("long"), pmod(k, lit(200)) % 60, lit(0)).as("iv_m"),
+        hms(floor(pmod(k, lit(5000)) / 3600).cast("long"),
+          floor(pmod(k, lit(5000)) / 60).cast("long") % 60,
+          pmod(k, lit(5000)) % 60).as("iv_s"),
+        monthInterval(pmod(k, lit(30))).as("iv_mo"),
+        monthInterval(pmod(k, lit(9)) * 12).as("iv_y"),
+        monthInterval(pmod(k, lit(8)) * 3).as("iv_q"),
+        monthInterval(pmod(k, lit(4)) * 120).as("iv_de"),
+        monthInterval(pmod(k, lit(3)) * 1200).as("iv_c"),
+        monthInterval(pmod(k, lit(2)) * 12000).as("iv_mil"))
+        .orderBy(k)
+    },
+
+    // F62: sem + kahan_sum/fsum (algebraic/stddev.cpp
+    // StandardErrorOfTheMeanOperation, distributive/sum.cpp
+    // KahanSumOperation). sem is stddev_POP/√n in the reference —
+    // dsquared/n, NOT n−1 — spelled here from exact decimal moments
+    // in the same √(…/n)/√n arrangement on both sides (the native
+    // Welford accumulator agrees to 1–2 ulps; the formula is pinned,
+    // f26-style). kahan_sum runs the custom KahanSumAgg (see
+    // operators/Aggregates.scala) over INTEGER-valued doubles: sums
+    // stay < 2^53, the compensation term is exactly 0 in every
+    // partition order, so both engines produce the identical double
+    // — the adversarial compensation behavior is NumericFringeSpec's
+    // job, not the cross-engine gate's.
+    QDef.sql("f62_sem_kahan",
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(CAST(SUM(qd) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(qd*qd) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    kahan_sum(CAST(CAST(FLOOR(l_quantity) AS INT) AS DOUBLE)) AS ksum_q,
+        |    kahan_sum(CAST(CAST(FLOOR(l_extendedprice) AS INT) AS DOUBLE)) AS ksum_p
+        |  FROM (SELECT l_returnflag, l_quantity, l_extendedprice,
+        |          CAST(l_quantity AS DECIMAL(6,2)) AS qd FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  SQRT((sxx - (sx*sx)/n) / n) / SQRT(n) AS sem_q,
+        |  ksum_q, ksum_p
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val qd = col("l_quantity").cast(DecimalType(6, 2))
+      val m = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"), qd.as("qd"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("qd")).cast("double").as("sx"),
+          sum(col("qd") * col("qd")).cast("double").as("sxx"),
+          graft.operators.Aggregates.kahanSum(
+            floor(col("l_quantity")).cast("int").cast("double")).as("ksum_q"),
+          graft.operators.Aggregates.kahanSum(
+            floor(col("l_extendedprice")).cast("int").cast("double")).as("ksum_p"))
+      val n = col("n")
+      m.select(col("l_returnflag"), n.cast("long").as("n"),
+          (sqrt((col("sxx") - (col("sx") * col("sx")) / n) / n) / sqrt(n)).as("sem_q"),
+          col("ksum_q"), col("ksum_p"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // F63: BIT-string family (scalar/bit/bitstring.cpp) on the same
+    // 0/1-string encoding the f33 bitstring_agg render uses.
+    // bitstring() is a left-zero-pad; get_bit indexes 0-based from
+    // the LEFT; set_bit is a one-char overlay; bit_position is the
+    // reference's NON-BACKTRACKING scanner (bit.cpp:238) — NOT a
+    // plain substring search; see NumericKernels.bitPosition. All
+    // pure per-row string work — codegen'd, nothing shuffles.
+    QDef.sql("f63_bitstring",
+      """SELECT p_partkey,
+        |  bitstring(bin(CAST(p_partkey % 256 AS INT)), 16)::VARCHAR AS bits,
+        |  CAST(get_bit(bitstring(bin(CAST(p_partkey % 256 AS INT)), 16), CAST(p_partkey % 16 AS INT)) AS INT) AS gb,
+        |  set_bit(bitstring(bin(CAST(p_partkey % 256 AS INT)), 16), CAST(p_partkey % 16 AS INT), CAST((p_partkey + 1) % 2 AS INT))::VARCHAR AS sb,
+        |  CAST(bit_position('101'::BIT, bitstring(bin(CAST(p_partkey % 256 AS INT)), 16)) AS INT) AS bp
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val k = col("p_partkey")
+      val bits = lpad(bin(pmod(k, lit(256))), 16, "0")
+      val idx = pmod(k, lit(16)).cast("int")
+      t(s, dir, "part").select(
+        k,
+        bits.as("bits"),
+        substring(bits, lit(1) + idx, lit(1)).cast("int").as("gb"),
+        overlay(bits, pmod(k + 1, lit(2)).cast("string"), idx + 1, lit(1)).as("sb"),
+        NumericFringe.bitPosition(lit("101"), bits).as("bp"))
+        .orderBy(k)
+    },
+
+    // F64: md5_number (scalar/string/md5.cpp): the 16 digest bytes
+    // read as a little-endian unsigned 128-bit integer. 2^128 exceeds
+    // Spark's DECIMAL(38), so the custom expression renders the
+    // decimal string and the oracle casts its HUGEINT to VARCHAR —
+    // same digits, no widening anywhere.
+    QDef.sql("f64_md5_number",
+      """SELECT p_partkey,
+        |  CAST(md5_number(p_name) AS VARCHAR) AS mdn,
+        |  CAST(md5_number(p_type || '/' || p_brand) AS VARCHAR) AS mdn2
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        NumericFringe.md5Number(col("p_name")).as("mdn"),
+        NumericFringe.md5Number(concat(col("p_type"), lit("/"), col("p_brand"))).as("mdn2"))
+        .orderBy(col("p_partkey"))
+    }
+  )
+}

@@ -783,6 +783,69 @@ object Pipeline {
       import graft.llm.Bpe
       val hist = Bpe.wordHistogram(t(s, dir, "documents"), "text")
       Bpe.mergesFrame(s, Bpe.train(hist, nMerges = 12)).orderBy(col("rank"))
+    },
+
+    // L29: SemDeDup semantic deduplication (Abbas et al. 2023):
+    // k-means the embeddings, then within each cluster greedily drop
+    // members whose cosine to an already-kept member exceeds tau,
+    // keeping the farthest-from-centroid representative (the paper's
+    // keep-outliers rule). The natural table has no semantic dups
+    // (max pairwise cos ≈ 0.51), so the entry PLANTS them: every
+    // 5th vector re-enters scaled ×1.001 under id+10⁶ — same
+    // direction, cosine exactly 1 — and the result must remove
+    // precisely one of each planted pair. Quadratic work is cluster-
+    // local (the paper's own bound); one groupByKey shuffle total.
+    QDef.rowsOnly("p11_semdedup") { (s, dir) =>
+      import graft.llm.SemDedup
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(planted)
+      SemDedup.semDedup(corpus, "embedding", "vec_id", k = 8, tau = 0.95)
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("kept").cast("long")).as("n_kept"))
+        .orderBy(col("centroid_id"))
+    },
+
+    // L30: CCNet perplexity filtering (Wenzek et al. 2019): train an
+    // add-1 bigram LM on the trusted 'src0' slice, score every doc's
+    // mean −ln P (1e-9 grid — ln is libm-dependent, the f28
+    // discipline), split into head/middle/tail terciles. The oracle
+    // spells NTILE(3) OVER a global order; the Spark side produces
+    // the BIT-IDENTICAL split from a distributed rank (range
+    // partition + O(#parts) offset exchange, llm/NgramLm.terciles) —
+    // a corpus-wide window with no PARTITION BY would single-thread
+    // the whole tercile stage at 100 TB.
+    QDef.sql("p12_ngram_lm",
+      raw"""WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source, w[i] || ' ' || w[i+1] AS bg
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w)-1)) AS t(i)
+        |  WHERE len(w) >= 2),
+        |c12 AS (SELECT bg, COUNT(*) AS c FROM bg WHERE source = 'src0' GROUP BY bg),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c) AS c FROM c12 GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vs
+        |      FROM (SELECT unnest(w) AS tok FROM toks WHERE source = 'src0')),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    -ln((COALESCE(c12.c, 0) + 1.0) / (COALESCE(c1.c, 0) + v.vs)) AS nl
+        |  FROM bg b
+        |  LEFT JOIN c12 ON b.bg = c12.bg
+        |  LEFT JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+        |  CROSS JOIN v),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |        CAST(FLOOR(SUM(nl)/COUNT(*)*1e9 + 0.5) AS BIGINT) AS ce_e9 FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, ce_e9,
+        |  CASE NTILE(3) OVER (ORDER BY ce_e9, doc_id) WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.llm.NgramLm
+      val docs = t(s, dir, "documents")
+      val scored = NgramLm.score(docs, "doc_id", "text", col("source") === "src0")
+      NgramLm.terciles(scored, "doc_id").orderBy(col("doc_id"))
     }
   )
 }
