@@ -62,7 +62,8 @@ object ScaleSmoke {
       "t04_fingerprint", "t05_pii_redact", "st02_sessionize",
       "q55_window_exclude", "s10_summarize", "t02_quality_score",
       "t03_token_count", "p05_crossdoc_grams", "p07_contamination",
-      "d08_line_dedup", "p08_dsir_select", "s08_ann_pq", "p09_quality_classifier")
+      "d08_line_dedup", "p08_dsir_select", "s08_ann_pq", "p09_quality_classifier",
+      "p11_semdedup", "p12_ngram_lm")
     // optional name filter: runMain graft.tools.ScaleSmoke p07_contamination
     val names = if (args.isEmpty) all else {
       val unknown = args.toSeq.filterNot(all.contains)
