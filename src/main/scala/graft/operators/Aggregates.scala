@@ -71,6 +71,141 @@ object Aggregates {
   def kahanSum(x: Column): Column =
     HashExpressions.columnOf(
       KahanSumAgg(HashExpressions.exprOf(x)).toAggregateExpression())
+
+  /** RESERVOIR_QUANTILE(x, q, sample_size) (reference: holistic/
+    * reservoir_quantile.cpp): bounded-memory quantile over a
+    * reservoir sample. Finalize is the reference's exact index math —
+    * element at truncate((n−1)·q) of the sorted reservoir
+    * (reservoir_quantile.cpp:165) — so whenever a group's row count
+    * stays ≤ sample_size the result is EXACT and deterministic (the
+    * reservoir is the whole group; the oracle entry runs in this
+    * regime). Beyond the cap, replacement is Algorithm R with
+    * hash-derived indices: deterministic for a fixed partition order,
+    * sample-dependent across plans — the same contract as the
+    * reference's RNG sampler.
+    */
+  def reservoirQuantile(x: Column, q: Double, sampleSize: Int): Column =
+    HashExpressions.columnOf(
+      ReservoirQuantileAgg(HashExpressions.exprOf(x), q, sampleSize)
+        .toAggregateExpression())
+}
+
+final class ReservoirBuffer {
+  var seen: Long = 0L
+  var values: scala.collection.mutable.ArrayBuffer[Double] =
+    new scala.collection.mutable.ArrayBuffer[Double]()
+}
+
+case class ReservoirQuantileAgg(
+    child: Expression,
+    q: Double,
+    sampleSize: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ReservoirBuffer] {
+
+  require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+  require(sampleSize > 0, s"sample_size must be positive, got $sampleSize")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def createAggregationBuffer(): ReservoirBuffer = new ReservoirBuffer
+
+  private def childD(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else child.dataType match {
+      case DoubleType => v
+      case _ => Cast(child, DoubleType).eval(input)
+    }
+  }
+
+  /** Algorithm R slot for the k-th element seen (0-based), hash-mixed
+    * for determinism: uniform over [0, k] — replace if < capacity.
+    */
+  private def slot(k: Long): Long = {
+    var h = k * 0x9e3779b97f4a7c15L
+    h ^= h >>> 32; h *= 0xff51afd7ed558ccdL; h ^= h >>> 32
+    java.lang.Long.remainderUnsigned(h, k + 1)
+  }
+
+  private def add(buf: ReservoirBuffer, x: Double): Unit = {
+    if (buf.values.length < sampleSize) buf.values += x
+    else {
+      val s = slot(buf.seen)
+      if (s < sampleSize) buf.values(s.toInt) = x
+    }
+    buf.seen += 1
+  }
+
+  override def update(buf: ReservoirBuffer, input: InternalRow): ReservoirBuffer = {
+    val v = childD(input)
+    if (v != null) add(buf, v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: ReservoirBuffer, other: ReservoirBuffer): ReservoirBuffer = {
+    val total = buf.seen + other.seen
+    if (buf.values.length + other.values.length <= sampleSize) {
+      buf.values ++= other.values
+    } else {
+      // weighted downsample: each side contributes slots in proportion
+      // to the row count its reservoir represents; strided picks
+      // spread each side's contribution across its slot positions
+      val na = math.min(buf.values.length.toLong,
+        math.max(0L, math.round(sampleSize.toDouble * buf.seen / total)))
+      val nb = math.min(other.values.length.toLong, sampleSize - na)
+      val out = new scala.collection.mutable.ArrayBuffer[Double](sampleSize)
+      var i = 0L
+      while (i < na) {
+        out += buf.values(((i * buf.values.length) / na).toInt); i += 1
+      }
+      i = 0L
+      while (i < nb) {
+        out += other.values(((i * other.values.length) / nb).toInt); i += 1
+      }
+      buf.values = out
+    }
+    buf.seen = total
+    buf
+  }
+
+  override def eval(buf: ReservoirBuffer): Any = {
+    if (buf.values.isEmpty) null
+    else {
+      val sorted = buf.values.toArray
+      java.util.Arrays.sort(sorted)
+      sorted(((sorted.length - 1).toDouble * q).toLong.toInt)
+    }
+  }
+
+  override def serialize(buf: ReservoirBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(12 + 8 * buf.values.length)
+    bb.putLong(buf.seen)
+    bb.putInt(buf.values.length)
+    buf.values.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ReservoirBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new ReservoirBuffer
+    buf.seen = bb.getLong
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.values += bb.getDouble; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ReservoirQuantileAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ReservoirQuantileAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ReservoirQuantileAgg =
+    copy(child = newChildren(0))
 }
 
 /** Compensated (Kahan) summation with the reference's exact operation

@@ -56,6 +56,22 @@ object NumericKernels {
   def logGamma(x: Double): Double =
     org.apache.commons.math3.special.Gamma.logGamma(x)
 
+  /** md5_number_lower / md5_number_upper: the two UBIGINT halves of
+    * the digest (observed against the engine: LOWER reads digest
+    * bytes 8..15 little-endian, UPPER reads bytes 0..7 — the halves
+    * of the same hugeint md5_number reinterprets). Rendered as
+    * unsigned decimal strings: Spark has no unsigned 64-bit type.
+    */
+  def md5NumberHalf(s: UTF8String, lower: Boolean): UTF8String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(s.getBytes)
+    val off = if (lower) 8 else 0
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (digest(off + i) & 0xffL); i -= 1 }
+    UTF8String.fromString(java.lang.Long.toUnsignedString(v))
+  }
+
   /** Decimal rendering of md5(input) as a little-endian SIGNED int128
     * (the reference's HUGEINT is two's-complement, so digests with the
     * top bit of the last byte set render negative).
@@ -109,6 +125,15 @@ case class LogGammaFn(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): LogGammaFn = copy(child = c)
 }
 
+case class Md5NumberHalf(child: Expression, lower: Boolean) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(x: Any): Any =
+    NumericKernels.md5NumberHalf(x.asInstanceOf[UTF8String], lower)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NumericKernels.md5NumberHalf($c, $lower)")
+  override protected def withNewChildInternal(c: Expression): Md5NumberHalf = copy(child = c)
+}
+
 case class Md5Number(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(x: Any): Any =
@@ -127,4 +152,6 @@ object NumericFringe {
   def gamma(x: Column): Column = columnOf(GammaFn(exprOf(x)))
   def lgamma(x: Column): Column = columnOf(LogGammaFn(exprOf(x)))
   def md5Number(c: Column): Column = columnOf(Md5Number(exprOf(c)))
+  def md5NumberLower(c: Column): Column = columnOf(Md5NumberHalf(exprOf(c), lower = true))
+  def md5NumberUpper(c: Column): Column = columnOf(Md5NumberHalf(exprOf(c), lower = false))
 }

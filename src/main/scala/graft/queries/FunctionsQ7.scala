@@ -251,13 +251,70 @@ object FunctionsQ7 {
     QDef.sql("f64_md5_number",
       """SELECT p_partkey,
         |  CAST(md5_number(p_name) AS VARCHAR) AS mdn,
-        |  CAST(md5_number(p_type || '/' || p_brand) AS VARCHAR) AS mdn2
+        |  CAST(md5_number(p_type || '/' || p_brand) AS VARCHAR) AS mdn2,
+        |  CAST(md5_number_lower(p_name) AS VARCHAR) AS mdn_lo,
+        |  CAST(md5_number_upper(p_name) AS VARCHAR) AS mdn_hi
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
       t(s, dir, "part").select(
         col("p_partkey"),
         NumericFringe.md5Number(col("p_name")).as("mdn"),
-        NumericFringe.md5Number(concat(col("p_type"), lit("/"), col("p_brand"))).as("mdn2"))
+        NumericFringe.md5Number(concat(col("p_type"), lit("/"), col("p_brand"))).as("mdn2"),
+        NumericFringe.md5NumberLower(col("p_name")).as("mdn_lo"),
+        NumericFringe.md5NumberUpper(col("p_name")).as("mdn_hi"))
         .orderBy(col("p_partkey"))
+    },
+
+    // F65: left_grapheme / right_grapheme (scalar/string/left_right
+    // .cpp grapheme variants): cluster-counting left/right over
+    // extended grapheme clusters — combining marks travel with their
+    // base. JDK BreakIterator ≡ utf8proc UAX #29 for this repertoire.
+    // Negative n drops |n| clusters from the opposite end; overflow
+    // clamps to the whole string; n=0 is ''. Codegen'd expressions in
+    // plans/UnicodeKernels.scala.
+    QDef.sql("f65_grapheme",
+      """SELECT p_partkey,
+        |  left_grapheme(p_brand || 'e' || chr(769) || 'x', CAST(p_partkey % 12 AS INT)) AS lg,
+        |  right_grapheme(p_brand || 'e' || chr(769) || 'x', CAST(p_partkey % 12 AS INT)) AS rg,
+        |  left_grapheme(p_name, CAST(-(p_partkey % 5) AS INT)) AS lg_neg,
+        |  right_grapheme(p_name, CAST(-(p_partkey % 5) AS INT)) AS rg_neg,
+        |  left_grapheme('a' || chr(769) || chr(776) || 'b', 1) AS lg_multi
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      import graft.plans.UnicodeFns
+      val deco = concat(col("p_brand"), lit("éx"))
+      val n = pmod(col("p_partkey"), lit(12)).cast("int")
+      val negN = -pmod(col("p_partkey"), lit(5)).cast("int")
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        UnicodeFns.leftGrapheme(deco, n).as("lg"),
+        UnicodeFns.rightGrapheme(deco, n).as("rg"),
+        UnicodeFns.leftGrapheme(col("p_name"), negN).as("lg_neg"),
+        UnicodeFns.rightGrapheme(col("p_name"), negN).as("rg_neg"),
+        UnicodeFns.leftGrapheme(lit("á̈b"), lit(1)).as("lg_multi"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // F66: reservoir_quantile (holistic/reservoir_quantile.cpp) in
+    // its EXACT regime: sample_size ≥ group row count means the
+    // reservoir is the whole group and the finalize index math —
+    // sorted element at truncate((n−1)·q), reservoir_quantile
+    // .cpp:165, which differs from quantile_disc's ceil(q·n)−1 — is
+    // deterministic on both engines. The custom
+    // TypedImperativeAggregate keeps the bounded-memory sampling path
+    // for the beyond-cap regime (AggregatesSpec covers it).
+    QDef.sql("f66_reservoir_quantile",
+      """SELECT o_orderstatus,
+        |  reservoir_quantile(o_totalprice, 0.25, 100000) AS rq25,
+        |  reservoir_quantile(o_totalprice, 0.5, 100000) AS rq50,
+        |  reservoir_quantile(o_totalprice, 0.9, 100000) AS rq90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      import graft.operators.Aggregates
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          Aggregates.reservoirQuantile(col("o_totalprice"), 0.25, 100000).as("rq25"),
+          Aggregates.reservoirQuantile(col("o_totalprice"), 0.5, 100000).as("rq50"),
+          Aggregates.reservoirQuantile(col("o_totalprice"), 0.9, 100000).as("rq90"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 }

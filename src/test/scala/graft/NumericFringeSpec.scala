@@ -91,6 +91,44 @@ class NumericFringeSpec extends AnyFunSuite {
     assert(empty.agg(Aggregates.kahanSum(col("x"))).collect()(0).isNullAt(0))
   }
 
+  test("grapheme kernels: clusters, negatives, overflow") {
+    import graft.plans.UnicodeKernels._
+    val deco = u("éx") // e + COMBINING ACUTE + x = 2 clusters
+    assert(leftGrapheme(deco, 1).toString === "é")
+    assert(rightGrapheme(deco, 1).toString === "x")
+    assert(leftGrapheme(deco, 99).toString === "éx")
+    assert(leftGrapheme(deco, 0).toString === "")
+    assert(leftGrapheme(u("abc"), -1).toString === "ab")
+    assert(rightGrapheme(u("abc"), -1).toString === "bc")
+    // a + acute + diaeresis is ONE cluster
+    assert(leftGrapheme(u("á̈b"), 1).toString === "á̈")
+  }
+
+  test("reservoirQuantile: exact regime matches sorted-index math; capped regime is bounded and sane") {
+    import spark.implicits._
+    import graft.operators.Aggregates
+    val xs = (0 until 1000).map(i => ((i * 7919) % 1000).toDouble)
+    val df = xs.toDF("x").repartition(7)
+    // exact regime: cap ≥ n ⇒ element at truncate((n−1)·q)
+    for (q <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val got = df.agg(Aggregates.reservoirQuantile(col("x"), q, 10000))
+        .collect()(0).getDouble(0)
+      val sorted = xs.sorted
+      assert(got === sorted(((sorted.length - 1) * q).toLong.toInt), s"q=$q")
+    }
+    // capped regime: bounded reservoir still lands inside the value
+    // range and within a loose band of the true quantile
+    val many = (0 until 100000).map(i => ((i.toLong * 104729L) % 100000L).toDouble).toDF("x")
+      .coalesce(4)
+    val est = many.agg(Aggregates.reservoirQuantile(col("x"), 0.5, 1000))
+      .collect()(0).getDouble(0)
+    assert(est >= 0.0 && est <= 99999.0)
+    assert(math.abs(est - 50000.0) < 10000.0) // ±10% of range at cap 1000
+    // empty group → NULL
+    val empty = Seq.empty[Double].toDF("x")
+    assert(empty.agg(Aggregates.reservoirQuantile(col("x"), 0.5, 10)).collect()(0).isNullAt(0))
+  }
+
   test("gamma matches the factorial identity on integers") {
     for (n <- 1 to 10) {
       val g = NumericKernels.gamma(n.toDouble)
