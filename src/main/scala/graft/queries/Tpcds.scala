@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.sources.Catalog
 
-/** TPC-DS-shape starter set (10 queries) adapted to the test star
+/** TPC-DS-shape starter set (20 queries) adapted to the test star
   * schema — the query SHAPES of the reference's TPC-DS suite
   * (/root/reference/benchmark/tpcds/) re-targeted at the tables that
   * exist here: returns-vs-average correlated filters (q1), date-dim
@@ -188,6 +188,84 @@ object Tpcds {
 
     // DS q67 shape: ROLLUP hierarchy + rank-within-nation over it —
     // subtotal rows (NULL brand) rank alongside leaves.
+    // DS q36 shape: ROLLUP hierarchy with GROUPING()-derived level +
+    // rank WITHIN PARENT (subtotal rows partition by their parent key
+    // via the CASE-on-grouping trick, exactly q36's spelling). NULLS
+    // FIRST pinned — Spark and DuckDB default null ordering differs.
+    mk("tpcds_q36",
+      """WITH agg AS (
+        |  SELECT n_name, p_type,
+        |    GROUPING(n_name) + GROUPING(p_type) AS lochierarchy,
+        |    GROUPING(p_type) AS g_type,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY ROLLUP(n_name, p_type))
+        |SELECT lochierarchy, n_name, p_type, sales,
+        |  RANK() OVER (PARTITION BY lochierarchy, CASE WHEN g_type = 1 THEN n_name END
+        |               ORDER BY sales DESC) AS rank_within_parent
+        |FROM agg
+        |ORDER BY lochierarchy DESC, n_name NULLS FIRST, p_type NULLS FIRST""".stripMargin),
+
+    // DS q89 shape: per-group monthly sales vs the group's average —
+    // the window average is spelled SUM(decimal) OVER / COUNT OVER so
+    // both engines produce the identical double before the deviation
+    // filter (a float AVG OVER would hash-drift).
+    mk("tpcds_q89",
+      """WITH m AS (
+        |  SELECT p_brand, CAST(month(l_shipdate) AS INT) AS mo,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sales_dec
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) = 1995
+        |  GROUP BY p_brand, month(l_shipdate)),
+        |w AS (
+        |  SELECT p_brand, mo, CAST(sales_dec AS DOUBLE) AS sales,
+        |    CAST(SUM(sales_dec) OVER (PARTITION BY p_brand) AS DOUBLE)
+        |      / COUNT(*) OVER (PARTITION BY p_brand) AS avg_monthly
+        |  FROM m)
+        |SELECT p_brand, mo, sales, avg_monthly
+        |FROM w
+        |WHERE abs(sales - avg_monthly) / avg_monthly > 0.1
+        |ORDER BY p_brand, mo""".stripMargin),
+
+    // DS q93 shape: net sales after subtracting the returns table —
+    // here returns are the R-flagged lineitems self-left-joined back
+    // on (orderkey, linenumber), so returned rows net to zero.
+    mk("tpcds_q93",
+      """WITH ret AS (
+        |  SELECT l_orderkey AS r_okey, l_linenumber AS r_line,
+        |         CAST(l_quantity AS DECIMAL(12,2)) AS ret_qty
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT l_orderkey AS okey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) - COALESCE(ret_qty, 0)) AS DOUBLE) AS net_qty
+        |FROM lineitem LEFT JOIN ret ON l_orderkey = r_okey AND l_linenumber = r_line
+        |GROUP BY l_orderkey
+        |ORDER BY net_qty DESC, okey LIMIT 100""".stripMargin),
+
+    // DS q97 shape: cohort overlap between two periods via FULL OUTER
+    // JOIN of distinct key sets + null-pattern counts.
+    mk("tpcds_q97",
+      """WITH y95 AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1995),
+        |y96 AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT CAST(SUM(CASE WHEN y95.k IS NOT NULL AND y96.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_first,
+        |  CAST(SUM(CASE WHEN y95.k IS NULL AND y96.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_second,
+        |  CAST(SUM(CASE WHEN y95.k IS NOT NULL AND y96.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_years
+        |FROM y95 FULL OUTER JOIN y96 ON y95.k = y96.k""".stripMargin),
+
+    // DS q48 shape: one fact scan under a wide disjunction of
+    // (segment × quantity band × price band) predicates — the
+    // OR-of-ANDs pushes to the scan as a single filter.
+    mk("tpcds_q48",
+      """SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty, COUNT(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE (c_mktsegment = 'BUILDING' AND l_quantity BETWEEN 1 AND 20 AND l_extendedprice BETWEEN 1000 AND 30000)
+        |   OR (c_mktsegment = 'MACHINERY' AND l_quantity BETWEEN 10 AND 35 AND l_extendedprice BETWEEN 2000 AND 50000)
+        |   OR (c_mktsegment = 'AUTOMOBILE' AND l_quantity BETWEEN 25 AND 50 AND l_extendedprice BETWEEN 5000 AND 80000)""".stripMargin),
+
     mk("tpcds_q67",
       """WITH agg AS (
         |  SELECT n_name, p_brand,
