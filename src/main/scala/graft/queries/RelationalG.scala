@@ -98,6 +98,36 @@ object RelationalG {
         .select(col("p_partkey"), tcol.as("t"))
         .orderBy(collate(tcol, "de"), col("p_partkey"))
         .limit(120)
+    },
+
+    // R65: EXACT quantile as a WINDOW function — the reference's
+    // holistic aggregates run over window frames natively (quantile
+    // .cpp via WindowAggregator); Spark allows any aggregate in a
+    // window, so percentile() runs per frame. Interpolation is the
+    // f24-proven bit-identical (a+b)/2 path. Frames are pinned by a
+    // UNIQUE order (date, orderkey) — a ROWS frame over tied sort
+    // keys would make frame membership engine-dependent. Rolling
+    // median per frame is O(frame) — fine for bounded frames; the
+    // unbounded-partition variant is the per-group q38 median.
+    QDef.sql("q64_window_quantile",
+      """SELECT o_orderkey, o_custkey, amt,
+        |  quantile_cont(amt, 0.5) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_med,
+        |  quantile_cont(amt, 0.5) OVER (PARTITION BY o_custkey) AS part_med
+        |FROM (SELECT o_orderkey, o_custkey, o_orderdate, CAST(o_totalprice AS DOUBLE) AS amt FROM orders)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wRoll = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-3, Window.currentRow)
+      val wPart = Window.partitionBy(col("o_custkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice").cast("double").as("amt"))
+        .select(col("o_orderkey"), col("o_custkey"), col("amt"),
+          expr("percentile(amt, 0.5D)").over(wRoll).as("roll_med"),
+          expr("percentile(amt, 0.5D)").over(wPart).as("part_med"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     }
   )
 }

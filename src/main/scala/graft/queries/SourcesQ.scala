@@ -401,6 +401,31 @@ object SourcesQ {
         .agg(count(lit(1)).as("n"),
           graft.functions.Exact.dsum(col("o_totalprice")).as("total"))
         .orderBy(col("r_name"))
+    },
+
+    // S19: ATTACH 'dir' AS db / cross-database query (reference
+    // attach_statement.cpp): two mounts of the star schema become two
+    // session-catalog DATABASES (external tables — a metastore
+    // registration, zero data movement), and the query joins
+    // att1.orders against att2.customer across them. The oracle runs
+    // the equivalent single-catalog join — attached reads must be
+    // indistinguishable from direct reads. Detach/lifecycle
+    // assertions live in AttachSpec.
+    QDef.sql("s18_attach",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      import graft.sources.Attach
+      Attach.attach(s, "att1", dir)
+      Attach.attach(s, "att2", dir)
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+          |FROM att1.orders JOIN att2.customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }
   )
 }
