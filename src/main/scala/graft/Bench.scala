@@ -30,7 +30,7 @@ object Bench {
     "d01_dedup_exact", "s01_cosine_topk", "s03_ann_ivf",
     "t02_quality_score", "t04_fingerprint", "st02_sessionize",
     "p05_crossdoc_grams", "p07_contamination",
-    "d08_line_dedup", "p08_dsir_select",
+    "d08_line_dedup", "p08_dsir_select", "p12_ngram_lm",
     // the multi-GB pair-shuffle pipelines run LAST: their shuffle-file
     // cleanup and storage churn measurably poison whatever runs next
     // (t02 measured 4× slower immediately after d02/d04 at sf10)

@@ -301,6 +301,53 @@ object FunctionsQ7 {
     // deterministic on both engines. The custom
     // TypedImperativeAggregate keeps the bounded-memory sampling path
     // for the beyond-cap regime (AggregatesSpec covers it).
+    // F67: equi_width_bins + histogram/histogram_exact over generated
+    // bins (generic/binning.cpp, nested/binned_histogram.cpp). These
+    // post-date the driver's oracle engine, so the entry is rows-only
+    // — the algorithm mirrors are line-faithful translations
+    // (plans/Binning.scala) and BinningSpec pins hand-derived traces.
+    // Bin generation is driver-side O(bin_count); the histogram is
+    // one scan + a when-chain projection + groupBy — empty bins
+    // survive via a literal bins frame left-joined to the counts
+    // (the reference emits zero-count bins too).
+    QDef.rowsOnly("f67_equi_width_hist") { (s, dir) =>
+      import graft.plans.Binning
+      val li = t(s, dir, "lineitem")
+        .select(floor(col("l_quantity")).cast("long").as("q"))
+      val mm = li.agg(min(col("q")).as("lo"), max(col("q")).as("hi")).collect()(0)
+      val bins = Binning.equiWidthBinsLong(mm.getLong(0), mm.getLong(1), 5, nice = true)
+      val exactBins = Seq(10L, 20L, 30L)
+
+      // HistogramRange::GetBin — first boundary ≥ value, else other
+      def rangeBin(q: org.apache.spark.sql.Column) =
+        bins.foldLeft(when(lit(false), lit(null: String))) { (acc, b) =>
+          acc.when(q <= b, lit(b.toString))
+        }.otherwise(lit("other"))
+      // HistogramExact::GetBin — equality, else other
+      def exactBin(q: org.apache.spark.sql.Column) =
+        exactBins.foldLeft(when(lit(false), lit(null: String))) { (acc, b) =>
+          acc.when(q === b, lit(b.toString))
+        }.otherwise(lit("other"))
+
+      val spark = s
+      import spark.implicits._
+      def full(kind: String, allBins: Seq[Long], counts: DataFrame): DataFrame =
+        (allBins.map(_.toString) :+ "other").toDF("bin")
+          .join(counts, Seq("bin"), "left")
+          .select(lit(kind).as("kind"), col("bin"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
+
+      val ranges = full("range", bins,
+        li.groupBy(rangeBin(col("q")).as("bin")).agg(count(lit(1)).as("cnt")))
+      val exacts = full("exact", exactBins,
+        li.groupBy(exactBin(col("q")).as("bin")).agg(count(lit(1)).as("cnt")))
+      val binRows = bins.zipWithIndex
+        .map { case (b, i) => ("bins", b.toString, i.toLong) }
+        .toDF("kind", "bin", "cnt")
+      ranges.unionByName(exacts).unionByName(binRows)
+        .orderBy(col("kind"), col("bin"))
+    },
+
     QDef.sql("f66_reservoir_quantile",
       """SELECT o_orderstatus,
         |  reservoir_quantile(o_totalprice, 0.25, 100000) AS rq25,

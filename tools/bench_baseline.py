@@ -30,7 +30,7 @@ HEADLINE = [
     "d04_ngram_jaccard", "d07_dedup_star_clusters", "s01_cosine_topk",
     "s03_ann_ivf", "t02_quality_score", "t04_fingerprint", "st02_sessionize",
     "p05_crossdoc_grams", "p07_contamination",
-    "d08_line_dedup", "p08_dsir_select",
+    "d08_line_dedup", "p08_dsir_select", "p12_ngram_lm",
 ]
 
 
