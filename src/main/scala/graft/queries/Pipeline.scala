@@ -305,6 +305,55 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // T9: Gopher quality RULES (Rae et al. 2021, Appendix A1.1) —
+    // the published heuristic battery as literal thresholds: word
+    // count bounds, mean-word-length ∈ [3,10], >80% words containing
+    // an alphabetic character, and ≥2 hits from the canonical
+    // stopword list. One map-only projection over the corpus (word
+    // split + bounded list folds), no shuffle — at 100 TB this is a
+    // pure scan pass; the keep flag derives from exact integer counts
+    // and one grid-snapped ratio, so the oracle replays it verbatim.
+    QDef.sql("t09_gopher_rules",
+      raw"""WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(words) AS n_words,
+        |    CAST(len(array_to_string(words, '')) AS DOUBLE) / len(words) AS mean_word_len,
+        |    len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+        |    len(list_filter(words, x -> x IN ('the','be','to','of','and','that','have','with'))) AS stop_hits
+        |  FROM w)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(FLOOR(mean_word_len * 1e9 + 0.5) AS BIGINT) AS mwl_e9,
+        |  CAST(alpha_words AS BIGINT) AS alpha_words,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  (n_words >= 10 AND n_words <= 100000
+        |   AND mean_word_len >= 3 AND mean_word_len <= 10
+        |   AND CAST(alpha_words AS DOUBLE) / n_words > 0.8
+        |   AND stop_hits >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = filter(split(col("text"), "\\s+"), x => x =!= "")
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val m = t(s, dir, "documents").select(
+        col("doc_id"),
+        size(words).as("n_words"),
+        (length(array_join(words, "")).cast("double") / size(words)).as("mean_word_len"),
+        size(filter(words, x => x.rlike("[a-z]"))).as("alpha_words"),
+        size(filter(words, x => x.isin(stops: _*))).as("stop_hits"))
+      m.select(col("doc_id"),
+          col("n_words").cast("long").as("n_words"),
+          floor(col("mean_word_len") * 1e9 + 0.5).cast("long").as("mwl_e9"),
+          col("alpha_words").cast("long").as("alpha_words"),
+          col("stop_hits").cast("long").as("stop_hits"),
+          (col("n_words") >= 10 && col("n_words") <= 100000 &&
+            col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+            col("alpha_words").cast("double") / col("n_words") > 0.8 &&
+            col("stop_hits") >= 2).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // T7: benchmark DECONTAMINATION — remove/flag training documents
     // sharing word n-grams with an evaluation set (the GPT-3-style
     // 13-gram wash, here 3-grams against a 2% held-out slice so the
