@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, ArrayCompact, ArrayDistinct, ArrayFilter, ArrayIntersect, ArrayJoin, ArrayMax, ArrayMin, ArraySort, Ascii, Cast, Coalesce, Conv, CreateArray, DateAdd, DateFormatClass, DayOfWeek, Divide, Expression, ExpressionInfo, Floor, If, IsNotNull, LambdaFunction, Literal, Multiply, Pmod, Size, Slice, StringLPad, Subtract, UnixTimestamp, UnresolvedNamedLambdaVariable, WeekOfYear, Year, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Add, ArrayAggregate, ArrayCompact, ArrayDistinct, ArrayFilter, ArrayIntersect, ArrayJoin, ArrayMax, ArrayMin, ArraySort, Ascii, Cast, Ceil, Coalesce, Conv, CreateArray, DateAdd, DateFormatClass, DayOfWeek, Divide, EqualTo, Expression, ExpressionInfo, Floor, If, IsNaN, IsNotNull, LambdaFunction, LessThan, Literal, Multiply, Not, Or, Pmod, Signum, Size, Slice, StringLPad, Subtract, UnixTimestamp, UnresolvedNamedLambdaVariable, WeekOfYear, Year, ZipWith}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 
 /** The custom expression family under its REFERENCE SQL names —
@@ -177,6 +177,50 @@ object SqlRegistry {
         ZipWith(args(0), args(1),
           lambda2((v, m) => If(Coalesce(Seq(m, Literal(false))), v, Literal(null)))),
         lambda1(IsNotNull))
+    })
+
+    // ---- F60/F63–F65 fringe under reference names (this file is the
+    // SQL front door; the Column API lives in NumericFringe /
+    // UnicodeFns) ----
+    register(e, "left_grapheme", classOf[LeftGrapheme],
+      args => { arity("left_grapheme", 2, args); LeftGrapheme(args(0), long(args(1))) })
+    register(e, "right_grapheme", classOf[RightGrapheme],
+      args => { arity("right_grapheme", 2, args); RightGrapheme(args(0), long(args(1))) })
+    register(e, "nextafter", classOf[NextAfter],
+      args => { arity("nextafter", 2, args); NextAfter(dbl(args(0)), dbl(args(1))) })
+    register(e, "md5_number", classOf[Md5Number],
+      args => { arity("md5_number", 1, args); Md5Number(args(0)) })
+    register(e, "md5_number_lower", classOf[Md5NumberHalf],
+      args => { arity("md5_number_lower", 1, args); Md5NumberHalf(args(0), lower = true) })
+    register(e, "md5_number_upper", classOf[Md5NumberHalf],
+      args => { arity("md5_number_upper", 1, args); Md5NumberHalf(args(0), lower = false) })
+    register(e, "gamma", classOf[GammaFn],
+      args => { arity("gamma", 1, args); GammaFn(dbl(args(0))) })
+    register(e, "lgamma", classOf[LogGammaFn],
+      args => { arity("lgamma", 1, args); LogGammaFn(dbl(args(0))) })
+    register(e, "bit_position", classOf[BitPositionQuirk],
+      args => { arity("bit_position", 2, args); BitPositionQuirk(args(0), args(1)) })
+    // composed trees over Spark primitives — even / signbit /
+    // isfinite / isinf (isnan is a Spark native already)
+    register(e, "even", classOf[Ceil], args => {
+      arity("even", 1, args)
+      val x = dbl(args(0))
+      Add(
+        Multiply(
+          Cast(Multiply(Ceil(Divide(Abs(x), Literal(2.0))), Literal(2L)), DoubleType),
+          Signum(x)),
+        Literal(0.0)) // normalize Java's -0.0 for the zero row
+    })
+    register(e, "signbit", classOf[LessThan],
+      args => { arity("signbit", 1, args); LessThan(dbl(args(0)), Literal(0.0)) })
+    register(e, "isinf", classOf[Abs], args => {
+      arity("isinf", 1, args)
+      EqualTo(Abs(dbl(args(0))), Literal(Double.PositiveInfinity))
+    })
+    register(e, "isfinite", classOf[Abs], args => {
+      arity("isfinite", 1, args)
+      Not(Or(IsNaN(dbl(args(0))),
+        EqualTo(Abs(dbl(args(0))), Literal(Double.PositiveInfinity))))
     })
   }
 }

@@ -250,7 +250,7 @@ object FunctionsQ7 {
     // same digits, no widening anywhere.
     QDef.sql("f64_md5_number",
       """SELECT p_partkey,
-        |  CAST(md5_number(p_name) AS VARCHAR) AS mdn,
+        |  CAST(md5_number(p_name) AS STRING) AS mdn,
         |  CAST(md5_number(p_type || '/' || p_brand) AS VARCHAR) AS mdn2,
         |  CAST(md5_number_lower(p_name) AS VARCHAR) AS mdn_lo,
         |  CAST(md5_number_upper(p_name) AS VARCHAR) AS mdn_hi
@@ -301,6 +301,33 @@ object FunctionsQ7 {
     // deterministic on both engines. The custom
     // TypedImperativeAggregate keeps the bounded-memory sampling path
     // for the beyond-cap regime (AggregatesSpec covers it).
+    // F68: the F60–F65 fringe through the SQL front door — ONE query
+    // text, run VERBATIM by both engines (the f43 proof shape). The
+    // custom expressions ride Spark's FunctionRegistry under their
+    // reference names (plans/SqlRegistry.scala): left/right_grapheme,
+    // nextafter, md5_number(+lower), gamma/lgamma (grid-snapped —
+    // libm), and the even/signbit/isfinite/isinf trees.
+    {
+      val q =
+        """SELECT p_partkey,
+          |  left_grapheme(p_name, 4) AS lg,
+          |  right_grapheme(p_name, 3) AS rg,
+          |  nextafter(p_retailprice, 1e18) AS na,
+          |  CAST(md5_number(p_name) AS STRING) AS mdn,
+          |  CAST(md5_number_lower(p_brand) AS STRING) AS mlo,
+          |  CAST(FLOOR(gamma(0.5 + p_partkey % 10) * 1e6 + 0.5) AS BIGINT) AS gam_e6,
+          |  CAST(FLOOR(lgamma(5.5 + p_partkey % 20) * 1e9 + 0.5) AS BIGINT) AS lgam_e9,
+          |  even(p_retailprice / 100.0) AS ev,
+          |  signbit(1200.0 - p_retailprice) AS sb,
+          |  isfinite(p_retailprice) AS fin,
+          |  isinf(p_retailprice) AS inf_f
+          |FROM part ORDER BY p_partkey""".stripMargin
+      QDef.sql("f68_sql_fringe", q) { (s, dir) =>
+        Catalog.registerAll(s, dir)
+        s.sql(q)
+      }
+    },
+
     // F67: equi_width_bins + histogram/histogram_exact over generated
     // bins (generic/binning.cpp, nested/binned_histogram.cpp). These
     // post-date the driver's oracle engine, so the entry is rows-only
