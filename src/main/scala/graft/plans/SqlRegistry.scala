@@ -222,5 +222,17 @@ object SqlRegistry {
       Not(Or(IsNaN(dbl(args(0))),
         EqualTo(Abs(dbl(args(0))), Literal(Double.PositiveInfinity))))
     })
+    // ---- aggregate fringe under reference names: the analyzer wraps
+    // a bare AggregateFunction in AggregateExpression itself, so the
+    // builders return the raw aggregate (same as Spark's built-ins)
+    for (n <- Seq("kahan_sum", "fsum", "sumkahan"))
+      register(e, n, classOf[graft.operators.KahanSumAgg],
+        args => { arity(n, 1, args); graft.operators.KahanSumAgg(dbl(args(0))) })
+    register(e, "reservoir_quantile", classOf[graft.operators.ReservoirQuantileAgg], args => {
+      arity("reservoir_quantile", 3, args)
+      graft.operators.ReservoirQuantileAgg(dbl(args(0)),
+        constDouble("reservoir_quantile", args(1)),
+        constDouble("reservoir_quantile", args(2)).toInt)
+    })
   }
 }

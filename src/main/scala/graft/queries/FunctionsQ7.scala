@@ -328,6 +328,24 @@ object FunctionsQ7 {
       }
     },
 
+    // F69: the aggregate fringe through the SQL front door —
+    // kahan_sum (+fsum alias) and reservoir_quantile registered as
+    // real aggregates under their reference names; one query text
+    // runs verbatim on both engines (exact-integer kahan regime,
+    // exact-regime reservoir — the same disciplines as f62/f66).
+    {
+      val q =
+        """SELECT o_orderstatus,
+          |  kahan_sum(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS DOUBLE)) AS ks,
+          |  fsum(CAST(o_custkey % 1000 AS DOUBLE)) AS fs,
+          |  reservoir_quantile(CAST(o_totalprice AS DOUBLE), 0.5, 100000) AS rq
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+      QDef.sql("f69_sql_aggregates", q) { (s, dir) =>
+        Catalog.registerAll(s, dir)
+        s.sql(q)
+      }
+    },
+
     // F67: equi_width_bins + histogram/histogram_exact over generated
     // bins (generic/binning.cpp, nested/binned_histogram.cpp). These
     // post-date the driver's oracle engine, so the entry is rows-only
