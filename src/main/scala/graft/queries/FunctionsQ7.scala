@@ -328,6 +328,46 @@ object FunctionsQ7 {
       }
     },
 
+    // F70: blob/array fringe (scalar/blob/encode.cpp, string/hex.cpp
+    // unbin, array/array_functions.cpp cross product): ord ≡ ascii,
+    // octet_length ≡ binary length, unbin spelled as conv(2→16) +
+    // unhex with a lower(hex(…)) render (control bytes don't survive
+    // VARCHAR casts portably), encode/decode round-trip, and
+    // array_cross_product over integer-valued FLOAT[3] vectors with
+    // INT-cast components (float VARCHAR renders differ across
+    // engines; the cross product of integer vectors is exact).
+    QDef.sql("f70_blob_fringe",
+      """SELECT p_partkey,
+        |  CAST(ord(p_name) AS INT) AS o,
+        |  CAST(octet_length(CAST(p_brand AS BLOB)) AS INT) AS ol,
+        |  lower(hex(unbin(bitstring(bin(CAST(p_partkey % 256 AS INT)), 16)::VARCHAR))) AS ub,
+        |  CAST(decode(encode(p_type)) AS VARCHAR) AS rt,
+        |  CAST(array_cross_product(
+        |    CAST([CAST(p_partkey % 5 AS FLOAT), CAST(p_partkey % 7 AS FLOAT), CAST(p_partkey % 3 AS FLOAT)] AS FLOAT[3]),
+        |    CAST([CAST(p_partkey % 4 AS FLOAT), CAST(p_partkey % 6 AS FLOAT), CAST(p_partkey % 8 AS FLOAT)] AS FLOAT[3]))[1] AS INT) AS cx,
+        |  CAST(array_cross_product(
+        |    CAST([CAST(p_partkey % 5 AS FLOAT), CAST(p_partkey % 7 AS FLOAT), CAST(p_partkey % 3 AS FLOAT)] AS FLOAT[3]),
+        |    CAST([CAST(p_partkey % 4 AS FLOAT), CAST(p_partkey % 6 AS FLOAT), CAST(p_partkey % 8 AS FLOAT)] AS FLOAT[3]))[2] AS INT) AS cy,
+        |  CAST(array_cross_product(
+        |    CAST([CAST(p_partkey % 5 AS FLOAT), CAST(p_partkey % 7 AS FLOAT), CAST(p_partkey % 3 AS FLOAT)] AS FLOAT[3]),
+        |    CAST([CAST(p_partkey % 4 AS FLOAT), CAST(p_partkey % 6 AS FLOAT), CAST(p_partkey % 8 AS FLOAT)] AS FLOAT[3]))[3] AS INT) AS cz
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val k = col("p_partkey")
+      val bits = lpad(bin(pmod(k, lit(256))), 16, "0")
+      val (a1, a2, a3) = (pmod(k, lit(5)), pmod(k, lit(7)), pmod(k, lit(3)))
+      val (b1, b2, b3) = (pmod(k, lit(4)), pmod(k, lit(6)), pmod(k, lit(8)))
+      t(s, dir, "part").select(
+        k,
+        ascii(col("p_name")).cast("int").as("o"),
+        length(col("p_brand").cast("binary")).cast("int").as("ol"),
+        lower(hex(unhex(lpad(conv(bits, 2, 16), 4, "0")))).as("ub"),
+        col("p_type").cast("binary").cast("string").as("rt"),
+        (a2 * b3 - a3 * b2).cast("int").as("cx"),
+        (a3 * b1 - a1 * b3).cast("int").as("cy"),
+        (a1 * b2 - a2 * b1).cast("int").as("cz"))
+        .orderBy(k)
+    },
+
     // F69: the aggregate fringe through the SQL front door —
     // kahan_sum (+fsum alias) and reservoir_quantile registered as
     // real aggregates under their reference names; one query text

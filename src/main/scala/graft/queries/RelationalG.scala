@@ -109,6 +109,22 @@ object RelationalG {
     // keys would make frame membership engine-dependent. Rolling
     // median per frame is O(frame) — fine for bounded frames; the
     // unbounded-partition variant is the per-group q38 median.
+    // R66: LIMIT x PERCENT (the reference's percent-limit modifier,
+    // parser/transform/statement — floor(n·pct/100) rows, measured
+    // against the engine: 10 rows LIMIT 25% → 2, 15 rows LIMIT 33% →
+    // 4). Spark has no percent limit; the honest distributed spelling
+    // is one count (a cheap statistics pass) + limit(floor) — the
+    // UNIQUE sort order makes the cut deterministic on both engines.
+    QDef.sql("q65_limit_percent",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 1%""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val n = orders.count()
+      orders.select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit((n / 100L).toInt)
+    },
+
     QDef.sql("q64_window_quantile",
       """SELECT o_orderkey, o_custkey, amt,
         |  quantile_cont(amt, 0.5) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
