@@ -43,6 +43,11 @@ object GraftSession {
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "400m")
       .config("spark.sql.session.timeZone", "UTC")
+      // Testdata parquet stores naive timestamp[us]; read it as the
+      // session-zone (UTC) instant type, not TIMESTAMP_NTZ, so the
+      // epoch-arithmetic kernels (unix_micros, casts to BIGINT) and the
+      // DuckDB oracle agree on wall-clock values.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -21,6 +21,9 @@ object Verify {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // naive parquet timestamps → session-zone instants, matching the
+      // DuckDB oracle's wall-clock reading (see GraftSession)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

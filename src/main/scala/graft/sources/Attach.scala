@@ -29,9 +29,16 @@ object Attach {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.sql(
           s"CREATE TABLE `$name`.events_raw USING parquet LOCATION '$dir/events.parquet'")
+        // TIMESTAMP(NANOS) parquet mounts as raw longs (legacy mode) and
+        // needs the µs truncation; µs-typed data passes through — same
+        // branch Catalog.events takes, so attached reads ≡ Catalog reads.
+        val tsIsNanos = spark.table(s"`$name`.events_raw").schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType
+        val tsExpr =
+          if (tsIsNanos) "timestamp_micros(ts div 1000) AS ts" else "ts"
         spark.sql(
           s"""CREATE VIEW `$name`.events AS
-             |SELECT event_id, timestamp_micros(ts div 1000) AS ts,
+             |SELECT event_id, $tsExpr,
              |       user_id, event_type, value, props
              |FROM `$name`.events_raw""".stripMargin)
       } else {

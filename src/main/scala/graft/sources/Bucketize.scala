@@ -56,7 +56,11 @@ object Bucketize {
       val loc = new java.io.File(
         s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
       val marker = new java.io.File(loc, "_GRAFT_SRC")
-      val want = s"$dir|$buckets"
+      // marker carries source mtime+size: the driver regenerates
+      // testdata IN PLACE between rounds, so path identity alone would
+      // silently reuse buckets built from a previous round's data
+      val srcFile = new java.io.File(s"$dir/$src.parquet")
+      val want = s"$dir|$buckets|${srcFile.lastModified}|${srcFile.length}"
       val reusable = marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath)) == want
       // drop only the (JVM-local) catalog entry; keep reusable data
