@@ -48,7 +48,11 @@ object Bench {
 
     val names =
       if (sys.env.get("BENCH_ALL").contains("1")) SparkEntry.queries.keys.toSeq.sorted
-      else headline.filter(SparkEntry.queries.contains)
+      else sys.env.get("BENCH_ONLY") match {
+        // comma-separated subset for local iteration on one operator
+        case Some(only) => only.split(',').toSeq.filter(SparkEntry.queries.contains)
+        case None       => headline.filter(SparkEntry.queries.contains)
+      }
 
     // Steady-state measurement, interleaved per query: warm-up run →
     // GC settle → two measured runs (min). The warm-up pays the

@@ -61,47 +61,72 @@ object Dedup {
         TextOps.charShingleHashes(col("__text"), shingleSize).as("hs"))
       .select(col("id"), TextOps.minhashFromHashes(col("hs"), numHashes).as("sig"))
 
-    // Band join with the signature riding along: each doc's 512-byte
-    // sig crosses the wire once per band (docs × bands, LINEAR in
-    // corpus size). The previous pair-then-attach shape re-joined the
-    // sig onto every candidate pair — shuffle proportional to the
-    // PAIR count, quadratic in near-dup cluster size (the same
-    // disease lshJaccardPairs documents for the gram arrays).
-    val banded = sig.select(col("id"), col("sig"),
-      explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
-
     // Stop-band cap: a band hash shared by >maxBucket distinct docs is
     // boilerplate (the LSH analog of a stopword) — m² pairs of low
     // individual value. Dropping those buckets bounds worst-case work;
     // members still pair through their other, more selective bands.
     // The cap is decided on narrow (id, bk) rows only.
-    val okBuckets = banded.select(col("bk"))
-      .groupBy(col("bk")).agg(count(lit(1)).as("__n"))
+    val narrow = sig.select(col("id"),
+      explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
+    val okBuckets = narrow.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)
-      .select(col("bk"))
-    val capped = banded.join(okBuckets, Seq("bk"))
+      .select(col("bk"), lit(true).as("__ok"))
+
+    // Per-doc MASKED band array m[band]: the bucket hash where the
+    // bucket survived the cap, a per-(doc, band) sentinel where it was
+    // dropped. m_a[j] == m_b[j] then means exactly "a and b share a
+    // SURVIVING bucket at band j", so firstEqualIndex(m_a, m_b) is the
+    // pair's unique emit band: each candidate pair is emitted (and its
+    // signatures compared) at ONE band bucket instead of every shared
+    // one — near-identical docs share all `bands` buckets, so this
+    // cuts the quadratic bucket-join work up to `bands`-fold and makes
+    // the pair set unique by construction (no pair-space dedup
+    // shuffle). Narrow rows only: (id, 16×8B) per doc.
+    val masked = narrow.join(okBuckets, Seq("bk"), "left")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(
+        col("bk.band").as("band"),
+        when(col("__ok"), col("bk.bh"))
+          .otherwise(xxhash64(col("id"), col("bk.band"), lit("__capped")))
+          .as("mh")))).as("__ms"))
+      .select(col("id"), transform(col("__ms"), s => s.getField("mh")).as("m"))
+
+    // Band join with the signature riding along: each doc's 512-byte
+    // sig crosses the wire once per surviving band (docs × bands,
+    // LINEAR in corpus size). The previous pair-then-attach shape
+    // re-joined the sig onto every candidate pair — shuffle
+    // proportional to the PAIR count, quadratic in near-dup cluster
+    // size (the same disease lshJaccardPairs documents for the gram
+    // arrays).
+    val capped = sig.join(masked, Seq("id"))
+      .select(col("id"), col("sig"), col("m"),
+        explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
+      .filter(element_at(col("m"), col("bk.band") + 1) === col("bk.bh"))
 
     // Estimate jaccard IN the bucket join's streamed output (fused
     // ArrayAgreeCount — one primitive loop, stays in codegen): the
     // (sig_a, sig_b) pair row exists only inside whole-stage codegen,
-    // never in a shuffle file. Cross-band duplicates re-estimate
-    // locally (bounded by `bands`) and dedup on narrow rows.
+    // never in a shuffle file.
     def agree(a: Column, b: Column): Column =
       graft.plans.HashExpressions.columnOf(
         graft.plans.ArrayAgreeCount(
           graft.plans.HashExpressions.exprOf(a),
           graft.plans.HashExpressions.exprOf(b)))
-    capped.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    def firstEq(a: Column, b: Column): Column =
+      graft.plans.HashExpressions.columnOf(
+        graft.plans.FirstEqualIndex(
+          graft.plans.HashExpressions.exprOf(a),
+          graft.plans.HashExpressions.exprOf(b)))
+    capped.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"),
+        col("m").as("m_a"))
       .join(capped.select(col("bk"), col("id").as("id_b"),
-        col("sig").as("sig_b")).hint("merge"), Seq("bk"))
+        col("sig").as("sig_b"), col("m").as("m_b")).hint("merge"), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
+      // emit-once: this bucket is the pair's first shared surviving band
+      .filter(firstEq(col("m_a"), col("m_b")) === col("bk.band").cast("long"))
       .select(col("id_a"), col("id_b"),
         (agree(col("sig_a"), col("sig_b")).cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      // same pair can collide in several bands; the estimate is a
-      // function of the two sigs, so any copy is canonical
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** LSH-candidate + exact-jaccard pairs with BUCKET-LOCAL
@@ -119,9 +144,11 @@ object Dedup {
     * inside the bucket join's streamed output, the signature
     * est-filter runs before any gram work, and the exact jaccard is
     * projected immediately — the wide pair row exists only inside
-    * whole-stage codegen, never in a shuffle file. Cross-band
-    * duplicate pairs re-verify locally (bounded by bands) and
-    * deduplicate on narrow (id_a, id_b, jaccard) rows.
+    * whole-stage codegen, never in a shuffle file. The emit-once band
+    * selector (FirstEqualIndex over the masked band arrays — see
+    * minhashPairs) verifies each pair at exactly one shared bucket, so
+    * the pair set is unique by construction and no pair-space dedup
+    * shuffle exists anywhere in the plan.
     *
     * Emits the SAME pair set as the pair-then-attach pipeline: both
     * require ≥1 shared un-capped band bucket and signature agreement
@@ -143,14 +170,28 @@ object Dedup {
       TextOps.minhashFromHashes(
         TextOps.charShingleHashes(col("__text"), shingleSize), numHashes).as("sig"),
       TextOps.wordNgramHashes(col("__text"), gramN).as("grams"))
-    val banded = payload.select(col("id"), col("sig"), col("grams"),
-      explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
     // stop-band cap decided on narrow (id, bk) rows only
-    val okBuckets = banded.select(col("id"), col("bk"))
-      .groupBy(col("bk")).agg(count(lit(1)).as("__n"))
+    val narrow = payload.select(col("id"),
+      explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
+    val okBuckets = narrow.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)
-      .select(col("bk"))
-    val capped = banded.join(okBuckets, Seq("bk"))
+      .select(col("bk"), lit(true).as("__ok"))
+    // masked band array → emit-once band selection (see minhashPairs):
+    // each pair's gram intersection runs at exactly ONE shared bucket
+    // instead of every shared band, and the pair set is unique by
+    // construction — no pair-space dedup shuffle
+    val masked = narrow.join(okBuckets, Seq("bk"), "left")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(
+        col("bk.band").as("band"),
+        when(col("__ok"), col("bk.bh"))
+          .otherwise(xxhash64(col("id"), col("bk.band"), lit("__capped")))
+          .as("mh")))).as("__ms"))
+      .select(col("id"), transform(col("__ms"), s => s.getField("mh")).as("m"))
+    val capped = payload.join(masked, Seq("id"))
+      .select(col("id"), col("sig"), col("grams"), col("m"),
+        explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
+      .filter(element_at(col("m"), col("bk.band") + 1) === col("bk.bh"))
 
     def agree(a: Column, b: Column): Column =
       graft.plans.HashExpressions.columnOf(
@@ -163,24 +204,29 @@ object Dedup {
           graft.plans.HashExpressions.exprOf(a),
           graft.plans.HashExpressions.exprOf(b)))
 
+    def firstEq(a: Column, b: Column): Column =
+      graft.plans.HashExpressions.columnOf(
+        graft.plans.FirstEqualIndex(
+          graft.plans.HashExpressions.exprOf(a),
+          graft.plans.HashExpressions.exprOf(b)))
+
     // merge join: the payload rows are KBs — a hashed build side would
     // hold a bucket's arrays in a per-partition map (see jaccardVerify)
     val a = capped.select(col("bk"), col("id").as("id_a"),
-      col("sig").as("sig_a"), col("grams").as("grams_a"))
+      col("sig").as("sig_a"), col("grams").as("grams_a"), col("m").as("m_a"))
     val b = capped.select(col("bk"), col("id").as("id_b"),
-      col("sig").as("sig_b"), col("grams").as("grams_b")).hint("merge")
+      col("sig").as("sig_b"), col("grams").as("grams_b"), col("m").as("m_b"))
+      .hint("merge")
     a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
+      // emit-once: this bucket is the pair's first shared surviving band
+      .filter(firstEq(col("m_a"), col("m_b")) === col("bk.band").cast("long"))
       .filter((agree(col("sig_a"), col("sig_b")).cast("double") / numHashes)
         >= estThreshold)
       .withColumn("inter", inter(col("grams_a"), col("grams_b")).cast("int"))
       .withColumn("uni", size(col("grams_a")) + size(col("grams_b")) - col("inter"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / greatest(col("uni"), lit(1))).as("jaccard"))
-      // same pair can pass in several bands; jaccard is exact, so any
-      // copy is the canonical row
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("jaccard")).as("jaccard"))
   }
 
   /** Star-edge LSH candidates: each bucket member pairs ONLY with the

@@ -189,6 +189,28 @@ case class ArrayAgreeCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Index of the first position where two long arrays agree (-1 = none)
+  * — the emit-once band selector for LSH self-joins (see
+  * HashKernels.firstEqualIndex).
+  */
+case class FirstEqualIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import HashExpressions.kernels
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(
+      HashKernels.firstEqualIndex(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kernels.firstEqualIndex($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FirstEqualIndex =
+    copy(left = l, right = r)
+}
+
 /** Intersection size of two sorted distinct long arrays (merge scan —
   * see HashKernels.sortedIntersectCount for why not array_intersect).
   */

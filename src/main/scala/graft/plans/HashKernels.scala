@@ -252,6 +252,25 @@ object HashKernels {
     c
   }
 
+  /** Index of the FIRST position where two long arrays agree, -1 if
+    * none — the emit-once band test for LSH pair generation: a
+    * candidate pair sharing k band buckets appears in k bucket joins,
+    * and keeping it only where firstEqualIndex(bands_a, bands_b) ==
+    * current band makes the pair set unique by construction (no
+    * pair-space dedup shuffle, no k-fold re-verification).
+    */
+  def firstEqualIndex(a: ArrayData, b: ArrayData): Long = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      if (x(i) == y(i)) return i
+      i += 1
+    }
+    -1L
+  }
+
   /** Intersection size of two SORTED distinct long arrays — a merge
     * scan, zero per-row allocation. Replaces array_intersect+size on
     * the near-dup verify path: Spark's generic ArrayIntersect builds a
