@@ -110,50 +110,65 @@ object Curation {
     * ranking consumers; it just isn't part of the oracle contract.
     *
     * Buckets are the first two hex chars of md5(gram) — 256 stable
-    * buckets, portable across engines like [[hashSplit]]. Scale
-    * posture: the bucket tables are ≤256 rows each and BROADCAST;
-    * the corpus side is one gram explode + broadcast probe + one
-    * groupBy(doc) — linear in corpus grams, no corpus×corpus join.
+    * buckets, portable across engines like [[hashSplit]] (the fused
+    * kernel buckets by the digest's first BYTE, which IS the first two
+    * hex chars). Scale posture: the corpus-size gram table never
+    * exists — one fused pass (plans/HashKernels.dsirBucketCounts)
+    * yields a (doc, long[256]) histogram row per doc; the global
+    * bucket table is a 256-group aggregate whose shuffle is
+    * (#partitions × 256) rows after map-side combine, collected
+    * driver-side (EXACTLY 256 rows — bounded by construction, like
+    * the IVF centroid seeds); the per-doc masses are then pure
+    * dot-product projections against the 256-entry weight vectors —
+    * zero joins, zero per-doc aggregation. Was: gram explode (rows ≈
+    * corpus words) + two groupBys + broadcast join; measured at sf10
+    * 210 s → the fused form is one cached histogram pass + one
+    * projection.
     */
   def dsirMasses(df: DataFrame, id: Column, text: Column,
       isTarget: Column, gramN: Int = 2): DataFrame = {
-    val words = filter(split(lower(text), "\\s+"), w => w =!= lit(""))
-    // guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) rather than
-    // returning empty — a doc shorter than gramN must yield no grams
-    val nGrams = size(words) - lit(gramN - 1)
-    val gramArr = when(nGrams >= 1,
-        transform(sequence(lit(1), nGrams),
-          i => array_join(slice(words, i, lit(gramN)), " ")))
-      .otherwise(array().cast("array<string>"))
-    val grams = df.select(id.as("__id"), isTarget.as("__t"),
-        explode(gramArr).as("gram"))
-      .withColumn("__b", substring(md5(col("gram")), 1, 2))
-    // collapse gram instances to a per-(doc, bucket) histogram FIRST
-    // (≤256 rows per doc) and checkpoint it: the expensive
-    // explode+md5 pass over the corpus runs exactly once, and both
-    // the bucket tables and the per-doc masses derive from the small
-    // histogram. Per-gram sums distribute over the counts, so every
-    // integer below is identical to the gram-instance arrangement the
-    // oracle spells.
-    val hist = grams.groupBy(col("__id"), col("__t"), col("__b"))
-      .agg(count(lit(1)).as("__c"))
+    import graft.plans.{DotWeightsDouble, DotWeightsLong, DsirBucketCounts}
+    import graft.plans.HashExpressions.{columnOf, exprOf}
+    // one md5 pass over the corpus feeds BOTH the bucket table and the
+    // masses; checkpoint pins the histogram (500k × ~2 KB per million
+    // docs — small) so the pass runs once
+    val cnts = df.select(id.as("__id"), isTarget.as("__t"),
+        columnOf(DsirBucketCounts(exprOf(text), gramN)).as("__c"))
       .localCheckpoint(true)
-    val buckets = hist.groupBy(col("__b"))
-      .agg(sum(when(col("__t"), col("__c")).otherwise(0L)).as("__ct"),
-        sum(col("__c")).as("__cr"))
-    val totals = buckets.agg(sum(col("__ct")).as("__T"), sum(col("__cr")).as("__R"))
-    hist.join(broadcast(buckets), Seq("__b"))
-      .groupBy(col("__id"))
-      .agg(sum(col("__c")).as("n_grams"),
-        sum(col("__c") * col("__ct")).as("t_mass"),
-        sum(col("__c") * col("__cr")).as("r_mass"),
-        // the real DSIR importance weight, +1-smoothed; NOT oracle-gated
-        sum(col("__c") * log((col("__ct") + lit(1.0)) / (col("__cr") + lit(1.0))))
-          .as("dsir_logw"))
-      .crossJoin(broadcast(totals))
-      .select(col("__id").as("doc_id"), col("n_grams"), col("t_mass"),
-        col("r_mass"), col("dsir_logw"),
-        (col("t_mass") * col("__R") > col("r_mass") * col("__T")).as("selected"))
+    // global bucket table: 256 groups, map-side partial aggregation
+    val bucketRows = cnts
+      .select(col("__t"), posexplode(col("__c")).as(Seq("__b", "__n")))
+      .filter(col("__n") > 0)
+      .groupBy(col("__b"))
+      .agg(sum(when(col("__t"), col("__n")).otherwise(0L)).as("__ct"),
+        sum(col("__n")).as("__cr"))
+      .collect() // exactly ≤256 rows — driver-bounded by construction
+    val ct = new Array[Long](256)
+    val cr = new Array[Long](256)
+    bucketRows.foreach { r =>
+      val b = r.getInt(0)
+      ct(b) = r.getLong(1)
+      cr(b) = r.getLong(2)
+    }
+    val tT = ct.sum
+    val tR = cr.sum
+    val ones = Array.fill(256)(1L)
+    // the real DSIR importance weight, +1-smoothed; NOT oracle-gated.
+    // Summed in ascending bucket order — deterministic across runs.
+    val logw = Array.tabulate(256)(i => math.log((ct(i) + 1.0) / (cr(i) + 1.0)))
+    def dotL(c: Column, w: Array[Long]): Column =
+      columnOf(DotWeightsLong(exprOf(c), w))
+    cnts.select(col("__id").as("doc_id"),
+        dotL(col("__c"), ones).as("n_grams"),
+        dotL(col("__c"), ct).as("t_mass"),
+        dotL(col("__c"), cr).as("r_mass"),
+        columnOf(DotWeightsDouble(exprOf(col("__c")), logw)).as("dsir_logw"))
+      // docs with no grams have no per_doc row in the oracle's
+      // gram-instance spelling — drop them here too
+      .filter(col("n_grams") > 0)
+      .select(col("doc_id"), col("n_grams"), col("t_mass"), col("r_mass"),
+        col("dsir_logw"),
+        (col("t_mass") * lit(tR) > col("r_mass") * lit(tT)).as("selected"))
   }
 
   def packOffsets(df: DataFrame, id: String, tokens: String,

@@ -211,6 +211,72 @@ case class FirstEqualIndex(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Per-doc 256-bucket DSIR histogram of word n-grams (md5 first-byte
+  * bucketing — see HashKernels.dsirBucketCounts for the oracle
+  * equivalence).
+  */
+case class DsirBucketCounts(child: Expression, n: Int) extends UnaryExpression {
+  import HashExpressions.kernels
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.dsirBucketCounts(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernels.dsirBucketCounts($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): DsirBucketCounts =
+    copy(child = c)
+}
+
+/** Dot product of a long-array column with a fixed long weight vector
+  * (rides into the generated class as a reference object).
+  */
+case class DotWeightsLong(child: Expression, weights: Array[Long])
+    extends UnaryExpression {
+  import HashExpressions.kernels
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      HashKernels.dotWeightsLong(input.asInstanceOf[ArrayData], weights))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotW", weights, "long[]")
+    defineCodeGen(ctx, ev, c => s"$kernels.dotWeightsLong($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): DotWeightsLong =
+    copy(child = c)
+}
+
+/** Dot product of a long-array column with a fixed double weight
+  * vector, accumulated in ascending index order (deterministic).
+  */
+case class DotWeightsDouble(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+  import HashExpressions.kernels
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(
+      HashKernels.dotWeightsDouble(input.asInstanceOf[ArrayData], weights))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotWD", weights, "double[]")
+    defineCodeGen(ctx, ev, c => s"$kernels.dotWeightsDouble($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): DotWeightsDouble =
+    copy(child = c)
+}
+
 /** Intersection size of two sorted distinct long arrays (merge scan —
   * see HashKernels.sortedIntersectCount for why not array_intersect).
   */

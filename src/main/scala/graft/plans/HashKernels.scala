@@ -488,4 +488,84 @@ object HashKernels {
     }
     new GenericArrayData(Array(ws, bpe))
   }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Per-doc 256-bucket histogram of hashed word n-grams, DSIR-style:
+    * tokenize the Unicode-lowercased text on ASCII whitespace, join n
+    * consecutive words with single spaces, md5 the gram bytes, count
+    * by the digest's FIRST byte (≡ `substr(md5(gram), 1, 2)` — the
+    * first two hex chars ARE the first byte). One fused pass replaces
+    * split + transform(array_join) + explode + md5 + substr over the
+    * gram rows: the corpus-size gram table (rows ≈ total words) never
+    * exists, only (doc, long[256]) rows do.
+    *
+    * Token byte positions are found once; each gram reuses the slices
+    * (no per-gram string building beyond the digest input).
+    */
+  def dsirBucketCounts(input: UTF8String, n: Int): ArrayData = {
+    val bytes = input.toLowerCase.getBytes
+    // token boundaries (start, end) over ASCII whitespace — matches
+    // string_split_regex('\s+') + drop-empties on both engines
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var in = false
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      val ws = b == ' ' || (b >= 0x09 && b <= 0x0d)
+      if (ws) { if (in) { ends.add(i); in = false } }
+      else if (!in) { starts.add(i); in = true }
+      i += 1
+    }
+    if (in) ends.add(bytes.length)
+    val t = starts.size
+    val counts = new Array[Long](256)
+    if (t >= n) {
+      val md = md5Local.get()
+      var p = 0
+      while (p <= t - n) {
+        md.reset()
+        var w = 0
+        while (w < n) {
+          if (w > 0) md.update(' '.toByte)
+          val s = starts.get(p + w).intValue()
+          val e = ends.get(p + w).intValue()
+          md.update(bytes, s, e - s)
+          w += 1
+        }
+        counts(md.digest()(0) & 0xff) += 1
+        p += 1
+      }
+    }
+    new GenericArrayData(counts)
+  }
+
+  /** Dot product of a long-array column with a fixed weight vector —
+    * turns the DSIR per-doc mass aggregation into a pure projection
+    * (weights = the broadcast 256-entry bucket table).
+    */
+  def dotWeightsLong(a: ArrayData, w: Array[Long]): Long = {
+    val x = a.toLongArray()
+    val n = math.min(x.length, w.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x(i) * w(i); i += 1 }
+    s
+  }
+
+  /** Dot product with double weights, accumulated in ascending bucket
+    * order (deterministic summation — same result every run/partition).
+    */
+  def dotWeightsDouble(a: ArrayData, w: Array[Double]): Double = {
+    val x = a.toLongArray()
+    val n = math.min(x.length, w.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x(i) * w(i); i += 1 }
+    s
+  }
 }

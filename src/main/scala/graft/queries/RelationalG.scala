@@ -144,6 +144,50 @@ object RelationalG {
           expr("percentile(amt, 0.5D)").over(wRoll).as("roll_med"),
           expr("percentile(amt, 0.5D)").over(wPart).as("part_med"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // R67: GROUPING() bitmask over CUBE — the standard way to tell a
+    // subtotal row's NULL from a data NULL (reference:
+    // GROUPING/GROUPING_ID bound in the aggregate binder). Identical
+    // SQL text runs on both engines; the flags also pin the sort so
+    // subtotal rows land deterministically.
+    {
+      val q =
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+          |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+          |  COUNT(*) AS n
+          |FROM lineitem
+          |GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+      QDef.sql("q66_grouping_fn", q) { (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"),
+            count(lit(1)).as("n"))
+          .orderBy(col("g_rf"), col("g_ls"),
+            col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      }
+    },
+
+    // R68: recursive UNNEST of nested lists (reference
+    // unnest(recursive := true)) ≡ Spark explode(flatten(...)) — one
+    // level of structure collapses per flatten; the oracle spells the
+    // reference's native recursive form over the same synthesized
+    // nesting.
+    QDef.sql("q67_unnest_recursive",
+      """SELECT p_partkey, u FROM (
+        |  SELECT p_partkey,
+        |    unnest([[p_partkey % 7, p_partkey % 5], [p_partkey % 3]],
+        |           recursive := true) AS u
+        |  FROM part)
+        |ORDER BY p_partkey, u""".stripMargin) { (s, dir) =>
+      val k = col("p_partkey")
+      t(s, dir, "part")
+        .select(k, explode(flatten(array(
+          array(k % 7, k % 5), array(k % 3)))).as("u"))
+        .orderBy(col("p_partkey"), col("u"))
     }
   )
 }
