@@ -454,29 +454,35 @@ object Dedup {
     */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       segWords: Int = 8): DataFrame = {
-    val words = filter(split(lower(col(textCol)), "\\s+"), w => w =!= lit(""))
-    val segs = df.select(col(idCol), posexplode(
-        transform(
-          sequence(lit(1), greatest(ceil(size(words) / lit(segWords.toDouble)), lit(1))
-            .cast("int")),
-          i => array_join(slice(words, (i - lit(1)) * lit(segWords) + lit(1),
-            lit(segWords)), " ")))
-        .as(Seq("pos0", "seg")))
-      .select(col(idCol), (col("pos0") + 1).as("pos"), col("seg"),
-        md5(col("seg")).as("__h"))
+    import graft.plans.{RebuildSegments, SegmentCount, SegmentMd5s}
+    import graft.plans.HashExpressions.{columnOf, exprOf}
+    // Segment TEXT never leaves the doc's row: one fused pass emits a
+    // 16-byte md5 per segment (plans/HashKernels.segmentMd5s), dedup
+    // runs entirely on narrow (id, pos, digest) rows — two orders of
+    // magnitude less shuffle than shipping the corpus text through the
+    // winner join and a collect_list reassembly — and each survivor
+    // doc is rebuilt LOCALLY from its kept positions by re-slicing its
+    // own text (RebuildSegments), one wide join by id total.
+    val segs = df.select(col(idCol),
+        posexplode(columnOf(SegmentMd5s(exprOf(col(textCol)), segWords)))
+          .as(Seq("pos0", "__h")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("__h"))
     // first corpus-wide occurrence per segment content
     val winners = segs.groupBy(col("__h"))
       .agg(min(struct(col(idCol), col("pos"))).as("__w"))
-    val kept = segs.join(winners, Seq("__h"))
+    val keptPos = segs.join(winners, Seq("__h"))
       .where(struct(col(idCol), col("pos")) === col("__w"))
-    val reassembled = kept.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
-          x => x.getField("seg")), " ").as("text_dedup"))
-    segs.groupBy(col(idCol)).agg(count(lit(1)).as("n_segs"))
-      .join(reassembled, Seq(idCol), "left")
-      .select(col(idCol), col("n_segs"),
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("__kp"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol), col(textCol))
+      .join(keptPos, Seq(idCol), "left")
+      .select(col(idCol),
+        columnOf(SegmentCount(exprOf(col(textCol)), segWords)).as("n_segs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+        coalesce(
+          columnOf(RebuildSegments(exprOf(col(textCol)),
+            exprOf(coalesce(col("__kp"), array().cast("array<long>"))), segWords)),
+          lit("")).as("text_dedup"))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the hashing/vector hot paths.
@@ -229,6 +229,66 @@ case class DsirBucketCounts(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): DsirBucketCounts =
     copy(child = c)
+}
+
+/** md5 digests of a doc's fixed-width word segments (16-byte binary
+  * per segment) — segment equality without shipping segment text
+  * (see HashKernels.segmentMd5s).
+  */
+case class SegmentMd5s(child: Expression, segWords: Int) extends UnaryExpression {
+  import HashExpressions.kernels
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.segmentMd5s(input.asInstanceOf[UTF8String], segWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernels.segmentMd5s($c, $segWords)")
+
+  override protected def withNewChildInternal(c: Expression): SegmentMd5s =
+    copy(child = c)
+}
+
+/** Segment count companion of [[SegmentMd5s]] (tokenize only, no md5). */
+case class SegmentCount(child: Expression, segWords: Int) extends UnaryExpression {
+  import HashExpressions.kernels
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      HashKernels.segmentCount(input.asInstanceOf[UTF8String], segWords))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernels.segmentCount($c, $segWords)")
+
+  override protected def withNewChildInternal(c: Expression): SegmentCount =
+    copy(child = c)
+}
+
+/** Reassemble a doc from kept 1-based segment positions — the local
+  * (no-shuffle) inverse of [[SegmentMd5s]] (see
+  * HashKernels.rebuildSegments).
+  */
+case class RebuildSegments(left: Expression, right: Expression, segWords: Int)
+    extends BinaryExpression {
+  import HashExpressions.kernels
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(text: Any, pos: Any): Any =
+    HashKernels.rebuildSegments(
+      text.asInstanceOf[UTF8String], pos.asInstanceOf[ArrayData], segWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) => s"$kernels.rebuildSegments($t, $p, $segWords)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RebuildSegments =
+    copy(left = l, right = r)
 }
 
 /** Dot product of a long-array column with a fixed long weight vector

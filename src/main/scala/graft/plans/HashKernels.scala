@@ -544,6 +544,100 @@ object HashKernels {
     new GenericArrayData(counts)
   }
 
+  /** Token boundaries of the Unicode-lowercased text over ASCII
+    * whitespace — shared tokenizer for the segment kernels. Returns
+    * (lowercased bytes, starts, ends).
+    */
+  private def tokenize(input: UTF8String):
+      (Array[Byte], java.util.ArrayList[Integer], java.util.ArrayList[Integer]) = {
+    val bytes = input.toLowerCase.getBytes
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var in = false
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      val ws = b == ' ' || (b >= 0x09 && b <= 0x0d)
+      if (ws) { if (in) { ends.add(i); in = false } }
+      else if (!in) { starts.add(i); in = true }
+      i += 1
+    }
+    if (in) ends.add(bytes.length)
+    (bytes, starts, ends)
+  }
+
+  /** md5 of each fixed-width word segment of a doc (segment i = words
+    * [(i-1)·w+1 .. i·w] of the lowercased text joined by single
+    * spaces; a doc with no words has ONE empty segment — the
+    * max(ceil(t/w), 1) convention of the d08 oracle). 16-byte digests
+    * stand in for segment equality, so the segment TEXT never has to
+    * leave the doc's row: dedup shuffles (id, pos, 16 B) instead of
+    * the corpus text.
+    */
+  def segmentMd5s(input: UTF8String, segWords: Int): ArrayData = {
+    val (bytes, starts, ends) = tokenize(input)
+    val t = starts.size
+    val nSegs = math.max((t + segWords - 1) / segWords, 1)
+    val md = md5Local.get()
+    val out = new Array[Any](nSegs)
+    var s = 0
+    while (s < nSegs) {
+      md.reset()
+      var w = s * segWords
+      val end = math.min(w + segWords, t)
+      while (w < end) {
+        if (w > s * segWords) md.update(' '.toByte)
+        val a = starts.get(w).intValue()
+        val b = ends.get(w).intValue()
+        md.update(bytes, a, b - a)
+        w += 1
+      }
+      out(s) = md.digest()
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Number of fixed-width word segments (max(ceil(tokens/w), 1)) —
+    * the tokenize-only companion of [[segmentMd5s]].
+    */
+  def segmentCount(input: UTF8String, segWords: Int): Long = {
+    val (_, starts, _) = tokenize(input)
+    math.max((starts.size + segWords - 1) / segWords, 1).toLong
+  }
+
+  /** Reassemble a doc from its KEPT segment positions (1-based,
+    * ascending): the words of each kept segment joined by spaces,
+    * segments joined by spaces — exactly string_agg(seg, ' ' ORDER BY
+    * pos) over the oracle's segment spelling.
+    */
+  def rebuildSegments(input: UTF8String, keptPos: ArrayData, segWords: Int): UTF8String = {
+    val (bytes, starts, ends) = tokenize(input)
+    val t = starts.size
+    val ps = keptPos.toLongArray()
+    val sb = new java.io.ByteArrayOutputStream()
+    var k = 0
+    var first = true
+    while (k < ps.length) {
+      val s = (ps(k) - 1).toInt
+      var w = s * segWords
+      val end = math.min(w + segWords, t)
+      if (!first) sb.write(' ')
+      first = false
+      var innerFirst = true
+      while (w < end) {
+        if (!innerFirst) sb.write(' ')
+        innerFirst = false
+        val a = starts.get(w).intValue()
+        val b = ends.get(w).intValue()
+        sb.write(bytes, a, b - a)
+        w += 1
+      }
+      k += 1
+    }
+    UTF8String.fromBytes(sb.toByteArray)
+  }
+
   /** Dot product of a long-array column with a fixed weight vector —
     * turns the DSIR per-doc mass aggregation into a pure projection
     * (weights = the broadcast 256-entry bucket table).
