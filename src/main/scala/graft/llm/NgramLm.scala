@@ -29,40 +29,43 @@ import org.apache.spark.sql.functions._
   */
 object NgramLm {
 
-  private def words(text: Column): Column =
-    filter(split(lower(text), "\\s+"), w => w =!= lit(""))
-
-  /** (doc_id, bg) bigram rows; docs with <2 tokens contribute none. */
-  private def bigrams(docs: DataFrame, id: String, text: String, extra: Seq[String]): DataFrame = {
-    val w = words(col(text))
-    docs
-      .select((col(id) +: extra.map(col)) :+ w.as("__w"): _*)
-      .filter(size(col("__w")) >= 2) // sequence(1,0) counts DOWN — guard first
-      .select((col(id) +: extra.map(col)) :+
-        explode(transform(sequence(lit(1), size(col("__w")) - 1),
-          i => concat(element_at(col("__w"), i), lit(" "),
-            element_at(col("__w"), i + 1)))).as("bg"): _*)
-  }
-
   /** Cross-entropy per document: (id, n_bigrams, ce_e9) with the
     * score snapped to a 1e-9 grid (ln is libm-dependent; the f28
     * discipline). `trainFilter` selects the trusted slice.
     */
   def score(docs: DataFrame, id: String, text: String,
       trainFilter: Column): DataFrame = {
-    val marked = docs.withColumn("__train", trainFilter)
-    val bg = bigrams(marked, id, text, Seq("__train"))
+    import graft.plans.SlidingNgramMd5s
+    import graft.plans.HashExpressions.{columnOf, exprOf}
+    // 16-byte gram digests stand in for gram strings (collision odds
+    // ≪ 2⁻¹⁰⁰ at corpus scale): one fused pass per doc replaces the
+    // interpreted split + transform(concat) gram build, count tables
+    // and joins carry fixed-width binary keys, and — the scale story —
+    // the model tables derive from the TRAIN slice only, so they
+    // BROADCAST (CCNet's small-trusted-corpus case) and the
+    // corpus-size bigram rows never cross a shuffle: scan → two
+    // broadcast probes → per-doc partial aggregate.
+    val marked = docs.select(col(id), trainFilter.as("__train"),
+      columnOf(SlidingNgramMd5s(exprOf(col(text)), 1)).as("__wm"),
+      columnOf(SlidingNgramMd5s(exprOf(col(text)), 2)).as("__bm"))
+    // (doc, bigram digest, first-word digest) — the first word of
+    // bigram i is unigram i, so both keys come from the same two
+    // per-doc arrays
+    val bg = marked
+      .select(col(id), col("__train"), col("__wm"),
+        posexplode(col("__bm")).as(Seq("__i", "__bh")))
+      .select(col(id), col("__train"), col("__bh"),
+        element_at(col("__wm"), col("__i") + 1).as("__w1h"))
 
-    val c12 = bg.filter(col("__train")).groupBy(col("bg"))
+    val c12 = bg.filter(col("__train")).groupBy(col("__bh"), col("__w1h"))
       .agg(count(lit(1)).as("__c12"))
-    val c1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("__w1"))
-      .agg(sum(col("__c12")).as("__c1"))
+    val c1 = c12.groupBy(col("__w1h")).agg(sum(col("__c12")).as("__c1"))
     // vocabulary of the train slice (all unigram positions)
     val vocab = marked.filter(col("__train"))
-      .select(explode(words(col(text))).as("t")).distinct().count().toDouble
+      .select(explode(col("__wm")).as("t")).distinct().count().toDouble
 
-    bg.join(c12, Seq("bg"), "left")
-      .join(c1, substring_index(col("bg"), " ", 1) === col("__w1"), "left")
+    bg.join(broadcast(c12.select(col("__bh"), col("__c12"))), Seq("__bh"), "left")
+      .join(broadcast(c1), Seq("__w1h"), "left")
       .select(col(id),
         (-log((coalesce(col("__c12"), lit(0L)) + lit(1.0)) /
           (coalesce(col("__c1"), lit(0L)) + lit(vocab)))).as("__nl"))

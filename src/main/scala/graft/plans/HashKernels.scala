@@ -598,6 +598,36 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** md5 of each SLIDING word n-gram of the lowercased text (words
+    * i..i+n-1 joined by single spaces; stride 1, t-n+1 grams, none if
+    * t < n). n=1 gives per-word digests — the unigram companion for
+    * first-word conditioning keys. Digest equality stands in for gram
+    * STRING equality, so count tables and joins carry 16-byte keys
+    * instead of gram text.
+    */
+  def slidingNgramMd5s(input: UTF8String, n: Int): ArrayData = {
+    val (bytes, starts, ends) = tokenize(input)
+    val t = starts.size
+    val m = math.max(t - n + 1, 0)
+    val md = md5Local.get()
+    val out = new Array[Any](m)
+    var p = 0
+    while (p < m) {
+      md.reset()
+      var w = 0
+      while (w < n) {
+        if (w > 0) md.update(' '.toByte)
+        val a = starts.get(p + w).intValue()
+        val b = ends.get(p + w).intValue()
+        md.update(bytes, a, b - a)
+        w += 1
+      }
+      out(p) = md.digest()
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Number of fixed-width word segments (max(ceil(tokens/w), 1)) —
     * the tokenize-only companion of [[segmentMd5s]].
     */
