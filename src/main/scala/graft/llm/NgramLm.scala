@@ -29,49 +29,69 @@ import org.apache.spark.sql.functions._
   */
 object NgramLm {
 
+  /** Largest model the driver will materialize: 2²⁴ distinct train
+    * bigrams (~0.5 GiB of map). A trusted corpus past this bound
+    * couldn't be broadcast to executors either — shard the model and
+    * fall back to a key-partitioned join at that point.
+    */
+  val MaxModelEntries: Int = 1 << 24
+
   /** Cross-entropy per document: (id, n_bigrams, ce_e9) with the
     * score snapped to a 1e-9 grid (ln is libm-dependent; the f28
     * discipline). `trainFilter` selects the trusted slice.
     */
   def score(docs: DataFrame, id: String, text: String,
       trainFilter: Column): DataFrame = {
-    import graft.plans.SlidingNgramMd5s
+    import graft.plans.{BigramLmStats, LongLongMap, SlidingNgramHash64s}
     import graft.plans.HashExpressions.{columnOf, exprOf}
-    // 16-byte gram digests stand in for gram strings (collision odds
-    // ≪ 2⁻¹⁰⁰ at corpus scale): one fused pass per doc replaces the
-    // interpreted split + transform(concat) gram build, count tables
-    // and joins carry fixed-width binary keys, and — the scale story —
-    // the model tables derive from the TRAIN slice only, so they
-    // BROADCAST (CCNet's small-trusted-corpus case) and the
-    // corpus-size bigram rows never cross a shuffle: scan → two
-    // broadcast probes → per-doc partial aggregate.
-    val marked = docs.select(col(id), trainFilter.as("__train"),
-      columnOf(SlidingNgramMd5s(exprOf(col(text)), 1)).as("__wm"),
-      columnOf(SlidingNgramMd5s(exprOf(col(text)), 2)).as("__bm"))
-    // (doc, bigram digest, first-word digest) — the first word of
-    // bigram i is unigram i, so both keys come from the same two
-    // per-doc arrays
-    val bg = marked
-      .select(col(id), col("__train"), col("__wm"),
-        posexplode(col("__bm")).as(Seq("__i", "__bh")))
-      .select(col(id), col("__train"), col("__bh"),
-        element_at(col("__wm"), col("__i") + 1).as("__w1h"))
-
-    val c12 = bg.filter(col("__train")).groupBy(col("__bh"), col("__w1h"))
-      .agg(count(lit(1)).as("__c12"))
-    val c1 = c12.groupBy(col("__w1h")).agg(sum(col("__c12")).as("__c1"))
+    val spark = docs.sparkSession
+    // 64-bit gram hashes stand in for gram strings (the p05 trade;
+    // collision odds ≪1e-5 at 10⁷ distinct grams). The model derives
+    // from the TRAIN slice only — CCNet's trusted corpus is small and
+    // FIXED-SIZE regardless of how big the scored corpus grows — so it
+    // collapses to two Long→Long maps built on the driver and
+    // broadcast once. Scoring is then a single codegen'd kernel call
+    // per document: tokenize, probe, sum — no explode of corpus-size
+    // gram rows, no joins, no per-doc re-aggregation shuffle. (The
+    // previous broadcast-JOIN formulation shipped the same model bytes
+    // but paid explode + 2 probes-as-joins + groupBy(doc) on
+    // corpus×grams rows: 30 s → ~4 s at sf10.)
+    val train = docs.filter(trainFilter)
+      .select(columnOf(SlidingNgramHash64s(exprOf(col(text)), 1)).as("__wm"),
+        columnOf(SlidingNgramHash64s(exprOf(col(text)), 2)).as("__bm"))
+    // (bigram hash, first-word hash, count) — the first word of bigram
+    // i is unigram i, so both keys come from the same two per-doc
+    // arrays. Collect is bounded by the trusted-slice gram vocabulary
+    // (MaxModelEntries guard), NOT the corpus.
+    val c12Rows = train
+      .select(posexplode(col("__bm")).as(Seq("__i", "__bh")), col("__wm"))
+      .select(col("__bh"), element_at(col("__wm"), col("__i") + 1).as("__w1h"))
+      .groupBy(col("__bh"), col("__w1h")).agg(count(lit(1)).as("__c"))
+      .limit(MaxModelEntries + 1)
+      .collect()
+    require(c12Rows.length <= MaxModelEntries,
+      s"bigram-LM model exceeds $MaxModelEntries entries; shard the model " +
+        "and use a key-partitioned join instead of a broadcast probe")
+    val c12 = new LongLongMap(c12Rows.length)
+    val c1Agg = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    c12Rows.foreach { r =>
+      c12.put(r.getLong(0), r.getLong(2))
+      // c1 = Σ c12 over the conditioning word — exactly the oracle's
+      // c1 CTE, folded driver-side from the rows already in hand
+      c1Agg.merge(r.getLong(1), r.getLong(2), (a, b) => a + b)
+    }
+    val c1 = new LongLongMap(c1Agg.size)
+    c1Agg.forEach((k, v) => c1.put(k, v))
     // vocabulary of the train slice (all unigram positions)
-    val vocab = marked.filter(col("__train"))
-      .select(explode(col("__wm")).as("t")).distinct().count().toDouble
+    val vocab = train.select(explode(col("__wm")).as("t")).distinct().count().toDouble
 
-    bg.join(broadcast(c12.select(col("__bh"), col("__c12"))), Seq("__bh"), "left")
-      .join(broadcast(c1), Seq("__w1h"), "left")
-      .select(col(id),
-        (-log((coalesce(col("__c12"), lit(0L)) + lit(1.0)) /
-          (coalesce(col("__c1"), lit(0L)) + lit(vocab)))).as("__nl"))
-      .groupBy(col(id))
-      .agg(count(lit(1)).as("n_bigrams"),
-        floor(sum(col("__nl")) / count(lit(1)) * 1e9 + 0.5).cast("long").as("ce_e9"))
+    val bc12 = spark.sparkContext.broadcast(c12)
+    val bc1 = spark.sparkContext.broadcast(c1)
+    docs.select(col(id),
+        columnOf(BigramLmStats(exprOf(col(text)), bc12, bc1, vocab)).as("__st"))
+      .filter(col("__st").isNotNull)
+      .select(col(id), element_at(col("__st"), 1).as("n_bigrams"),
+        element_at(col("__st"), 2).as("ce_e9"))
   }
 
   /** head/middle/tail terciles of (ce_e9, id) order — NTILE(3)'s

@@ -493,3 +493,56 @@ case class TokenCounts(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TokenCounts =
     copy(child = c)
 }
+
+/** 64-bit hashes of the sliding word n-grams (long-keyed sibling of
+  * [[SlidingNgramMd5s]]; duplicates kept).
+  */
+case class SlidingNgramHash64s(child: Expression, n: Int) extends UnaryExpression {
+  import HashExpressions.kernels
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.slidingNgramHash64s(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernels.slidingNgramHash64s($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): SlidingNgramHash64s =
+    copy(child = c)
+}
+
+/** Per-doc add-1 bigram-LM stats [n_bigrams, ce_e9] (null when the
+  * doc has <2 words). The model maps ride in as BROADCAST handles —
+  * the task closure ships only the handle; executors resolve the
+  * cached value once — and enter generated code as reference objects,
+  * so scoring is one kernel call per row inside whole-stage codegen:
+  * the zero-join, zero-shuffle CCNet probe (see llm/NgramLm.score).
+  */
+case class BigramLmStats(child: Expression,
+    c12: org.apache.spark.broadcast.Broadcast[LongLongMap],
+    c1: org.apache.spark.broadcast.Broadcast[LongLongMap],
+    vocab: Double) extends UnaryExpression {
+  import HashExpressions.kernels
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bigramLmStats(input.asInstanceOf[UTF8String], c12.value, c1.value, vocab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b12 = ctx.addReferenceObj("lmC12", c12, "org.apache.spark.broadcast.Broadcast")
+    val b1 = ctx.addReferenceObj("lmC1", c1, "org.apache.spark.broadcast.Broadcast")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $kernels.bigramLmStats($c,
+        (graft.plans.LongLongMap) $b12.value(),
+        (graft.plans.LongLongMap) $b1.value(), ${vocab}D);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): BigramLmStats =
+    copy(child = c)
+}

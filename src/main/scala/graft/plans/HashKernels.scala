@@ -692,4 +692,74 @@ object HashKernels {
     while (i < n) { s += x(i) * w(i); i += 1 }
     s
   }
+
+  private val Fnv64Offset = 0xcbf29ce484222325L
+  private val Fnv64Prime = 0x100000001b3L
+
+  /** FNV-1a64 of the words [p, p+n) joined by single spaces — the
+    * fixed-width stand-in for gram-string identity at half the md5
+    * key width (collision odds ~m²/2⁶⁵: ≪1e-5 even at 10⁷ distinct
+    * grams). Shared by [[slidingNgramHash64s]] (model build) and
+    * [[bigramLmStats]] (probe) so model keys and probe keys agree
+    * bit-for-bit.
+    */
+  private def gramHash64(bytes: Array[Byte],
+      starts: java.util.ArrayList[Integer], ends: java.util.ArrayList[Integer],
+      p: Int, n: Int): Long = {
+    var h = Fnv64Offset
+    var w = 0
+    while (w < n) {
+      if (w > 0) { h ^= ' '.toLong; h *= Fnv64Prime }
+      val a = starts.get(p + w).intValue()
+      val b = ends.get(p + w).intValue()
+      var i = a
+      while (i < b) { h ^= (bytes(i) & 0xffL); h *= Fnv64Prime; i += 1 }
+      w += 1
+    }
+    h
+  }
+
+  /** 64-bit hashes of the SLIDING word n-grams (the long-keyed
+    * sibling of [[slidingNgramMd5s]]; duplicates kept, t−n+1 grams,
+    * none if t&lt;n; n=1 → per-word hashes).
+    */
+  def slidingNgramHash64s(input: UTF8String, n: Int): ArrayData = {
+    val (bytes, starts, ends) = tokenize(input)
+    val t = starts.size
+    val m = math.max(t - n + 1, 0)
+    val out = new Array[Long](m)
+    var p = 0
+    while (p < m) {
+      out(p) = gramHash64(bytes, starts, ends, p, n)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-doc add-1 bigram-LM stats against broadcast model maps:
+    * returns [n_bigrams, ce_e9] or null when the doc has &lt;2 words
+    * (the oracle's len(w)>=2 guard). ce_e9 = mean −ln P snapped to a
+    * 1e-9 grid (libm-dependence discipline); the sum runs in gram
+    * order, matching both the previous exploded-rows plan (explode
+    * output stays row-contiguous through partial aggregation) and the
+    * oracle's sequential per-group sum. One tokenize pass per doc —
+    * the entire CCNet scoring probe with zero joins, zero shuffles.
+    */
+  def bigramLmStats(input: UTF8String, c12: LongLongMap, c1: LongLongMap,
+      vocab: Double): ArrayData = {
+    val (bytes, starts, ends) = tokenize(input)
+    val t = starts.size
+    if (t < 2) return null
+    val m = t - 1
+    var sum = 0.0
+    var p = 0
+    while (p < m) {
+      val bg = gramHash64(bytes, starts, ends, p, 2)
+      val w1 = gramHash64(bytes, starts, ends, p, 1)
+      sum += -Math.log((c12.getOrZero(bg) + 1.0) / (c1.getOrZero(w1) + vocab))
+      p += 1
+    }
+    val ce = Math.floor(sum / m * 1e9 + 0.5).toLong
+    new GenericArrayData(Array(m.toLong, ce))
+  }
 }
