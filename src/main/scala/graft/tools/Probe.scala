@@ -63,6 +63,21 @@ object Probe {
               .join(fil(bktLi), col("o_orderkey") === col("l_orderkey"))))
         }
         spark.stop(); return
+      case "p12" :: _ =>
+        // stage timing of the bigram-LM pipeline (2 rounds)
+        import graft.llm.NgramLm
+        val docs = graft.sources.Catalog.table(spark, sfDir, "documents")
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        (1 to 2).foreach { round =>
+          val scored = time(s"r$round score-plan (model build: collect+vocab)")(
+            NgramLm.score(docs, "doc_id", "text", col("source") === "src0"))
+          time(s"r$round score-run")(noop(scored))
+          time(s"r$round terciles")(noop(NgramLm.terciles(scored, "doc_id")))
+          time(s"r$round full+order")(noop(
+            NgramLm.terciles(scored, "doc_id").orderBy(col("doc_id"))))
+        }
+        spark.stop(); return
       case "d04" :: _ =>
         val docs = graft.sources.Catalog.table(spark, sfDir, "documents")
         Seq(0.2, 0.35, 0.5).foreach { thr =>
