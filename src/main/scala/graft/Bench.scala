@@ -86,12 +86,16 @@ object Bench {
       val t = math.min(once(), once())
       (name, t, ok)
     }
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+    // 4-decimal seconds: sub-0.1 ms precision is noise, and the
+    // shorter line survives log captures that keep only a bounded
+    // tail of the run's output.
+    def r4(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) r4(v) else "-1.0") }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     spark.stop() // stop FIRST so shutdown logging cannot bury the JSON line
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
   }
 }
