@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions.broadcast
 object GroupJoin {
 
   /** groupBy(keys).agg(aggs) on `fact`, then join `other` on `cond`.
-    * If `broadcastAgg` the aggregated side is broadcast (right when
-    * groups are dim-sized, e.g. per-customer rollups joined to the
-    * customer dim).
+    * If `broadcastAgg` the aggregated side is broadcast — right ONLY
+    * when groups are genuinely dim-sized (thousands). When the group
+    * count scales with the fact table (per-customer rollups: one group
+    * per customer), broadcast ships the whole aggregate to every task
+    * and the single-threaded build dominates; pass false and the join
+    * reuses the aggregation's own hash partitioning, paying just the
+    * other side's exchange (A/B at sf10: 1.6 s vs 2.0–7.2 s).
     */
   def apply(fact: DataFrame, keys: Seq[Column], aggs: Seq[Column],
             other: DataFrame, cond: Column, joinType: String = "inner",

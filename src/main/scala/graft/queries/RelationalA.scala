@@ -157,7 +157,13 @@ object RelationalA {
         keys = Seq(col("o_custkey")),
         aggs = Seq(count(lit(1)).as("order_count"), dsum(col("o_totalprice")).as("total_spent")),
         other = t(s, dir, "customer"),
-        cond = col("c_custkey") === col("o_custkey"))
+        cond = col("c_custkey") === col("o_custkey"),
+        // per-customer groups scale WITH the fact table (1.5 M at
+        // sf10) — broadcast would ship them to every task and stalls
+        // on the build (A/B: 2.0–7.2 s vs 1.6–2.6 s co-partitioned,
+        // Probe q07ab). The agg output is already hash-partitioned on
+        // the key, so the join adds only the dim-side exchange.
+        broadcastAgg = false)
         .select(col("c_custkey"), col("c_name"), col("order_count"), col("total_spent"))
         .orderBy(col("c_custkey"))
     },

@@ -78,6 +78,27 @@ object Probe {
             NgramLm.terciles(scored, "doc_id").orderBy(col("doc_id"))))
         }
         spark.stop(); return
+      case "q07ab" :: _ =>
+        // broadcast-agg vs co-partitioned join for the groupjoin shape
+        import graft.operators.GroupJoin
+        import graft.functions.Exact.dsum
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val orders = graft.sources.Catalog.table(spark, sfDir, "orders")
+        val customer = graft.sources.Catalog.table(spark, sfDir, "customer")
+        def q(bcast: Boolean) = GroupJoin(
+          fact = orders, keys = Seq(col("o_custkey")),
+          aggs = Seq(count(lit(1)).as("order_count"),
+            dsum(col("o_totalprice")).as("total_spent")),
+          other = customer, cond = col("c_custkey") === col("o_custkey"),
+          broadcastAgg = bcast)
+          .select(col("c_custkey"), col("c_name"), col("order_count"), col("total_spent"))
+          .orderBy(col("c_custkey"))
+        (1 to 3).foreach { i =>
+          time(s"broadcast r$i")(noop(q(true)))
+          time(s"copart   r$i")(noop(q(false)))
+        }
+        spark.stop(); return
       case "d04" :: _ =>
         val docs = graft.sources.Catalog.table(spark, sfDir, "documents")
         Seq(0.2, 0.35, 0.5).foreach { thr =>
