@@ -13,6 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Join strategy for the LSH bucket joins and pair-attach joins.
+    *
+    * shuffle_hash, not merge: sort-merge SORTS both sides, and the
+    * payload rows here are KBs (signatures + gram arrays) — at sf10
+    * that is ~16 GB per side through the sorter, which spills and
+    * wrecks run-to-run stability. The hashed build side holds one
+    * partition's rows (≈ payload/`shuffle.partitions`), which fits
+    * executor memory by construction at any corpus size because the
+    * partition count scales with the cluster. A/B at sf10 (Probe
+    * d04join/d02join, pair stage + count): d04 merge 30.7–61.8 s →
+    * shuffle_hash 12.7–13.4 s; d02 merge 13.4–72.9 s → 13.5–13.9 s.
+    * Overridable for experiments via -Dgraft.lsh.joinHint=merge.
+    */
+  private[llm] def lshJoinHint: String =
+    sys.props.getOrElse("graft.lsh.joinHint", "shuffle_hash")
+
   /** Collapse exact duplicates to (min-id representative, text) —
     * the standard prelude to every near-dup operator: duplicate
     * clusters otherwise make candidate generation quadratic.
@@ -120,7 +136,8 @@ object Dedup {
     capped.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"),
         col("m").as("m_a"))
       .join(capped.select(col("bk"), col("id").as("id_b"),
-        col("sig").as("sig_b"), col("m").as("m_b")).hint("merge"), Seq("bk"))
+        col("sig").as("sig_b"), col("m").as("m_b"))
+        .hint(lshJoinHint), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       // emit-once: this bucket is the pair's first shared surviving band
       .filter(firstEq(col("m_a"), col("m_b")) === col("bk.band").cast("long"))
@@ -216,7 +233,7 @@ object Dedup {
       col("sig").as("sig_a"), col("grams").as("grams_a"), col("m").as("m_a"))
     val b = capped.select(col("bk"), col("id").as("id_b"),
       col("sig").as("sig_b"), col("grams").as("grams_b"), col("m").as("m_b"))
-      .hint("merge")
+      .hint(lshJoinHint)
     a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       // emit-once: this bucket is the pair's first shared surviving band
@@ -272,8 +289,8 @@ object Dedup {
           graft.plans.HashExpressions.exprOf(a),
           graft.plans.HashExpressions.exprOf(b)))
     pairs
-      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")).hint("merge"), Seq("id_a"))
-      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")).hint("merge"), Seq("id_b"))
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")).hint(lshJoinHint), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")).hint(lshJoinHint), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (agree(col("sig_a"), col("sig_b")).cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
@@ -340,8 +357,8 @@ object Dedup {
           graft.plans.HashExpressions.exprOf(a),
           graft.plans.HashExpressions.exprOf(b)))
     pairs.select(col("id_a"), col("id_b"))
-      .join(grams.select(col("id").as("id_a"), col("grams").as("grams_a")).hint("merge"), Seq("id_a"))
-      .join(grams.select(col("id").as("id_b"), col("grams").as("grams_b")).hint("merge"), Seq("id_b"))
+      .join(grams.select(col("id").as("id_a"), col("grams").as("grams_a")).hint(lshJoinHint), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("grams").as("grams_b")).hint(lshJoinHint), Seq("id_b"))
       .withColumn("inter", inter(col("grams_a"), col("grams_b")).cast("int"))
       .withColumn("uni", size(col("grams_a")) + size(col("grams_b")) - col("inter"))
       .select(col("id_a"), col("id_b"),

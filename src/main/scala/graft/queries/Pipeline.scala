@@ -31,10 +31,14 @@ object Pipeline {
     },
 
     // L2: MinHash+LSH near-dedup candidate pairs.
+    // No global orderBy: the operator's product is the pair SET
+    // (row-count gate + order-independent union-find in
+    // tools/check_dedup.py); a global sort of 38.8 M output pairs is
+    // not dedup semantics and costs a full range exchange + sort on
+    // top of the emission (~10 s at sf10).
     QDef.rowsOnly("d02_dedup_minhash") { (s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
           numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.4)
-        .orderBy(col("id_a"), col("id_b"))
     },
 
     // L3: SimHash near-dedup pairs (hamming ≤ 3 on 64-bit fingerprints).
@@ -49,10 +53,10 @@ object Pipeline {
     // the r4-flagged superlinear wall growth was the pair-then-attach
     // pipeline shuffling two KB-sized gram arrays per candidate pair.
     QDef.rowsOnly("d04_ngram_jaccard") { (s, dir) =>
+      // pair-set product: no global sort of the output (see d02)
       Dedup.lshJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         numHashes = 64, bands = 16, shingleSize = 5, estThreshold = 0.35,
         gramN = 3)
-        .orderBy(col("id_a"), col("id_b"))
     },
 
     // L13: near-dup pairs → canonical clusters. Pair emission alone
