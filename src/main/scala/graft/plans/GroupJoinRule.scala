@@ -111,5 +111,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => GroupJoinRule)
     e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     SqlRegistry.registerAll(e)
+    RefAliases.registerAll(e)
   }
 }

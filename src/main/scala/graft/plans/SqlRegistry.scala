@@ -149,14 +149,16 @@ object SqlRegistry {
       args => { arity("list_sort", 1, args); new ArraySort(args(0)) })
     register(e, "array_to_string", classOf[ArrayJoin],
       args => { arity("array_to_string", 2, args); ArrayJoin(args(0), args(1), None) })
-    register(e, "array_slice", classOf[Slice], args => {
-      arity("array_slice", 3, args)
+    for (n <- Seq("array_slice", "list_slice"))
+      register(e, n, classOf[Slice], args => {
+      arity(n, 3, args)
       // reference bounds are INCLUSIVE: length = hi - lo + 1
       Slice(args(0), args(1), Add(Subtract(args(2), args(1)), Literal(1)))
     })
-    register(e, "list_aggregate", classOf[ArrayAggregate], args => {
-      arity("list_aggregate", 2, args)
-      require(args(1).foldable, "list_aggregate expects a constant function name")
+    for (n <- Seq("list_aggregate", "list_aggr", "array_aggregate", "array_aggr"))
+      register(e, n, classOf[ArrayAggregate], args => {
+      arity(n, 2, args)
+      require(args(1).foldable, s"$n expects a constant function name")
       val fn = args(1).eval(null).toString
       fn match {
         case "sum" =>

@@ -128,6 +128,15 @@ object Probe {
           }
         }
         spark.stop(); return
+      case "fncheck" :: file :: _ =>
+        // coverage sweep: which reference core-function names resolve?
+        // (GraftSession already injects SqlRegistry via extensions)
+        val names = scala.io.Source.fromFile(file).getLines().filter(_.nonEmpty).toSeq
+        val missing = names.filterNot(n =>
+          try spark.catalog.functionExists(n) catch { case _: Throwable => false })
+        println(s"[probe] ${names.size} reference functions, ${missing.size} unresolved:")
+        missing.foreach(n => println(s"[probe]   $n"))
+        spark.stop(); return
       case "d04" :: _ =>
         val docs = graft.sources.Catalog.table(spark, sfDir, "documents")
         Seq(0.2, 0.35, 0.5).foreach { thr =>
