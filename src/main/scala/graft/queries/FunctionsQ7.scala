@@ -447,6 +447,54 @@ object FunctionsQ7 {
           Aggregates.reservoirQuantile(col("o_totalprice"), 0.5, 100000).as("rq50"),
           Aggregates.reservoirQuantile(col("o_totalprice"), 0.9, 100000).as("rq90"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // F71: the ALIAS surface, proven the same way f43 proves the
+    // custom expressions — ONE query text, run VERBATIM by both
+    // engines (plans/RefAliases registers the reference names in
+    // Spark's FunctionRegistry). Scalar side: hashing, search,
+    // distance, hex render, path parsing, split→transform→aggregate
+    // list pipelines, argsort, %-code strftime, python-style format,
+    // epoch, time_bucket.
+    {
+      val q =
+        """SELECT p_partkey,
+          |  sha256(p_name) AS h,
+          |  CAST(strpos(p_name, 'o') AS BIGINT) AS sp,
+          |  starts_with(p_type, 'STANDARD') AS st,
+          |  CAST(editdist3(p_brand, 'Brand#13') AS BIGINT) AS ed,
+          |  to_hex(p_partkey) AS hx,
+          |  parse_filename(replace(p_type, ' ', '/')) AS pf,
+          |  CAST(list_aggr(list_transform(string_split(p_name, ' '),
+          |         x -> CAST(length(x) AS BIGINT)), 'sum') AS BIGINT) AS lens,
+          |  array_to_string(list_grade_up(list_transform(string_split(p_name, ' '),
+          |         x -> CAST(length(x) AS BIGINT))), ',') AS gr,
+          |  format('{}-{}', p_partkey, p_brand) AS fm,
+          |  strftime(TIMESTAMP '2026-08-14 05:06:07', '%Y/%m/%d %H:%M') AS sf,
+          |  epoch_us(TIMESTAMP '2026-01-01 01:02:03.5') AS eu,
+          |  time_bucket(INTERVAL '15 minutes', TIMESTAMP '2026-08-14 05:07:33') AS tb
+          |FROM part ORDER BY p_partkey""".stripMargin
+      QDef.sql("f71_alias_scalars", q) { (s, dir) =>
+        Catalog.registerAll(s, dir)
+        s.sql(q)
+      }
+    },
+
+    // F72: aliased aggregates, verbatim. arg_max/arg_min key on the
+    // UNIQUE o_orderkey so tie-breaking cannot differ between
+    // engines; quantile_cont is the f24-proved interpolation
+    // identity (raw doubles compare exactly).
+    {
+      val q =
+        """SELECT o_orderstatus,
+          |  arg_max(o_orderpriority, o_orderkey) AS am,
+          |  arg_min(o_orderpriority, o_orderkey) AS an,
+          |  quantile_cont(o_totalprice, 0.25) AS q25
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+      QDef.sql("f72_alias_aggregates", q) { (s, dir) =>
+        Catalog.registerAll(s, dir)
+        s.sql(q)
+      }
     }
   )
 }
