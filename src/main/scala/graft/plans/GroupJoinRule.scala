@@ -111,6 +111,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => GroupJoinRule)
     e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     SqlRegistry.registerAll(e)
+    SqlRegistry2.registerAll(e)
     RefAliases.registerAll(e)
   }
 }

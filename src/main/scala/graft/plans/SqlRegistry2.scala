@@ -1,0 +1,302 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.PercentileDisc
+import org.apache.spark.sql.types._
+
+import graft.operators.{BinnedHistogramAgg, BitstringAgg, EntropyAgg, HistogramAgg, MadAgg}
+
+/** Second tranche of reference SQL names (core_functions metadata)
+  * resolved verbatim — the holistic/map-valued aggregates that needed
+  * real aggregate implementations (operators/HolisticAggs.scala) plus
+  * the scalar stragglers whose identities the behavioral entries
+  * already pinned (f61 era/julian, f63 bitstring family over the
+  * documented VARCHAR encoding, f70 unbin, f47 union struct
+  * encoding, f48 age borrow rule, f67 equi_width_bins mirror).
+  *
+  * Semantics pinned against DuckDB (AliasesSpec "registry2" checks):
+  *   unbin('101')          → blob 0x05 (left-pad to whole bytes)
+  *   parse_dirname('/a/b') → '/', parse_dirname('a/b') → 'a'
+  *   parse_path('/a/b')    → ['/', 'a', 'b'] (root is a part)
+  *   quantile ≡ quantile_disc: element at cume_dist ≥ q (Spark's
+  *     PercentileDisc — the f24 entry proved the index identity)
+  *   bitstring_agg {3,5,7} over [1,8] → '00101010', 1-arg → '10101'
+  *   timezone/timezone_hour/timezone_minute(ts) → 0 (naive
+  *     timestamps in a UTC-pinned session, both engines)
+  *   age(a, b) → y/m/d decomposition with the f48 borrow rule
+  *     (date-resolution: inputs are cast to DATE; pinned
+  *     age('2025-06-15','2023-01-31') = 2y 4m 15d)
+  */
+object SqlRegistry2 {
+
+  private def info(name: String) =
+    new ExpressionInfo(classOf[UnresolvedFunction].getCanonicalName, name)
+
+  private def register(e: SparkSessionExtensions, name: String)(
+      builder: Seq[Expression] => Expression): Unit =
+    e.injectFunction((FunctionIdentifier(name), info(name), builder))
+
+  private def uf(name: String, args: Seq[Expression]): Expression =
+    UnresolvedFunction(Seq(name), args, isDistinct = false)
+
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+
+  private def constOf(name: String, ex: Expression): Any = {
+    require(ex.foldable, s"$name expects a constant argument")
+    val v = ex.eval(null)
+    require(v != null, s"$name: constant argument is null")
+    v
+  }
+
+  private def constLong(name: String, ex: Expression): Long =
+    Cast(ex, LongType).eval(null).asInstanceOf[Long]
+
+  private def constDouble(name: String, ex: Expression): Double = {
+    require(ex.foldable, s"$name expects a constant argument")
+    Cast(ex, DoubleType).eval(null).asInstanceOf[Double]
+  }
+
+  def registerAll(e: SparkSessionExtensions): Unit = {
+
+    // ---- holistic aggregates (operators/HolisticAggs.scala) ----
+    // histogram(x) = distinct-value map; histogram(x, bins) = binned
+    // range variant (lower_bound assignment + "other" overflow bucket)
+    def constBins(name: String, ex: Expression): Seq[Any] = {
+      require(ex.foldable, s"$name: bin boundaries must be plan constants")
+      val arr = ex.eval(null)
+      require(arr != null, s"$name: bin list is null")
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(ex.dataType.asInstanceOf[ArrayType].elementType).toSeq
+    }
+    register(e, "histogram")(args => args.length match {
+      case 1 => HistogramAgg(args.head)
+      case 2 => BinnedHistogramAgg(args.head, constBins("histogram", args(1)), exact = false)
+      case n => throw new IllegalArgumentException(s"histogram expects 1 or 2 arguments, got $n")
+    })
+    register(e, "histogram_exact")(args => {
+      arity("histogram_exact", 2, args)
+      BinnedHistogramAgg(args.head, constBins("histogram_exact", args(1)), exact = true)
+    })
+    // the overflow bucket's sentinel probe (generic_functions.hpp):
+    // v IS NOT DISTINCT FROM OtherBucketValue(typeof(v))
+    register(e, "is_histogram_other_bin")(args => {
+      arity("is_histogram_other_bin", 1, args)
+      val sentinel: Option[Expression] = args.head.dataType match {
+        case ByteType => Some(Literal(Byte.MaxValue))
+        case ShortType => Some(Literal(Short.MaxValue))
+        case IntegerType => Some(Literal(Int.MaxValue))
+        case LongType => Some(Literal(Long.MaxValue))
+        case FloatType => Some(Literal(Float.PositiveInfinity))
+        case DoubleType => Some(Literal(Double.PositiveInfinity))
+        case StringType => Some(Literal(""))
+        case _ => None
+      }
+      sentinel.map(s => EqualNullSafe(args.head, s))
+        .getOrElse(Literal(false))
+    })
+    register(e, "entropy")(
+      args => { arity("entropy", 1, args); EntropyAgg(args.head) })
+    register(e, "mad")(
+      args => { arity("mad", 1, args); MadAgg(args.head) })
+    register(e, "bitstring_agg")(args => {
+      require(args.length == 1 || args.length == 3,
+        s"bitstring_agg expects 1 or 3 arguments, got ${args.length}")
+      val bounds =
+        if (args.length == 3)
+          Some((constLong("bitstring_agg", args(1)), constLong("bitstring_agg", args(2))))
+        else None
+      BitstringAgg(args.head, bounds)
+    })
+    // quantile / quantile_disc: the element at cume_dist >= q. The
+    // reference's LIST-pos overload is not registered (one scalar
+    // result per call here); pass scalar positions.
+    for (n <- Seq("quantile", "quantile_disc"))
+      register(e, n)(args => {
+        arity(n, 2, args)
+        require(!args(1).dataType.isInstanceOf[ArrayType],
+          s"$n: LIST positions not supported at the SQL surface — call once per position")
+        PercentileDisc(args(0), Literal(constDouble(n, args(1))))
+      })
+    // internal-only name: sum minus the overflow checks — Spark's sum
+    register(e, "sum_no_overflow")(args => uf("sum", args))
+
+    // ---- scalar stragglers ----
+    register(e, "error")(args => uf("raise_error", args))
+    // unbin/from_binary: '0'/'1' string → blob, left-padded to whole
+    // bytes (pinned: unbin('101') = 0x05); hex digits = 2·ceil(len/8)
+    for (n <- Seq("unbin", "from_binary"))
+      register(e, n)(args => {
+        arity(n, 1, args)
+        val hexDigits = Multiply(
+          Cast(Ceil(Divide(Cast(Length(args.head), DoubleType), Literal(8.0))), IntegerType),
+          Literal(2))
+        Unhex(StringLPad(Conv(args.head, Literal(2), Literal(16)), hexDigits, Literal("0")))
+      })
+
+    // parse_path parts, pathlib-style: root '/' is its own part, then
+    // the non-empty components. Default separator (both_slash) only;
+    // an explicit separator argument must name it.
+    def pathParts(s: Expression): Expression = {
+      val x = UnresolvedNamedLambdaVariable(Seq("p"))
+      val nonEmpty = ArrayFilter(
+        uf("split", Seq(s, Literal("[/\\\\]"))),
+        LambdaFunction(Not(EqualTo(x, Literal(""))), Seq(x)))
+      If(uf("startswith", Seq(s, Literal("/"))),
+        Concat(Seq(CreateArray(Seq(Literal("/"))), nonEmpty)),
+        nonEmpty)
+    }
+    def checkSep(name: String, args: Seq[Expression]): Unit =
+      if (args.length == 2) {
+        val sep = constOf(name, args(1)).toString
+        require(Seq("both_slash", "system", "forward_slash").contains(sep),
+          s"$name: unsupported separator '$sep'")
+      } else arity(name, 1, args)
+    register(e, "parse_path")(args => { checkSep("parse_path", args); pathParts(args.head) })
+    register(e, "parse_dirname")(args => {
+      checkSep("parse_dirname", args)
+      ElementAt(pathParts(args.head), Literal(1))
+    })
+
+    // era/julian: the f61 identities as trees (CE era flag; Julian Day
+    // anchored at julian(2000-01-01) = 2451545, exact day integers)
+    register(e, "era")(args => {
+      arity("era", 1, args)
+      Cast(If(GreaterThan(Year(args.head), Literal(0)), Literal(1), Literal(0)), LongType)
+    })
+    register(e, "julian")(args => {
+      arity("julian", 1, args)
+      Cast(Add(DateDiff(Cast(args.head, DateType),
+        Cast(Literal("2000-01-01"), DateType)), Literal(2451545)), DoubleType)
+    })
+
+    // timezone component of a naive timestamp in a UTC-pinned session
+    // is 0 on both engines (GraftSession pins spark.sql.session.
+    // timeZone=UTC; the oracle runs DuckDB at its default UTC). The
+    // argument is still type-checked so misuse surfaces.
+    for (n <- Seq("timezone", "timezone_hour", "timezone_minute"))
+      register(e, n)(args => {
+        arity(n, 1, args)
+        If(IsNull(Cast(args.head, TimestampType)), Literal(null, LongType), Literal(0L))
+      })
+
+    // tagged-union accessors over the documented f47 struct encoding
+    // (struct<tag: string, <member>: T, ...>)
+    register(e, "union_tag")(args => {
+      arity("union_tag", 1, args)
+      UnresolvedExtractValue(args.head, Literal("tag"))
+    })
+    register(e, "union_extract")(args => {
+      arity("union_extract", 2, args)
+      UnresolvedExtractValue(args.head, Literal(constOf("union_extract", args(1)).toString))
+    })
+
+    // equi_width_bins(min, max, count, nice): plan-constant arguments
+    // (the reference binds them per query too) — evaluated through the
+    // Binning mirror at resolution time, emitted as a literal array
+    register(e, "equi_width_bins")(args => {
+      arity("equi_width_bins", 4, args)
+      val nice = constOf("equi_width_bins", args(3)) match {
+        case b: Boolean => b
+        case other => other.toString.toBoolean
+      }
+      val count = constLong("equi_width_bins", args(2)).toInt
+      val integral = Seq(args(0), args(1)).forall(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+      if (integral) {
+        val bins = Binning.equiWidthBinsLong(
+          constLong("equi_width_bins", args(0)), constLong("equi_width_bins", args(1)),
+          count, nice)
+        CreateArray(bins.map(Literal(_)))
+      } else {
+        val bins = Binning.equiWidthBinsDouble(
+          constDouble("equi_width_bins", args(0)), constDouble("equi_width_bins", args(1)),
+          count, nice)
+        CreateArray(bins.map(Literal(_)))
+      }
+    })
+
+    // age(later, earlier) at date resolution: fieldwise y/m/d with the
+    // f48 single-borrow rule (day borrows days_in_month(earlier),
+    // month borrows 12), returned as a calendar INTERVAL so
+    // date_part('year'|'month'|'day', age(...)) matches the reference
+    register(e, "age")(args => {
+      arity("age", 2, args)
+      val a = Cast(args(0), DateType)
+      val b = Cast(args(1), DateType)
+      val y0 = Subtract(Year(a), Year(b))
+      val m0 = Subtract(Month(a), Month(b))
+      val d0 = Subtract(DayOfMonth(a), DayOfMonth(b))
+      val borrowDay = LessThan(d0, Literal(0))
+      val d1 = If(borrowDay, Add(d0, DayOfMonth(LastDay(b))), d0)
+      val m1 = If(borrowDay, Subtract(m0, Literal(1)), m0)
+      val borrowMonth = LessThan(m1, Literal(0))
+      val m2 = If(borrowMonth, Add(m1, Literal(12)), m1)
+      val y1 = If(borrowMonth, Subtract(y0, Literal(1)), y0)
+      MakeInterval(y1, m2, Literal(0), d1, Literal(0), Literal(0),
+        Literal(Decimal(0L, 18, 6), DecimalType(18, 6)))
+    })
+
+    // datesub(part, a, b): COMPLETE part-intervals from a to b,
+    // truncated toward zero (pinned: month Jan-31→Feb-28 = 1 via
+    // add_months clamping, Jan-31→Mar-01 = 1, Mar-01→Jan-31 = −1,
+    // day over timestamps 23h = 0). Month-quantum parts step with
+    // add_months (end-of-month clamping identical in both engines)
+    // and correct the raw month delta by one toward zero when the
+    // stepped date overshoots; fixed-width parts divide the exact
+    // microsecond delta.
+    register(e, "datesub")(args => {
+      arity("datesub", 3, args)
+      val part = constOf("datesub", args(0)).toString.toLowerCase
+      val (a, b) = (args(1), args(2))
+      val monthQuantum = Map("year" -> 12, "quarter" -> 3, "month" -> 1,
+        "decade" -> 120, "century" -> 1200, "millennium" -> 12000)
+      val microQuantum = Map(
+        "week" -> 604800000000L, "day" -> 86400000000L, "hour" -> 3600000000L,
+        "minute" -> 60000000L, "second" -> 1000000L,
+        "millisecond" -> 1000L, "microsecond" -> 1L)
+      if (monthQuantum.contains(part)) {
+        val q = monthQuantum(part)
+        val ad = Cast(a, DateType)
+        val bd = Cast(b, DateType)
+        val m0 = Add(Multiply(Subtract(Year(bd), Year(ad)), Literal(12)),
+          Subtract(Month(bd), Month(ad)))
+        val c0 = Cast(IntegralDivide(Cast(m0, LongType), Literal(q.toLong)), IntegerType)
+        val stepped = AddMonths(ad, Multiply(c0, Literal(q)))
+        val corrected = If(GreaterThanOrEqual(bd, ad),
+          If(GreaterThan(stepped, bd), Subtract(c0, Literal(1)), c0),
+          If(LessThan(stepped, bd), Add(c0, Literal(1)), c0))
+        Cast(corrected, LongType)
+      } else {
+        val q = microQuantum.getOrElse(part, throw new IllegalArgumentException(
+          s"datesub: unsupported part '$part'"))
+        val delta = Subtract(UnixMicros(Cast(b, TimestampType)),
+          UnixMicros(Cast(a, TimestampType)))
+        IntegralDivide(delta, Literal(q))
+      }
+    })
+
+    // bitstring family over the documented VARCHAR '0'/'1' encoding
+    // (f63: bitstring = left-pad, get_bit = 0-based-from-left char,
+    // set_bit = one-char overlay)
+    register(e, "bitstring")(args => {
+      arity("bitstring", 2, args)
+      StringLPad(args(0), Cast(args(1), IntegerType), Literal("0"))
+    })
+    register(e, "get_bit")(args => {
+      arity("get_bit", 2, args)
+      Cast(Substring(args(0), Add(Cast(args(1), IntegerType), Literal(1)), Literal(1)),
+        IntegerType)
+    })
+    register(e, "set_bit")(args => {
+      arity("set_bit", 3, args)
+      new Overlay(args(0), Cast(args(2), StringType),
+        Add(Cast(args(1), IntegerType), Literal(1)))
+    })
+  }
+}

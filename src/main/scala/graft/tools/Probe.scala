@@ -25,6 +25,14 @@ object Probe {
     })
 
     args.drop(1).toList match {
+      case "sql" :: stmts =>
+        // ad-hoc SQL through the registered surface (tables mounted)
+        graft.sources.Catalog.registerAll(spark, sfDir)
+        stmts.foreach { q =>
+          println(s"[probe] $q")
+          spark.sql(q).show(50, truncate = false)
+        }
+        spark.stop(); return
       case "q" :: names =>
         // repeat-time named queries (3 runs each) + formatted plan
         names.foreach { n =>
