@@ -1,0 +1,331 @@
+package graft.plans
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The last tranche of reference core-function names: operator
+  * spellings, named-argument constructors, and session introspection
+  * (/root/reference/src/core_functions/&#42;&#42;/functions.json). Together
+  * with the DuckDialect front door this closes the name surface —
+  * the operator names are callable directly (Spark's parser accepts
+  * backquoted routine names: \`**\`(2, 3)) and reachable through
+  * their infix spellings via GraftSql.
+  *
+  * Deliberately NOT registered: `^` (Spark's registry already binds
+  * it to XOR; overriding would silently change Spark-dialect
+  * arithmetic, so the DuckDB meaning — power — is carried by the
+  * dialect translation only), and enum_&#42; / setseed / stats /
+  * vector_type / timetz_byte_comparable, which have no meaning off
+  * the reference's runtime (no ENUM type, no per-query RNG state to
+  * reseed, no vector executor) — documented N/A, no silent claim.
+  *
+  * Introspection semantics map to the Spark session: current_setting
+  * reads SQLConf, current_schemas/in_search_path read the session
+  * catalog's current namespace, current_query returns the text the
+  * GraftSql front door recorded, txid_current is a session-monotonic
+  * id (the engine's transactions are per-query; see sources/Dml).
+  * All bind-time constant — zero runtime cost, like the reference's
+  * bind-data constants.
+  */
+object DuckNames {
+
+  private def info(name: String) =
+    new ExpressionInfo(classOf[UnresolvedFunction].getCanonicalName, name)
+
+  private def register(e: SparkSessionExtensions, name: String)(
+      builder: Seq[Expression] => Expression): Unit =
+    e.injectFunction((FunctionIdentifier(name), info(name), builder))
+
+  private def uf(name: String, args: Seq[Expression]): Expression =
+    UnresolvedFunction(Seq(name), args, isDistinct = false)
+
+  private val txid = new AtomicLong(1000L)
+
+  private def constString(name: String, ex: Expression): String = {
+    require(ex.foldable, s"$name expects a constant string argument")
+    val v = ex.eval(null)
+    require(v != null, s"$name: constant argument is null")
+    v.toString
+  }
+
+  def registerAll(e: SparkSessionExtensions): Unit = {
+    // ---- operator spellings (fncheck closure + backquoted calls) ----
+    register(e, "**")(args => uf("power", args))
+    register(e, "//")(args => DuckDiv(args(0), args(1)))
+    register(e, "@")(args => uf("abs", args))
+    register(e, "!__postfix")(args => uf("factorial", args))
+    register(e, "^@")(args => uf("starts_with", args))
+    register(e, "<->")(args => uf("list_distance", args))
+    register(e, "<=>")(args => uf("list_cosine_distance", args))
+    register(e, "&&")(args => uf("list_has_any", args))
+    register(e, "@>")(args => uf("list_has_all", args))
+    register(e, "<@")(args => uf("list_has_all", args.reverse))
+
+    // full-match regex (the reference's `~` operator; Spark RLIKE is
+    // a partial match, so anchor with a non-capturing group)
+    register(e, "regexp_full_match") { args =>
+      RLike(args(0), uf("concat", Seq(Literal("^(?:"), args(1), Literal(")$"))))
+    }
+
+    register(e, "duck_slice")(args => DuckSlice(args(0), args(1), args(2)))
+    for (n <- Seq("list_extract", "list_element", "array_extract"))
+      register(e, n)(args => ListExtract(args(0), args(1)))
+
+    // DuckDB's len is polymorphic: characters for strings (same as
+    // Spark's built-in, so existing queries are untouched), element
+    // count for lists (BIGINT, like the reference). Registered over
+    // the built-in to widen it — string results are bit-identical.
+    register(e, "len")(args => LenPoly(args.head))
+
+    // ---- named-argument constructors, positional form -------------
+    // (the `k := v` spelling is rewritten to these by DuckDialect)
+    register(e, "struct_pack")(args => CreateNamedStruct(args))
+    register(e, "struct_insert") { args =>
+      require(args.length >= 3 && (args.length - 1) % 2 == 0,
+        "struct_insert expects (struct, 'name', value, ...)")
+      args.drop(1).grouped(2).foldLeft(args.head) { case (acc, Seq(k, v)) =>
+        UpdateFields(acc, constString("struct_insert", k), v)
+      }
+    }
+    register(e, "union_value") { args =>
+      require(args.length == 2, "union_value expects ('tag', value)")
+      val tag = constString("union_value", args(0))
+      CreateNamedStruct(Seq(
+        Literal("tag"), Literal(tag), Literal(tag), args(1)))
+    }
+
+    // ---- session introspection ------------------------------------
+    register(e, "current_setting") { args =>
+      val key = constString("current_setting", args(0))
+      Literal(SQLConf.get.getConfString(key, ""))
+    }
+    register(e, "current_query") { _ =>
+      Literal(SQLConf.get.getConfString("spark.graft.current_query", ""))
+    }
+    register(e, "txid_current")(_ => Literal(txid.incrementAndGet()))
+    register(e, "current_schemas") { args =>
+      require(args.head.foldable, "current_schemas expects a constant boolean")
+      val incl = args.head.eval(null) == true
+      val db = SparkSession.active.catalog.currentDatabase
+      val schemas = if (incl) Seq(db, "global_temp") else Seq(db)
+      CreateArray(schemas.map(Literal(_)))
+    }
+    register(e, "in_search_path") { args =>
+      val db = constString("in_search_path", args(0))
+      val schema = constString("in_search_path", args(1))
+      val cat = SparkSession.active
+      val hit = db == cat.catalog.currentCatalog &&
+        (schema == cat.catalog.currentDatabase || schema == "global_temp")
+      Literal(hit)
+    }
+    register(e, "alias") { args =>
+      args.head match {
+        case a: UnresolvedAttribute => Literal(a.nameParts.last)
+        case a: Attribute => Literal(a.name)
+        case l: Literal => Literal(l.sql.stripPrefix("L")) // render value text
+        case other => Literal(other.sql)
+      }
+    }
+    register(e, "can_cast_implicitly")(args =>
+      CanCastImplicitly(args(0), args(1)))
+    register(e, "create_sort_key")(args => CreateSortKey(args))
+    // no TIME type in Spark 4.1 (parses, unsupported in Cast):
+    // render the reference's TIMETZ as its VARCHAR form, UTC offset
+    register(e, "get_current_time") { _ =>
+      uf("concat", Seq(
+        uf("date_format", Seq(uf("now", Nil), Literal("HH:mm:ss.SSSSSS"))),
+        Literal("+00")))
+    }
+  }
+}
+
+/** The reference's `//` operator (src/core_functions/scalar/math):
+  * truncating division on integral inputs (7//2 = 3, -7//2 = -3),
+  * plain division otherwise (7.5//2 = 3.75). Type dispatch happens at
+  * analysis via `dataType`, so each occurrence evaluates one branch.
+  */
+case class DuckDiv(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  private def numeric(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | _: DecimalType => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (numeric(left.dataType) && numeric(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"`//` expects numeric operands, got ${left.dataType.sql} and ${right.dataType.sql}")
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private lazy val bothIntegral = integral(left.dataType) && integral(right.dataType)
+  override def dataType: DataType = if (bothIntegral) LongType else DoubleType
+  private def toDouble(v: Any): Double = v match {
+    case d: Decimal => d.toDouble
+    case n: Number => n.doubleValue
+  }
+  private def toLong(v: Any): Long = v match {
+    case d: Decimal => d.toLong
+    case n: Number => n.longValue
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    if (bothIntegral) {
+      val d = toLong(r)
+      if (d == 0L) null else toLong(l) / d
+    } else toDouble(l) / toDouble(r)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DuckDiv =
+    copy(left = l, right = r)
+}
+
+/** The reference's 1-based inclusive slice `x[lo:hi]` over lists AND
+  * strings (src/function/scalar/list/array_slice.cpp): negative
+  * bounds count from the end (-1 = last element), NULL/missing
+  * bounds default to the ends, out-of-range clamps, lo &gt; hi yields
+  * empty. Type-polymorphic, so it backs the dialect's `[a:b]`
+  * spelling where the operand type is unknown at translate time.
+  */
+case class DuckSlice(input: Expression, lo: Expression, hi: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = input
+  override def second: Expression = lo
+  override def third: Expression = hi
+  override def dataType: DataType = input.dataType
+  override def nullable: Boolean = input.nullable
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    input.dataType match {
+      case _: ArrayType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"duck_slice expects a list or string input, got ${other.sql}")
+    }
+
+  private def resolve(v: Any, n: Int, dflt: Int): Int =
+    if (v == null) dflt
+    else {
+      val x = v.asInstanceOf[Number].intValue
+      if (x < 0) n + x + 1 else x
+    }
+
+  override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val in = input.eval(row)
+    if (in == null) return null
+    val loV = lo.eval(row)
+    val hiV = hi.eval(row)
+    in match {
+      case s: UTF8String =>
+        val n = s.numChars()
+        val a = math.max(1, resolve(loV, n, 1))
+        val b = math.min(n, resolve(hiV, n, n))
+        if (a > b) UTF8String.EMPTY_UTF8 else s.substringSQL(a, b - a + 1)
+      case arr: ArrayData =>
+        val n = arr.numElements()
+        val a = math.max(1, resolve(loV, n, 1))
+        val b = math.min(n, resolve(hiV, n, n))
+        if (a > b) new GenericArrayData(Array.empty[Any])
+        else {
+          val et = input.dataType.asInstanceOf[ArrayType].elementType
+          new GenericArrayData((a to b).map(i => arr.get(i - 1, et)).toArray)
+        }
+    }
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): DuckSlice =
+    copy(input = f, lo = s, hi = t)
+}
+
+/** The reference's 1-based subscript `x[i]` / list_extract
+  * (src/function/scalar/list/list_extract.cpp) over lists and
+  * strings: negative indexes count from the end (-1 = last), index 0
+  * and out-of-range yield NULL — unlike Spark's element_at, which
+  * raises on index 0. Backs the dialect's `x[i]` spelling.
+  */
+case class ListExtract(input: Expression, index: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = input
+  override def right: Expression = index
+  override def dataType: DataType = input.dataType match {
+    case ArrayType(et, _) => et
+    case _ => StringType
+  }
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    input.dataType match {
+      case _: ArrayType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"list_extract expects a list or string input, got ${other.sql}")
+    }
+  override def nullSafeEval(in: Any, idxV: Any): Any = {
+    val i0 = idxV.asInstanceOf[Number].intValue
+    in match {
+      case s: UTF8String =>
+        val n = s.numChars()
+        val i = if (i0 < 0) n + i0 + 1 else i0
+        if (i < 1 || i > n) null else s.substringSQL(i, 1)
+      case arr: ArrayData =>
+        val n = arr.numElements()
+        val i = if (i0 < 0) n + i0 + 1 else i0
+        if (i < 1 || i > n) null
+        else arr.get(i - 1, input.dataType.asInstanceOf[ArrayType].elementType)
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ListExtract =
+    copy(input = l, index = r)
+}
+
+/** DuckDB's polymorphic len (string → characters, like Spark's
+  * built-in length; list → element count as BIGINT, like the
+  * reference; binary → bytes). Registered over the string-only
+  * built-in so dialect queries like len(list_filter(...)) resolve.
+  */
+case class LenPoly(input: Expression) extends UnaryExpression with CodegenFallback {
+  override def child: Expression = input
+  override def dataType: DataType = input.dataType match {
+    case _: ArrayType => LongType
+    case _ => IntegerType
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    input.dataType match {
+      case _: ArrayType | StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"len expects a string, binary, or list input, got ${other.sql}")
+    }
+  override def nullSafeEval(in: Any): Any = in match {
+    case s: UTF8String => s.numChars()
+    case b: Array[Byte] => b.length
+    case arr: ArrayData => arr.numElements().toLong
+  }
+  override protected def withNewChildInternal(c: Expression): LenPoly = copy(input = c)
+}
+
+/** can_cast_implicitly(a, b): whether a's type implicitly casts to
+  * b's (reference src/function/scalar/generic/can_implicitly_cast
+  * .cpp). Mapped onto Spark's loss-less implicit-cast lattice
+  * (Cast.canUpCast) — a bind-time constant, like the reference's.
+  */
+case class CanCastImplicitly(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = true
+  override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any =
+    Cast.canUpCast(left.dataType, right.dataType)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CanCastImplicitly =
+    copy(left = l, right = r)
+}

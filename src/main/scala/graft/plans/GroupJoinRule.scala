@@ -113,5 +113,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     SqlRegistry.registerAll(e)
     SqlRegistry2.registerAll(e)
     RefAliases.registerAll(e)
+    DuckNames.registerAll(e)
   }
 }

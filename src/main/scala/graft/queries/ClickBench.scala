@@ -106,10 +106,13 @@ object ClickBench {
         |ORDER BY n DESC, user_id, m LIMIT 10""".stripMargin),
 
     // Q19 class: single-user point lookup (predicate pushdown probe).
+    // user_id 7 exists at every SF (sf0.001's id range is only 0–14,
+    // so ClickBench's traditional UserID constant would select zero
+    // rows there and defeat the pushdown probe).
     mk("cb08_point_lookup",
       """SELECT event_id, ts, event_type,
         | CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
-        |FROM events WHERE user_id = 42
+        |FROM events WHERE user_id = 7
         |ORDER BY ts, event_id LIMIT 20""".stripMargin),
 
     // Q20–Q22 class: LIKE scan over the derived URL.

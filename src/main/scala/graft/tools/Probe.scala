@@ -138,10 +138,18 @@ object Probe {
         spark.stop(); return
       case "fncheck" :: file :: _ =>
         // coverage sweep: which reference core-function names resolve?
-        // (GraftSession already injects SqlRegistry via extensions)
+        // (GraftSession already injects SqlRegistry via extensions.)
+        // catalog.functionExists PARSES the name, so operator names
+        // like `**` never resolve through it — use the session
+        // FunctionRegistry directly, which is what the analyzer hits.
         val names = scala.io.Source.fromFile(file).getLines().filter(_.nonEmpty).toSeq
-        val missing = names.filterNot(n =>
-          try spark.catalog.functionExists(n) catch { case _: Throwable => false })
+        def resolves(n: String): Boolean =
+          try spark.sessionState.catalog
+            .lookupFunctionInfo(org.apache.spark.sql.catalyst.FunctionIdentifier(n)) != null
+          catch { case _: Throwable =>
+            try spark.catalog.functionExists(n) catch { case _: Throwable => false }
+          }
+        val missing = names.filterNot(resolves)
         println(s"[probe] ${names.size} reference functions, ${missing.size} unresolved:")
         missing.foreach(n => println(s"[probe]   $n"))
         spark.stop(); return

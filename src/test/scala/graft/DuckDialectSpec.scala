@@ -1,0 +1,214 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.DuckDialect
+
+/** The DuckDB-dialect front door (plans/DuckDialect + plans/
+  * DuckNames): every execution check value below was pinned by
+  * running the same text in DuckDB first, so the translation must
+  * reproduce the reference's answers, not just parse.
+  *
+  * One deliberate reference-vs-driver divergence: the reference's
+  * function metadata (core_functions functions.json) maps `<=>` to
+  * list_cosine_distance; the DRIVER's older DuckDB still binds it to
+  * cosine similarity. The dialect follows the reference (distance =
+  * 1 − similarity), pinned here numerically.
+  */
+class DuckDialectSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def t(sql: String): String = DuckDialect.translate(sql)
+
+  private def one(duckSql: String): Any =
+    spark.sql(t(s"SELECT $duckSql")).collect()(0).get(0)
+
+  private def row(duckSql: String): Seq[Any] =
+    spark.sql(t(s"SELECT $duckSql")).collect()(0).toSeq
+
+  // ------------------------------------------------------ translation shape
+
+  test("plain ANSI SQL passes through unmangled") {
+    val sql = "SELECT a, sum(b) AS s FROM t WHERE c = 1 GROUP BY a ORDER BY s DESC LIMIT 3"
+    val out = t(sql)
+    // token-identical modulo whitespace and added expression parens
+    assert(out.replaceAll("[()\\s]", "") === sql.replaceAll("[()\\s]", ""))
+  }
+
+  test("operator spellings rewrite") {
+    assert(t("SELECT 2 ^ 10") === "SELECT power(2, 10)")
+    assert(t("SELECT a ** b") === "SELECT power(a, b)")
+    assert(t("SELECT a // b") === "SELECT `//`(a, b)")
+    assert(t("SELECT 5!") === "SELECT factorial(5)")
+    assert(t("SELECT @ x") === "SELECT abs(x)")
+    assert(t("SELECT s ~ p") === "SELECT regexp_full_match(s, p)")
+    assert(t("SELECT s ~~ 'a%'") === "SELECT (s LIKE 'a%')")
+    assert(t("SELECT a <-> b") === "SELECT list_distance(a, b)")
+    assert(t("SELECT a <=> b") === "SELECT list_cosine_distance(a, b)")
+    assert(t("SELECT a && b") === "SELECT list_has_any(a, b)")
+    assert(t("SELECT a @> b") === "SELECT list_has_all(a, b)")
+    assert(t("SELECT a <@ b") === "SELECT list_has_all(b, a)")
+    assert(t("SELECT s ^@ 'sp'") === "SELECT starts_with(s, 'sp')")
+  }
+
+  test("generic operators share one left-assoc level (reference precedence)") {
+    // 1 | 2 & 3 << 2 = ((1|2) & 3) << 2 = 12 in DuckDB
+    assert(t("SELECT 1 | 2 & 3 << 2") === "SELECT (((1 | 2) & 3) << 2)")
+    // comparisons bind looser: (5 & 3) = 1
+    assert(t("SELECT 5 & 3 = 1") === "SELECT ((5 & 3) = 1)")
+    // + binds tighter than generic ops: 1 << (2 + 1)
+    assert(t("SELECT 1 << 2 + 1") === "SELECT (1 << (2 + 1))")
+    // power binds tightest, left-assoc: (2**3)**2
+    assert(t("SELECT 2 ** 3 ** 2") === "SELECT power(power(2, 3), 2)")
+  }
+
+  test("literals, subscripts, named args, types rewrite") {
+    assert(t("SELECT [1, 2, 3]") === "SELECT array(1, 2, 3)")
+    assert(t("SELECT {'a': 1}") === "SELECT named_struct('a', 1)")
+    assert(t("SELECT MAP {'k': 5}") === "SELECT map('k', 5)")
+    assert(t("SELECT x[2]") === "SELECT list_extract(x, 2)")
+    assert(t("SELECT x['k']") === "SELECT x['k']")
+    assert(t("SELECT x[2:3]") === "SELECT duck_slice(x, 2, 3)")
+    assert(t("SELECT x[2:]") === "SELECT duck_slice(x, 2, NULL)")
+    assert(t("SELECT struct_pack(a := 1, b := c)") === "SELECT named_struct('a', 1, 'b', c)")
+    assert(t("SELECT struct_insert(s, v := 9)") === "SELECT struct_insert(s, 'v', 9)")
+    assert(t("SELECT x::UBIGINT") === "SELECT CAST(x AS DECIMAL(20,0))")
+    assert(t("SELECT x::HUGEINT") === "SELECT CAST(x AS DECIMAL(38,0))")
+    assert(t("SELECT CAST(x AS VARCHAR)") === "SELECT CAST(x AS STRING)")
+    assert(t("SELECT CAST(x AS INT[])") === "SELECT CAST(x AS ARRAY<INTEGER>)")
+    assert(t("SELECT CAST(x AS STRUCT(a INT, b VARCHAR))")
+      === "SELECT CAST(x AS STRUCT<a: INTEGER, b: STRING>)")
+  }
+
+  test("double-quoted identifiers become backticks") {
+    assert(t("""SELECT "my col" FROM "my tbl"""") === "SELECT `my col` FROM `my tbl`")
+  }
+
+  test("FROM-first statements") {
+    assert(t("FROM nation") === "SELECT * FROM nation")
+    assert(t("FROM nation SELECT n_name, n_regionkey")
+      === "SELECT n_name , n_regionkey FROM nation")
+  }
+
+  test("star EXCLUDE becomes star EXCEPT") {
+    assert(t("SELECT * EXCLUDE (a, b) FROM t") === "SELECT * EXCEPT (a, b) FROM t")
+  }
+
+  test("lambdas survive untouched (no parens around ->)") {
+    assert(t("SELECT list_transform(l, x -> x + 1)")
+      === "SELECT list_transform(l, x -> (x + 1))")
+  }
+
+  // ------------------------------------------------------ execution parity
+
+  test("arithmetic operators match reference values") {
+    assert(row("2 ^ 10, 3 ** 2") === Seq(1024.0, 9.0))
+    assert(row("7 // 2, -7 // 2") === Seq(3L, -3L))
+    assert(one("7.5 // 2") === 3.75)
+    assert(one("5!") === 120L)
+    assert(row("@(-7), @ -7") === Seq(7, 7))
+  }
+
+  test("pattern-match operators match reference values") {
+    // `~` is a FULL match in the reference, unlike Spark's RLIKE
+    assert(row("'abc' ~ 'a.c', 'abc' ~ 'b', 'abc' !~ 'b'")
+      === Seq(true, false, true))
+    assert(row("'abc' ~~ 'a%', 'abc' !~~ 'b%', 'ABC' ~~* 'a%'")
+      === Seq(true, true, true))
+    assert(one("'spark' ^@ 'sp'") === true)
+  }
+
+  test("list operators match reference values") {
+    assert(one("[1.0,2.0] <-> [4.0,6.0]") === 5.0)
+    // reference semantics: distance (driver's older DuckDB still says similarity)
+    assert(math.abs(one("[1.0,0.0] <=> [1.0,0.0]").asInstanceOf[Double]) < 1e-12)
+    assert(row("[1,2] && [2,3], [1,2,3] @> [3,2], [9] <@ [9,8]")
+      === Seq(true, true, true))
+  }
+
+  test("subscripts and slices match reference values") {
+    assert(row("[10,20,30][2], [10,20,30][-1]") === Seq(20, 30))
+    assert(one("[10,20,30][2:3]") === Seq(20, 30))
+    assert(one("[10,20,30][0]") === null)   // DuckDB: out-of-domain → NULL
+    assert(one("[10,20,30][9]") === null)
+    assert(one("'abcdef'[2:4]") === "bcd")
+    assert(one("'abcdef'[-3:]") === "def")
+    assert(one("'abcdef'[4:2]") === "")
+    assert(one("len([1,2,3][2:])") === 2)
+  }
+
+  test("struct literals and named-argument constructors") {
+    assert(one("{'a': 1, 'b': 'x'}.a") === 1)
+    assert(one("struct_pack(p := 42, q := 'y').q") === "y")
+    assert(one("struct_insert({'k': 1}, v := 9).v") === 9)
+    assert(one("struct_insert({'k': 1}, v := 9).k") === 1)
+  }
+
+  test("union_value with UNION cast carries the tag and the typed slot") {
+    val u = "CAST(union_value(num := 3.5) AS UNION(num DOUBLE, txt VARCHAR))"
+    assert(one(s"union_tag($u)") === "num")
+    assert(one(s"union_extract($u, 'num')") === 3.5)
+    assert(one(s"union_extract($u, 'txt')") === null)
+  }
+
+  test("generic-operator precedence matches the reference") {
+    assert(one("1 | 2 & 3 << 2") === 12)
+    assert(one("5 & 3 = 1") === true)
+    assert(one("1 << 2 + 1") === 8L)
+  }
+
+  test("type spellings execute: unsigned ladder, hugeint, casts chain") {
+    assert(one("255::UBIGINT").toString === "255")
+    assert(one("CAST('17014118346046923173' AS HUGEINT) // 2").toString
+      === "8.5070591730234614E18") // HUGEINT maps to DECIMAL → `//` divides
+    assert(one("'2026-01-05 10:00:00'::TIMESTAMP::DATE").toString === "2026-01-05")
+  }
+
+  test("control flow: CASE, BETWEEN, IN, EXISTS subquery") {
+    assert(one("CASE WHEN 2**3 = 8 THEN 'y' ELSE 'n' END") === "y")
+    assert(one("3 BETWEEN 1 AND 5 AND 'x' ~~ 'x'") === true)
+    assert(one("2 IN (1, 2, 3)") === true)
+    assert(one("1 NOT IN (2, 3)") === true)
+    val df = GraftSql.sql(spark,
+      "SELECT n FROM (SELECT 1 AS n) t WHERE EXISTS (SELECT 1 WHERE 2 ** 2 = 4)")
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(1))
+  }
+
+  test("whole-query translation over real tables") {
+    val dir = sfDir
+    graft.sources.Catalog.registerAll(spark, dir)
+    // DuckDB text: ** power, // intdiv, ~~ like, FROM-first tail
+    val duck =
+      """SELECT n_regionkey, count(*) AS n,
+        |       sum(n_nationkey // 2) AS halves
+        |FROM nation
+        |WHERE n_name !~~ 'Z%' AND len(n_name) ** 2 > 4
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin
+    val rows = GraftSql.sql(spark, duck).collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getLong(1)).sum === 25L)
+    // and current_query() reflects the ORIGINAL dialect text
+    assert(GraftSql.sql(spark, "SELECT current_query()").collect()(0).getString(0)
+      === "SELECT current_query()")
+  }
+
+  // ------------------------------------------------------ introspection names
+
+  test("introspection functions answer from the Spark session") {
+    assert(one("current_setting('spark.sql.session.timeZone')") === "UTC")
+    assert(one("current_schemas(true)").asInstanceOf[collection.Seq[_]].contains("default"))
+    assert(one("in_search_path('spark_catalog', 'default')") === true)
+    assert(one("in_search_path('nope', 'nope')") === false)
+    val t1 = one("txid_current()").asInstanceOf[Long]
+    val t2 = one("txid_current()").asInstanceOf[Long]
+    assert(t2 > t1) // session-monotonic transaction ids
+    assert(one("alias(42)") === "42")
+    assert(spark.sql("SELECT alias(n_name) FROM nation LIMIT 1").collect()(0).get(0)
+      === "n_name")
+    // NB 2.0 parses as DECIMAL(2,1) in both engines; use real doubles
+    assert(one("can_cast_implicitly(1, 2.5e0)") === true)
+    assert(one("can_cast_implicitly(2.5e0, 1)") === false)
+    assert(one("get_current_time()").toString matches """\d{2}:\d{2}:\d{2}\.\d{6}\+00""")
+  }
+}
