@@ -81,6 +81,78 @@ object DuckNames {
     for (n <- Seq("list_extract", "list_element", "array_extract"))
       register(e, n)(args => ListExtract(args(0), args(1)))
 
+    // list-aggregate shorthands and regex names the dialect sweep
+    // found in real reference query texts (semantics via the already
+    // registered list_aggregate / RLike trees)
+    register(e, "list_sum")(args => uf("list_aggregate", Seq(args.head, Literal("sum"))))
+    register(e, "list_count")(args => uf("list_aggregate", Seq(args.head, Literal("count"))))
+    register(e, "regexp_matches") { args =>
+      // partial match (the reference's regexp_matches ≡ RLIKE); an
+      // optional constant options arg maps the common 'i' flag
+      val pat = if (args.length >= 3) {
+        val opts = constString("regexp_matches", args(2))
+        if (opts.contains("i")) uf("concat", Seq(Literal("(?i)"), args(1))) else args(1)
+      } else args(1)
+      RLike(args(0), pat)
+    }
+    register(e, "generate_subscripts") { args =>
+      // generate_subscripts(list, 1): one row per 1-based index —
+      // explode of the index sequence (empty list → no rows)
+      uf("explode", Seq(uf("sequence", Seq(Literal(1), uf("size", Seq(args.head))))))
+    }
+    register(e, "list_max")(args => uf("array_max", args))
+    register(e, "list_min")(args => uf("array_min", args))
+    register(e, "list_contains")(args => uf("array_contains", args))
+    register(e, "list_zip")(args => uf("arrays_zip", args))
+    // list_prepend(element, list) — the reference's argument order
+    register(e, "list_prepend")(args =>
+      uf("concat", Seq(uf("array", Seq(args(0))), args(1))))
+    register(e, "list_append")(args =>
+      uf("concat", Seq(args(0), uf("array", Seq(args(1))))))
+
+    // Arity/default divergences from Spark built-ins (override is
+    // safe: the Spark arities error today, so no behavior changes):
+    // the reference's 2-arg regexp_extract_all extracts the FULL
+    // match (group 0); Spark's defaults to group 1. 1-arg encode/
+    // decode are UTF-8 string↔blob casts in the reference.
+    register(e, "regexp_extract_all") { args =>
+      if (args.length == 2) RegExpExtractAll(args(0), args(1), Literal(0))
+      else RegExpExtractAll(args(0), args(1), args(2))
+    }
+    register(e, "encode") { args =>
+      if (args.length == 1) Encode(args.head, Literal("UTF-8")) else Encode(args(0), args(1))
+    }
+    register(e, "decode") { args =>
+      if (args.length == 1) new Decode(Seq(args.head, Literal("UTF-8"))) else new Decode(args)
+    }
+    // the reference's 3-arg date_diff('part', a, b) ≡ timestampdiff
+    // with an unquoted unit (complete-boundary counting both ways);
+    // 2-arg datediff keeps Spark's day-difference semantics
+    for (n <- Seq("date_diff", "datediff")) register(e, n) { args =>
+      if (args.length == 3) {
+        val unit = constString(n, args(0)).toUpperCase
+        TimestampDiff(unit, Cast(args(1), TimestampType), Cast(args(2), TimestampType))
+      } else DateDiff(args(0), args(1))
+    }
+    // 4th regexp_replace arg is an options STRING in the reference
+    // ('g' = global, Spark's default; 'i' = case-insensitive) — not
+    // Spark's numeric start position. Documented divergence: the
+    // 3-arg form KEEPS Spark's replace-all semantics (the reference
+    // replaces only the first match without 'g') — flipping it would
+    // silently change every existing DataFrame-API caller, the worse
+    // trade; write 'g' explicitly for portable text.
+    register(e, "regexp_replace") { args =>
+      if (args.length == 4 && args(3).foldable &&
+          args(3).dataType == StringType) {
+        val opts = constString("regexp_replace", args(3))
+        val pat = if (opts.contains("i"))
+          UnresolvedFunction(Seq("concat"), Seq(Literal("(?i)"), args(1)), isDistinct = false)
+        else args(1)
+        RegExpReplace(args(0), pat, args(2))
+      } else if (args.length == 3) RegExpReplace(args(0), args(1), args(2))
+      else RegExpReplace(args(0), args(1), args(2), args(3))
+    }
+
     // DuckDB's len is polymorphic: characters for strings (same as
     // Spark's built-in, so existing queries are untouched), element
     // count for lists (BIGINT, like the reference). Registered over
@@ -256,8 +328,14 @@ case class ListExtract(input: Expression, index: Expression)
     extends BinaryExpression with CodegenFallback {
   override def left: Expression = input
   override def right: Expression = index
+  private def constIdx: Int = {
+    require(index.foldable, "struct subscripts require a constant index")
+    index.eval(null).asInstanceOf[Number].intValue
+  }
   override def dataType: DataType = input.dataType match {
     case ArrayType(et, _) => et
+    case s: StructType => s.fields(constIdx - 1).dataType // 1-based, like the reference
+    case MapType(_, vt, _) => vt
     case _ => StringType
   }
   override def nullable: Boolean = true
@@ -265,23 +343,51 @@ case class ListExtract(input: Expression, index: Expression)
     input.dataType match {
       case _: ArrayType | StringType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case s: StructType =>
+        if (index.foldable && { val i = constIdx; i >= 1 && i <= s.fields.length })
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "struct subscript must be a constant within 1..#fields")
+      case m: MapType =>
+        if (index.dataType == m.keyType ||
+            index.dataType.catalogString == m.keyType.catalogString)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"map subscript key must be ${m.keyType.sql}")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"list_extract expects a list or string input, got ${other.sql}")
+          s"list_extract expects a list, string, struct, or map input, got ${other.sql}")
     }
-  override def nullSafeEval(in: Any, idxV: Any): Any = {
-    val i0 = idxV.asInstanceOf[Number].intValue
-    in match {
-      case s: UTF8String =>
-        val n = s.numChars()
-        val i = if (i0 < 0) n + i0 + 1 else i0
-        if (i < 1 || i > n) null else s.substringSQL(i, 1)
-      case arr: ArrayData =>
-        val n = arr.numElements()
-        val i = if (i0 < 0) n + i0 + 1 else i0
-        if (i < 1 || i > n) null
-        else arr.get(i - 1, input.dataType.asInstanceOf[ArrayType].elementType)
-    }
+  override def nullSafeEval(in: Any, idxV: Any): Any = input.dataType match {
+    case StringType =>
+      val s = in.asInstanceOf[UTF8String]
+      val i0 = idxV.asInstanceOf[Number].intValue
+      val n = s.numChars()
+      val i = if (i0 < 0) n + i0 + 1 else i0
+      if (i < 1 || i > n) null else s.substringSQL(i, 1)
+    case at: ArrayType =>
+      val arr = in.asInstanceOf[ArrayData]
+      val i0 = idxV.asInstanceOf[Number].intValue
+      val n = arr.numElements()
+      val i = if (i0 < 0) n + i0 + 1 else i0
+      if (i < 1 || i > n) null else arr.get(i - 1, at.elementType)
+    case st: StructType =>
+      val row = in.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val i = constIdx
+      if (row.isNullAt(i - 1)) null else row.get(i - 1, st.fields(i - 1).dataType)
+    case mt: MapType =>
+      val m = in.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val keys = m.keyArray()
+      val n = m.numElements()
+      var i = 0
+      var out: Any = null
+      while (i < n && out == null) {
+        if (keys.get(i, mt.keyType) == idxV && !m.valueArray().isNullAt(i))
+          out = m.valueArray().get(i, mt.valueType)
+        i += 1
+      }
+      out
+    case _ => null
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ListExtract =
     copy(input = l, index = r)

@@ -74,6 +74,17 @@ object FunctionsQ9 {
         |   THEN CAST(union_value(num := value) AS UNION(num DOUBLE, txt VARCHAR))
         |   ELSE CAST(union_value(txt := event_type) AS UNION(num DOUBLE, txt VARCHAR)) END) AS tag,
         | CAST(value // 10 AS DOUBLE) AS dec_band
-        |WHERE event_id // 100 = 3 ORDER BY event_id""".stripMargin)
+        |WHERE event_id // 100 = 3 ORDER BY event_id""".stripMargin),
+
+    // F80: QUALIFY through the dialect — the translator emits q29's
+    // window-column-then-filter shape from the reference's own
+    // spelling (deterministic: full ordering ties broken by key).
+    verbatim("f80_dialect_qualify",
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus = 'O'
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) <= 2
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
   )
 }

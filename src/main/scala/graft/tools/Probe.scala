@@ -153,6 +153,43 @@ object Probe {
         println(s"[probe] ${names.size} reference functions, ${missing.size} unresolved:")
         missing.foreach(n => println(s"[probe]   $n"))
         spark.stop(); return
+      case "trans" :: names =>
+        names.foreach { n =>
+          println(s"[probe] ===== $n")
+          println(graft.plans.DuckDialect.translate(graft.SparkEntry.oracleSql(n)))
+        }
+        spark.stop(); return
+      case "dialectcheck" :: _ =>
+        // robustness sweep: every oracle SQL text in the repo is a
+        // real DuckDB query — the dialect front door must translate
+        // each without crashing, and the translation should parse
+        // (and mostly run) on Spark given the registered name surface
+        graft.sources.Catalog.registerAll(spark, sfDir)
+        var nTrans = 0; var nParse = 0; var nRun = 0
+        val total = graft.SparkEntry.oracleSql.size
+        graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+          val t = try Some(graft.plans.DuckDialect.translate(sql)) catch {
+            case e: Throwable =>
+              println(s"[probe] TRANSLATE-FAIL $name: ${e.getMessage.linesIterator.next()}")
+              None
+          }
+          t.foreach { out =>
+            nTrans += 1
+            try {
+              val df = spark.sql(out)
+              nParse += 1
+              df.limit(1).collect()
+              nRun += 1
+            } catch {
+              case e: Throwable =>
+                val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+                  .trim.linesIterator.take(2).mkString(" / ")
+                println(s"[probe] RUN-FAIL $name: $msg")
+            }
+          }
+        }
+        println(s"[probe] dialect sweep: $total oracle texts, $nTrans translate, $nParse parse, $nRun run")
+        spark.stop(); return
       case "d04" :: _ =>
         val docs = graft.sources.Catalog.table(spark, sfDir, "documents")
         Seq(0.2, 0.35, 0.5).foreach { thr =>

@@ -193,6 +193,57 @@ class DuckDialectSpec extends AnyFunSuite {
       === "SELECT current_query()")
   }
 
+  test("QUALIFY rewrites to the window-column-then-filter shape") {
+    val out = t("SELECT a, b FROM t WHERE c = 1 QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1 ORDER BY a")
+    assert(out.startsWith("SELECT * EXCEPT (__qualify) FROM (SELECT a , b, ("))
+    assert(out.contains("AS __qualify FROM t WHERE"))
+    assert(out.endsWith(") WHERE __qualify ORDER BY a"))
+    // executes: top-1 order per customer on real data
+    graft.sources.Catalog.registerAll(spark, sfDir)
+    val rows = GraftSql.sql(spark,
+      """SELECT o_custkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) = 1
+        |ORDER BY o_custkey""".stripMargin).collect()
+    assert(rows.length === spark.sql("SELECT count(DISTINCT o_custkey) FROM orders").collect()(0).getLong(0))
+  }
+
+  test("USING SAMPLE becomes TABLESAMPLE on the scanned relation") {
+    assert(t("SELECT * FROM t USING SAMPLE 10%")
+      === "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    assert(t("SELECT * FROM t USING SAMPLE 50 ROWS")
+      === "SELECT * FROM t TABLESAMPLE (50 ROWS)")
+    assert(t("SELECT * FROM t USING SAMPLE 10% (reservoir)")
+      === "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    graft.sources.Catalog.registerAll(spark, sfDir)
+    val n = GraftSql.sql(spark, "SELECT * FROM orders USING SAMPLE 25 ROWS").count()
+    assert(n === 25L)
+  }
+
+  test("the whole oracle corpus translates without error") {
+    // every oracleSql text in the repo is a real DuckDB query; the
+    // front door must never crash on one (unknown constructs pass
+    // through). Execution parity is measured by `Probe dialectcheck`
+    // (232 of 261 also RUN verbatim; the rest are the documented
+    // statement-level gaps: ASOF JOIN, DISTINCT ON, dynamic PIVOT,
+    // COLUMNS(), star REPLACE, UNION BY NAME, window EXCLUDE/DISTINCT,
+    // LIMIT %, nested generators, TIME type).
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val out = DuckDialect.translate(sql)
+      assert(out.nonEmpty, s"$name translated to empty text")
+    }
+  }
+
+  test("SUMMARIZE and DESCRIBE statements route to the engine operators") {
+    graft.sources.Catalog.registerAll(spark, sfDir)
+    val desc = GraftSql.sql(spark, "DESCRIBE nation").collect()
+    assert(desc.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("n_nationkey", "INTEGER"), ("n_name", "VARCHAR"), ("n_regionkey", "INTEGER")))
+    val summ = GraftSql.sql(spark, "SUMMARIZE nation")
+    assert(summ.columns.contains("column_name"))
+    assert(summ.count() === 3)
+  }
+
   // ------------------------------------------------------ introspection names
 
   test("introspection functions answer from the Spark session") {
