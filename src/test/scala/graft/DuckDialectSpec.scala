@@ -220,14 +220,31 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(n === 25L)
   }
 
+  test("DISTINCT ON keeps the first row per key in ORDER BY order") {
+    graft.sources.Catalog.registerAll(spark, sfDir)
+    val rows = GraftSql.sql(spark,
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin).collect()
+    val nKeys = spark.sql("SELECT count(DISTINCT o_custkey) FROM orders")
+      .collect()(0).getLong(0)
+    assert(rows.length === nKeys)
+    // each kept row is its customer's max-price order (key-tiebroken)
+    val expect = spark.sql(
+      """SELECT o_custkey, max_by(o_orderkey, struct(o_totalprice, -o_orderkey)) AS k
+        |FROM orders GROUP BY o_custkey""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach(r => assert(expect(r.getLong(0)) === r.getLong(1)))
+  }
+
   test("the whole oracle corpus translates without error") {
     // every oracleSql text in the repo is a real DuckDB query; the
     // front door must never crash on one (unknown constructs pass
     // through). Execution parity is measured by `Probe dialectcheck`
-    // (232 of 261 also RUN verbatim; the rest are the documented
-    // statement-level gaps: ASOF JOIN, DISTINCT ON, dynamic PIVOT,
-    // COLUMNS(), star REPLACE, UNION BY NAME, window EXCLUDE/DISTINCT,
-    // LIMIT %, nested generators, TIME type).
+    // (233 of 261 also RUN verbatim; the rest are the documented
+    // statement-level gaps: ASOF JOIN, dynamic PIVOT, COLUMNS(),
+    // star REPLACE, UNION BY NAME, window EXCLUDE/DISTINCT,
+    // LIMIT %, nested generators, recursive unnest, TIME type).
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       val out = DuckDialect.translate(sql)
       assert(out.nonEmpty, s"$name translated to empty text")
