@@ -257,6 +257,21 @@ case class DuckDiv(left: Expression, right: Expression)
       val d = toLong(r)
       if (d == 0L) null else toLong(l) / d
     } else toDouble(l) / toDouble(r)
+  override def nullable: Boolean = true
+  // codegen'd on the common primitive branches (static at codegen
+  // time); decimal operands use the interpreted fallback
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val decimalIn = Seq(left.dataType, right.dataType).exists(_.isInstanceOf[DecimalType])
+    if (decimalIn) super.doGenCode(ctx, ev)
+    else if (bothIntegral) nullSafeCodeGen(ctx, ev, (l, r) => s"""
+        |if ((long)($r) == 0L) { ${ev.isNull} = true; }
+        |else { ${ev.value} = (long)($l) / (long)($r); }
+      """.stripMargin)
+    else defineCodeGen(ctx, ev, (l, r) => s"((double)($l)) / ((double)($r))")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DuckDiv =
     copy(left = l, right = r)
 }
@@ -398,7 +413,7 @@ case class ListExtract(input: Expression, index: Expression)
   * reference; binary → bytes). Registered over the string-only
   * built-in so dialect queries like len(list_filter(...)) resolve.
   */
-case class LenPoly(input: Expression) extends UnaryExpression with CodegenFallback {
+case class LenPoly(input: Expression) extends UnaryExpression {
   override def child: Expression = input
   override def dataType: DataType = input.dataType match {
     case _: ArrayType => LongType
@@ -417,6 +432,17 @@ case class LenPoly(input: Expression) extends UnaryExpression with CodegenFallba
     case b: Array[Byte] => b.length
     case arr: ArrayData => arr.numElements().toLong
   }
+  // codegen'd: len overrides a Spark built-in, so it must not break a
+  // whole-stage span (the type dispatch is static at codegen time)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    input.dataType match {
+      case StringType => defineCodeGen(ctx, ev, c => s"($c).numChars()")
+      case BinaryType => defineCodeGen(ctx, ev, c => s"($c).length")
+      case _ => defineCodeGen(ctx, ev, c => s"(long)(($c).numElements())")
+    }
   override protected def withNewChildInternal(c: Expression): LenPoly = copy(input = c)
 }
 
