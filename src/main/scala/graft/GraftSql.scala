@@ -32,6 +32,58 @@ object GraftSql {
     }
   }
 
+  /** Run a multi-statement DuckDB-dialect script (e.g. the reference
+    * fork's own sql_files scripts): statements split on `;` outside
+    * strings/comments, each executed through the front door; returns
+    * the result of every statement in order.
+    */
+  def runScript(spark: SparkSession, script: String): Seq[DataFrame] =
+    splitStatements(script).map(sql(spark, _))
+
+  /** `;`-splitting that respects '…'/"…" literals and --/block
+    * comments (comments are dropped so a trailing `-- note` never
+    * hides the next statement).
+    */
+  def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    val n = script.length
+    def flush(): Unit = {
+      val s = cur.toString.trim
+      if (s.nonEmpty) out += s
+      cur.clear()
+    }
+    while (i < n) {
+      val c = script.charAt(i)
+      if (c == '-' && i + 1 < n && script.charAt(i + 1) == '-') {
+        while (i < n && script.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && script.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(script.charAt(i) == '*' && script.charAt(i + 1) == '/')) i += 1
+        i += 2
+      } else if (c == '\'' || c == '"') {
+        val q = c
+        cur.append(c); i += 1
+        var open = true
+        while (i < n && open) {
+          val ch = script.charAt(i)
+          cur.append(ch); i += 1
+          if (ch == q) {
+            if (i < n && script.charAt(i) == q) { cur.append(q); i += 1 } // '' doubling
+            else open = false
+          }
+        }
+      } else if (c == ';') {
+        flush(); i += 1
+      } else {
+        cur.append(c); i += 1
+      }
+    }
+    flush()
+    out.result()
+  }
+
   /** DESCRIBE shaped like the reference's pragma_table_info result
     * (same contract as the oracle-gated s16_describe entry).
     */
