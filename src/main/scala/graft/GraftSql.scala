@@ -15,9 +15,20 @@ object GraftSql {
 
   private val Summarize = """(?is)\s*SUMMARIZE\s+([\w.]+)\s*;?\s*""".r
   private val Describe = """(?is)\s*DESCRIBE\s+([\w.]+)\s*;?\s*""".r
+  private val LimitPercent = """(?is)^(.*)\bLIMIT\s+(\d+)\s*(?:%|PERCENT)\s*;?\s*$""".r
 
   def sql(spark: SparkSession, text: String): DataFrame = {
     spark.conf.set("spark.graft.current_query", text)
+    text match {
+      // LIMIT n% (reference percentage limit): top fraction of the
+      // result — needs the total, so one counting pass then limit
+      // (the q65 operator's own plan shape)
+      case LimitPercent(inner, pct) =>
+        val df = spark.sql(translate(inner))
+        val n = df.count()
+        return df.limit((n * pct.toLong / 100L).toInt)
+      case _ =>
+    }
     text match {
       // utility statements the reference treats as top-level verbs:
       // route to the engine's operators instead of Spark's parser

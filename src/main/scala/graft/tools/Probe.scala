@@ -176,7 +176,7 @@ object Probe {
           t.foreach { out =>
             nTrans += 1
             try {
-              val df = spark.sql(out)
+              val df = graft.GraftSql.sql(spark, sql)
               nParse += 1
               df.limit(1).collect()
               nRun += 1

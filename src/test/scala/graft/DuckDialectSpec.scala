@@ -241,14 +241,28 @@ class DuckDialectSpec extends AnyFunSuite {
     // every oracleSql text in the repo is a real DuckDB query; the
     // front door must never crash on one (unknown constructs pass
     // through). Execution parity is measured by `Probe dialectcheck`
-    // (233 of 261 also RUN verbatim; the rest are the documented
+    // (234 of 261 also RUN verbatim; the rest are the documented
     // statement-level gaps: ASOF JOIN, dynamic PIVOT, COLUMNS(),
     // star REPLACE, UNION BY NAME, window EXCLUDE/DISTINCT,
-    // LIMIT %, nested generators, recursive unnest, TIME type).
+    // nested generators, recursive unnest, TIME type).
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       val out = DuckDialect.translate(sql)
       assert(out.nonEmpty, s"$name translated to empty text")
     }
+  }
+
+  test("LIMIT n% takes the top fraction of the ordered result") {
+    graft.sources.Catalog.registerAll(spark, sfDir)
+    val df = GraftSql.sql(spark,
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10%")
+    val total = spark.sql("SELECT count(*) FROM orders").collect()(0).getLong(0)
+    assert(df.count() === total / 10)
+    // and they really are the top rows
+    val kept = df.collect().map(_.getDouble(1))
+    val floor = kept.min
+    val better = spark.sql(s"SELECT count(*) FROM orders WHERE o_totalprice > $floor")
+      .collect()(0).getLong(0)
+    assert(better <= kept.length)
   }
 
   test("SUMMARIZE and DESCRIBE statements route to the engine operators") {
