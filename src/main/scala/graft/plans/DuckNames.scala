@@ -100,6 +100,25 @@ object DuckNames {
       // explode of the index sequence (empty list → no rows)
       uf("explode", Seq(uf("sequence", Seq(Literal(1), uf("size", Seq(args.head))))))
     }
+    register(e, "json_merge_patch")(args => JsonMergePatch(args(0), args(1)))
+    register(e, "json_keys")(args => uf("json_object_keys", args))
+    // json_extract_string ≡ get_json_object ($-paths); row_to_json ≡
+    // to_json over a struct; string/list renames the sweep surfaced
+    register(e, "json_extract_string")(args => uf("get_json_object", args))
+    register(e, "row_to_json")(args => uf("to_json", args))
+    register(e, "ends_with")(args => uf("endswith", args))
+    register(e, "list_reverse")(args => uf("reverse", args))
+    // list_position: 1-based index, NULL when absent (Spark's
+    // array_position spells absence as 0)
+    for (n <- Seq("list_position", "list_indexof"))
+      register(e, n)(args =>
+        uf("nullif", Seq(uf("array_position", args), Literal(0L))))
+    // 2-arg regexp_extract: the reference returns the FULL match
+    // (group 0); Spark's default group is 1
+    register(e, "regexp_extract") { args =>
+      if (args.length == 2) RegExpExtract(args(0), args(1), Literal(0))
+      else RegExpExtract(args(0), args(1), args(2))
+    }
     register(e, "list_max")(args => uf("array_max", args))
     register(e, "list_min")(args => uf("array_min", args))
     register(e, "list_contains")(args => uf("array_contains", args))
@@ -444,6 +463,54 @@ case class LenPoly(input: Expression) extends UnaryExpression {
       case _ => defineCodeGen(ctx, ev, c => s"(long)(($c).numElements())")
     }
   override protected def withNewChildInternal(c: Expression): LenPoly = copy(input = c)
+}
+
+/** RFC 7386 JSON merge patch (the reference's bundled json extension
+  * json_merge_patch): a non-object patch replaces the target
+  * wholesale; object patches merge recursively, null members remove
+  * keys. A NULL argument yields the other (the reference's
+  * two-argument behavior). Uses Spark's vendored Jackson; key order
+  * is target-then-new, matching compact insertion-ordered output.
+  */
+case class JsonMergePatch(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def merge(
+      target: com.fasterxml.jackson.databind.JsonNode,
+      patch: com.fasterxml.jackson.databind.JsonNode): com.fasterxml.jackson.databind.JsonNode = {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    if (!patch.isObject) return patch
+    val base: ObjectNode =
+      if (target.isObject) target.deepCopy[ObjectNode]()
+      else mapper.createObjectNode()
+    val it = patch.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.isNull) base.remove(e.getKey)
+      else if (base.has(e.getKey)) base.set[ObjectNode](e.getKey, merge(base.get(e.getKey), e.getValue))
+      else base.set[ObjectNode](e.getKey, e.getValue)
+    }
+    base
+  }
+
+  override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(row)
+    val r = right.eval(row)
+    if (l == null && r == null) return null
+    if (l == null) return r
+    if (r == null) return l
+    val merged = merge(
+      mapper.readTree(l.asInstanceOf[UTF8String].toString),
+      mapper.readTree(r.asInstanceOf[UTF8String].toString))
+    UTF8String.fromString(mapper.writeValueAsString(merged))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JsonMergePatch =
+    copy(left = l, right = r)
 }
 
 /** can_cast_implicitly(a, b): whether a's type implicitly casts to

@@ -241,7 +241,7 @@ class DuckDialectSpec extends AnyFunSuite {
     // every oracleSql text in the repo is a real DuckDB query; the
     // front door must never crash on one (unknown constructs pass
     // through). Execution parity is measured by `Probe dialectcheck`
-    // (234 of 261 also RUN verbatim; the rest are the documented
+    // (246 of 261 also RUN verbatim; the rest are the documented
     // statement-level gaps: ASOF JOIN, dynamic PIVOT, COLUMNS(),
     // star REPLACE, UNION BY NAME, window EXCLUDE/DISTINCT,
     // nested generators, recursive unnest, TIME type).
@@ -249,6 +249,28 @@ class DuckDialectSpec extends AnyFunSuite {
       val out = DuckDialect.translate(sql)
       assert(out.nonEmpty, s"$name translated to empty text")
     }
+  }
+
+  test("DISTINCT window aggregates rewrite via the frame's value set") {
+    graft.sources.Catalog.registerAll(spark, sfDir)
+    val rows = GraftSql.sql(spark,
+      """SELECT o_custkey,
+        |  count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS n_prio
+        |FROM orders ORDER BY o_custkey LIMIT 50""".stripMargin).collect()
+    val expect = spark.sql(
+      """SELECT o_custkey, count(DISTINCT o_orderpriority) AS n
+        |FROM orders GROUP BY o_custkey""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach(r => assert(r.getLong(1) === expect(r.getLong(0))))
+  }
+
+  test("json_merge_patch follows RFC 7386") {
+    assert(one("""json_merge_patch('{"a":1,"b":2}', '{"b":3,"c":4}')""")
+      === """{"a":1,"b":3,"c":4}""")
+    assert(one("""json_merge_patch('{"a":{"x":1,"y":2}}', '{"a":{"y":null,"z":3}}')""")
+      === """{"a":{"x":1,"z":3}}""")
+    assert(one("""json_merge_patch('{"a":1}', '"scalar"')""") === "\"scalar\"")
+    assert(one("""json_merge_patch(NULL, '{"a":1}')""") === """{"a":1}""")
   }
 
   test("LIMIT n% takes the top fraction of the ordered result") {
