@@ -58,6 +58,68 @@ object DuckNames {
     v.toString
   }
 
+  /** T-SQL period-crossing date_diff (reference
+    * src/core_functions/scalar/date/date_diff.cpp:31–140): year =
+    * year(end)−year(start); month = (12y+m−1) delta; quarter = that
+    * div 3; decade/century/millennium = year div 10/100/1000 delta;
+    * week = day-distance div 7 — "not Monday crossings, just
+    * distance" (:93); day = epoch-day delta of the DATE part; sub-day
+    * units = truncating epoch-micros division per value then
+    * subtract (matches the C `/`, which truncates toward zero).
+    * All arithmetic is on the session-naive clock, like the
+    * reference's TIMESTAMP. Result is BIGINT.
+    */
+  def dateDiffExpr(unitRaw: String, start: Expression, end: Expression): Expression = {
+    def asLong(x: Expression) = Cast(x, LongType)
+    def dpart(x: Expression) = Cast(x, DateType)
+    def idiv(x: Expression, d: Long) = IntegralDivide(asLong(x), Literal(d))
+    def yr(x: Expression) = uf("year", Seq(dpart(x)))
+    // zero-based month index: year*12 + month - 1
+    def ymIdx(x: Expression) =
+      Subtract(Add(Multiply(asLong(yr(x)), Literal(12L)), asLong(uf("month", Seq(dpart(x))))), Literal(1L))
+    def um(x: Expression) = uf("unix_micros", Seq(Cast(x, TimestampType)))
+    def delta(f: Expression => Expression) = Subtract(asLong(f(end)), asLong(f(start)))
+    val days = DateDiff(dpart(end), dpart(start))
+    val out: Expression = normUnit(unitRaw) match {
+      case "year"        => delta(yr)
+      case "isoyear"     => delta(x => uf("date_part", Seq(Literal("yearofweek"), dpart(x))))
+      case "month"       => delta(ymIdx)
+      case "quarter"     => delta(x => idiv(ymIdx(x), 3L))
+      case "decade"      => delta(x => idiv(yr(x), 10L))
+      case "century"     => delta(x => idiv(yr(x), 100L))
+      case "millennium"  => delta(x => idiv(yr(x), 1000L))
+      case "week"        => idiv(days, 7L)
+      case "day"         => asLong(days)
+      case "hour"        => delta(x => idiv(um(x), 3600000000L))
+      case "minute"      => delta(x => idiv(um(x), 60000000L))
+      case "second"      => delta(x => idiv(um(x), 1000000L))
+      case "millisecond" => delta(x => idiv(um(x), 1000L))
+      case "microsecond" => delta(um)
+      case other => throw new IllegalArgumentException(
+        s"date_diff: unrecognized unit '$other'")
+    }
+    Cast(out, LongType)
+  }
+
+  /** Reference unit-name aliases (common/enums/date_part_specifier). */
+  private def normUnit(u0: String): String = u0.toLowerCase match {
+    case "y" | "yr" | "yrs" | "year" | "years"                    => "year"
+    case "isoyear"                                                => "isoyear"
+    case "mon" | "mons" | "month" | "months"                      => "month"
+    case "q" | "quarter" | "quarters"                             => "quarter"
+    case "dec" | "decs" | "decade" | "decades"                    => "decade"
+    case "c" | "cent" | "centuries" | "century"                   => "century"
+    case "mil" | "mils" | "millenium" | "millennium" | "millennia" => "millennium"
+    case "w" | "week" | "weeks" | "wk" | "wks" | "weekofyear"     => "week"
+    case "d" | "day" | "days" | "dayofmonth"                      => "day"
+    case "h" | "hr" | "hrs" | "hour" | "hours"                    => "hour"
+    case "min" | "mins" | "minute" | "minutes"                    => "minute"
+    case "s" | "sec" | "secs" | "second" | "seconds"              => "second"
+    case "ms" | "msec" | "msecs" | "millisecond" | "milliseconds" => "millisecond"
+    case "us" | "usec" | "usecs" | "microsecond" | "microseconds" => "microsecond"
+    case other                                                    => other
+  }
+
   def registerAll(e: SparkSessionExtensions): Unit = {
     // ---- operator spellings (fncheck closure + backquoted calls) ----
     register(e, "**")(args => uf("power", args))
@@ -144,18 +206,28 @@ object DuckNames {
     register(e, "decode") { args =>
       if (args.length == 1) new Decode(Seq(args.head, Literal("UTF-8"))) else new Decode(args)
     }
-    // the reference's 3-arg date_diff('part', a, b) ≡ timestampdiff
-    // with an unquoted unit (complete-boundary counting both ways);
-    // 2-arg datediff keeps Spark's day-difference semantics
+    // the reference's 3-arg date_diff('part', start, end) is T-SQL
+    // period-CROSSING counting (date_diff.cpp:16 cites the T-SQL
+    // doc), NOT elapsed complete units: date_diff('year',
+    // DATE '2024-12-31', DATE '2025-01-01') = 1. Each unit counts
+    // partition-boundary crossings — see dateDiffExpr. 2-arg
+    // datediff keeps Spark's day-difference semantics.
     for (n <- Seq("date_diff", "datediff")) register(e, n) { args =>
-      if (args.length == 3) {
-        val unit = constString(n, args(0)).toUpperCase
-        TimestampDiff(unit, Cast(args(1), TimestampType), Cast(args(2), TimestampType))
-      } else DateDiff(args(0), args(1))
+      if (args.length == 3)
+        dateDiffExpr(constString(n, args(0)), args(1), args(2))
+      else DateDiff(args(0), args(1))
+    }
+    // Spark's parser intercepts date_diff/datediff with a quoted
+    // unit before resolution, so the dialect rewrites that spelling
+    // to this alias (DuckDialect call())
+    register(e, "duck_date_diff") { args =>
+      dateDiffExpr(constString("duck_date_diff", args(0)), args(1), args(2))
     }
     // 4th regexp_replace arg is an options STRING in the reference
     // ('g' = global, Spark's default; 'i' = case-insensitive) — not
-    // Spark's numeric start position. Documented divergence: the
+    // Spark's numeric start position. Without 'g' the reference
+    // replaces only the FIRST match (RE2::Replace vs GlobalReplace)
+    // — honored via RegExpReplaceFirst. Documented divergence: the
     // 3-arg form KEEPS Spark's replace-all semantics (the reference
     // replaces only the first match without 'g') — flipping it would
     // silently change every existing DataFrame-API caller, the worse
@@ -167,7 +239,8 @@ object DuckNames {
         val pat = if (opts.contains("i"))
           UnresolvedFunction(Seq("concat"), Seq(Literal("(?i)"), args(1)), isDistinct = false)
         else args(1)
-        RegExpReplace(args(0), pat, args(2))
+        if (opts.contains("g")) RegExpReplace(args(0), pat, args(2))
+        else RegExpReplaceFirst(args(0), pat, args(2))
       } else if (args.length == 3) RegExpReplace(args(0), args(1), args(2))
       else RegExpReplace(args(0), args(1), args(2), args(3))
     }
@@ -240,6 +313,52 @@ object DuckNames {
   }
 }
 
+/** First-match-only regexp replacement — the reference's 4-arg
+  * regexp_replace WITHOUT 'g' in the options string binds
+  * RE2::Replace, which rewrites only the first occurrence
+  * (extension/.. duckdb_re2; options parsed in
+  * src/function/scalar/string/regexp.cpp). Backrefs in the
+  * replacement use the reference's `\1` spelling and are converted
+  * to Java's `$1`; a literal `$` is escaped.
+  */
+case class RegExpReplaceFirst(subject: Expression, regexp: Expression, rep: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = subject
+  override def second: Expression = regexp
+  override def third: Expression = rep
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = children.exists(_.nullable)
+  @transient private var lastPat: String = _
+  @transient private var compiled: java.util.regex.Pattern = _
+  private def toJavaReplacement(r: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < r.length) {
+      val c = r.charAt(i)
+      if (c == '\\' && i + 1 < r.length && r.charAt(i + 1).isDigit) {
+        sb += '$'; sb += r.charAt(i + 1); i += 2
+      } else if (c == '\\' && i + 1 < r.length && r.charAt(i + 1) == '\\') {
+        sb ++= "\\\\"; i += 2
+      } else if (c == '$') { sb ++= "\\$"; i += 1 }
+      else if (c == '\\') { sb ++= "\\\\"; i += 1 }
+      else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+  override def nullSafeEval(s: Any, p: Any, r: Any): Any = {
+    val ps = p.toString
+    if (compiled == null || lastPat != ps) {
+      compiled = java.util.regex.Pattern.compile(ps)
+      lastPat = ps
+    }
+    UTF8String.fromString(
+      compiled.matcher(s.toString).replaceFirst(toJavaReplacement(r.toString)))
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): RegExpReplaceFirst =
+    copy(subject = f, regexp = s, rep = t)
+}
+
 /** The reference's `//` operator (src/core_functions/scalar/math):
   * truncating division on integral inputs (7//2 = 3, -7//2 = -3),
   * plain division otherwise (7.5//2 = 3.75). Type dispatch happens at
@@ -275,7 +394,13 @@ case class DuckDiv(left: Expression, right: Expression)
     if (bothIntegral) {
       val d = toLong(r)
       if (d == 0L) null else toLong(l) / d
-    } else toDouble(l) / toDouble(r)
+    } else {
+      // the reference binds `//` through BinaryZeroIsNullWrapper
+      // (ieee_floating_point_ops off by default): zero divisor →
+      // NULL on the float branch too, matching the integral branch
+      val d = toDouble(r)
+      if (d == 0.0) null else toDouble(l) / d
+    }
   override def nullable: Boolean = true
   // codegen'd on the common primitive branches (static at codegen
   // time); decimal operands use the interpreted fallback
@@ -289,7 +414,10 @@ case class DuckDiv(left: Expression, right: Expression)
         |if ((long)($r) == 0L) { ${ev.isNull} = true; }
         |else { ${ev.value} = (long)($l) / (long)($r); }
       """.stripMargin)
-    else defineCodeGen(ctx, ev, (l, r) => s"((double)($l)) / ((double)($r))")
+    else nullSafeCodeGen(ctx, ev, (l, r) => s"""
+        |if (((double)($r)) == 0.0) { ${ev.isNull} = true; }
+        |else { ${ev.value} = ((double)($l)) / ((double)($r)); }
+      """.stripMargin)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DuckDiv =
     copy(left = l, right = r)

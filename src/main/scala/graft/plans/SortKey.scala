@@ -90,7 +90,28 @@ case class CreateSortKey(args: Seq[Expression])
       putLong(out, l ^ Long.MinValue)
     case FloatType => encodeDouble(out, v.asInstanceOf[Float].toDouble)
     case DoubleType => encodeDouble(out, v.asInstanceOf[Double])
-    case _: DecimalType => encodeDouble(out, v.asInstanceOf[Decimal].toDouble)
+    case dt: DecimalType =>
+      // exact: all values of one DecimalType share dt.scale, so the
+      // unscaled integer is order-isomorphic to the value. ≤18 digits
+      // fits a long; wider goes sign + length-prefixed big-endian
+      // magnitude (complemented for negatives) — never collapses
+      // distinct >15-significant-digit decimals the way a double
+      // round-trip would.
+      val dec = v.asInstanceOf[Decimal]
+      if (dt.precision <= 18) putLong(out, dec.toUnscaledLong ^ Long.MinValue)
+      else {
+        val unscaled = dec.toJavaBigDecimal.setScale(dt.scale).unscaledValue()
+        val mag = unscaled.abs.toByteArray.dropWhile(_ == 0)
+        if (unscaled.signum < 0) {
+          out += 0x00.toByte
+          out += (0xFF - mag.length).toByte   // longer magnitude → more negative → earlier
+          mag.foreach(b => out += (~b).toByte)
+        } else {
+          out += 0x01.toByte
+          out += mag.length.toByte
+          mag.foreach(out += _)
+        }
+      }
     case StringType => encodeBytes(out, v.asInstanceOf[UTF8String].getBytes)
     case BinaryType => encodeBytes(out, v.asInstanceOf[Array[Byte]])
     case ArrayType(et, _) =>

@@ -42,7 +42,7 @@ object FunctionsQ4 {
         |  CAST(FLOOR(radians(CAST(p_size AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS rad_e6,
         |  CAST(FLOOR(cbrt(CAST(p_size AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS cbrt_e6,
         |  CAST(FLOOR(log10(CAST(p_size AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS log10_e6,
-        |  factorial(p_size % 12) AS fact,
+        |  CAST(factorial(p_size % 12) AS BIGINT) AS fact,
         |  gcd(CAST(p_size AS BIGINT), 36) AS g,
         |  lcm(CAST(p_size AS BIGINT), 6) AS l
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
@@ -159,7 +159,7 @@ object FunctionsQ4 {
         |  list_has_any(lens, [9, 10]) AS has910,
         |  array_to_string(list_sort(lens), ',') AS asc_l,
         |  array_to_string(list_reverse_sort(lens), ',') AS desc_l,
-        |  list_sum(lens) AS total,
+        |  CAST(list_sum(lens) AS BIGINT) AS total,
         |  list_max(lens) AS mx
         |FROM w ORDER BY p_partkey""".stripMargin) { (s, dir) =>
       // list cells render as joined strings: the driver's oracle gate

@@ -682,8 +682,8 @@ object Pipeline {
         |  FROM documents),
         |o AS (
         |  SELECT doc_id, tokens,
-        |    COALESCE(SUM(tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |    CAST(COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
         |  FROM tok)
         |SELECT doc_id, tokens, start,
         |  CAST(FLOOR(start / 512.0) AS BIGINT) AS first_chunk,

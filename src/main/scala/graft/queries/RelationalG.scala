@@ -29,7 +29,7 @@ object RelationalG {
       """SELECT o_orderkey,
         |  count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS n_prio,
         |  count(DISTINCT o_orderstatus)   OVER (PARTITION BY o_custkey) AS n_stat,
-        |  sum(DISTINCT CAST(FLOOR(o_totalprice) AS BIGINT)) OVER (PARTITION BY o_custkey) AS sd_price
+        |  CAST(sum(DISTINCT CAST(FLOOR(o_totalprice) AS BIGINT)) OVER (PARTITION BY o_custkey) AS BIGINT) AS sd_price
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("o_custkey")
       t(s, dir, "orders").select(

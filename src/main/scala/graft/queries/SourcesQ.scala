@@ -70,7 +70,7 @@ object SourcesQ {
     // must see only the overwrite (old files still on disk, log stops
     // naming them), hash-matching the oracle's filtered aggregate.
     QDef.sql("s14_delta_scan",
-      """SELECT source, COUNT(*) AS n, SUM(n_chars) AS chars
+      """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE doc_id < 250
         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       import graft.sources.DeltaLake

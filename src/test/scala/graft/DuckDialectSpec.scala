@@ -315,4 +315,54 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(one("can_cast_implicitly(2.5e0, 1)") === false)
     assert(one("get_current_time()").toString matches """\d{2}:\d{2}:\d{2}\.\d{6}\+00""")
   }
+
+  // ------------------------------------------------------ r5 ADVICE pins
+
+  test("date_diff counts period CROSSINGS, not elapsed units (T-SQL)") {
+    // every value below pinned in DuckDB 1.0.0 (reference
+    // date_diff.cpp:31 cites the T-SQL datediff doc)
+    assert(one("date_diff('year', DATE '2024-12-31', DATE '2025-01-01')") === 1L)
+    assert(one("date_diff('year', DATE '2024-01-01', DATE '2024-12-31')") === 0L)
+    assert(one("date_diff('month', DATE '2024-01-31', DATE '2024-02-01')") === 1L)
+    assert(one("date_diff('month', DATE '2024-02-01', DATE '2024-01-31')") === -1L)
+    assert(one("datediff('month', DATE '2024-01-31', DATE '2024-02-01')") === 1L)
+    assert(one("date_diff('quarter', DATE '2024-03-31', DATE '2024-04-01')") === 1L)
+    assert(one("date_diff('decade', DATE '2019-12-31', DATE '2020-01-01')") === 1L)
+    assert(one("date_diff('century', DATE '1999-12-31', DATE '2000-01-01')") === 1L)
+    assert(one("date_diff('day', TIMESTAMP '2024-01-01 23:59:59', " +
+      "TIMESTAMP '2024-01-02 00:00:01')") === 1L)
+    assert(one("date_diff('hour', TIMESTAMP '2024-01-01 10:59:00', " +
+      "TIMESTAMP '2024-01-01 11:00:30')") === 1L)
+    assert(one("date_diff('minute', TIMESTAMP '2024-01-01 10:00:59', " +
+      "TIMESTAMP '2024-01-01 10:01:00')") === 1L)
+    assert(one("date_diff('second', TIMESTAMP '2024-01-01 10:00:00.999', " +
+      "TIMESTAMP '2024-01-01 10:00:01.001')") === 1L)
+    assert(one("date_diff('millisecond', TIMESTAMP '2024-01-01 10:00:00.0009', " +
+      "TIMESTAMP '2024-01-01 10:00:00.0011')") === 1L)
+    assert(one("date_diff('isoyear', DATE '2024-12-30', DATE '2024-12-31')") === 0L)
+    // WEEK follows the REFERENCE (date_diff.cpp:93: "not Monday
+    // crossings, just distance" = day-delta / 7), which diverges from
+    // the driver's DuckDB 1.0.0 (Monday crossings: Sun→Mon = 1 there).
+    // Keep week-unit date_diff out of oracle SQL.
+    assert(one("date_diff('week', DATE '2024-01-07', DATE '2024-01-08')") === 0L)
+    assert(one("date_diff('week', DATE '2024-01-01', DATE '2024-01-08')") === 1L)
+    assert(one("date_diff('week', DATE '2024-01-08', DATE '2024-01-01')") === -1L)
+  }
+
+  test("regexp_replace options: 'g' = global, otherwise FIRST match only") {
+    assert(one("regexp_replace('aaa', 'a', 'b', 'g')") === "bbb")
+    assert(one("regexp_replace('aaa', 'a', 'b', '')") === "baa")
+    assert(one("regexp_replace('AaA', 'a', 'b', 'i')") === "baA")
+    assert(one("regexp_replace('AaA', 'a', 'b', 'gi')") === "bbb")
+    // reference \1 backref spelling in the replacement (raw literal
+    // bypasses Spark's string-escape processing)
+    assert(spark.sql("""SELECT regexp_replace('ab ab', '(a)(b)', r'\2\1', '')""")
+      .collect()(0).get(0) === "ba ab")
+  }
+
+  test("// with a zero divisor yields NULL on both branches") {
+    assert(one("7 // 0") === null)
+    assert(one("7.5 // 0.0") === null)
+    assert(one("7.5e0 // 0.0e0") === null)
+  }
 }

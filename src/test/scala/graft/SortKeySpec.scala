@@ -99,4 +99,35 @@ class SortKeySpec extends AnyFunSuite {
     checkOrder(ints, "ASC", "v ASC NULLS LAST")
     checkOrder(ints, "DESC", "v DESC NULLS FIRST")
   }
+
+  test("wide decimals (>17 significant digits) keep exact order") {
+    // a double round-trip collapses values differing past ~15
+    // significant digits; the exact unscaled-integer encoding must not
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        | (1, CAST('-99999999999999999999999999999999999999' AS DECIMAL(38,0))),
+        | (2, CAST('-99999999999999999999999999999999999998' AS DECIMAL(38,0))),
+        | (3, CAST('-1' AS DECIMAL(38,0))),
+        | (4, CAST('0' AS DECIMAL(38,0))),
+        | (5, CAST('1' AS DECIMAL(38,0))),
+        | (6, CAST('99999999999999999999999999999999999998' AS DECIMAL(38,0))),
+        | (7, CAST('99999999999999999999999999999999999999' AS DECIMAL(38,0)))
+        | AS t(id, v)""".stripMargin)
+    val keyed = df.withColumn("sk", expr("create_sort_key(v, 'ASC NULLS LAST')"))
+    assert(keyed.select("sk").distinct().count() === 7)
+    assert(keyed.orderBy("sk").select("id").collect().map(_.getInt(0)).toSeq
+      === Seq(1, 2, 3, 4, 5, 6, 7))
+    val desc = df.withColumn("sk", expr("create_sort_key(v, 'DESC NULLS FIRST')"))
+    assert(desc.orderBy("sk").select("id").collect().map(_.getInt(0)).toSeq
+      === Seq(7, 6, 5, 4, 3, 2, 1))
+    // narrow decimals still exact through the long path
+    val nar = spark.sql(
+      """SELECT * FROM VALUES (1, CAST('-2.50' AS DECIMAL(10,2))),
+        | (2, CAST('-2.49' AS DECIMAL(10,2))), (3, CAST('0.00' AS DECIMAL(10,2))),
+        | (4, CAST('2.49' AS DECIMAL(10,2))), (5, CAST('2.50' AS DECIMAL(10,2)))
+        | AS t(id, v)""".stripMargin)
+      .withColumn("sk", expr("create_sort_key(v, 'ASC NULLS LAST')"))
+    assert(nar.orderBy("sk").select("id").collect().map(_.getInt(0)).toSeq
+      === Seq(1, 2, 3, 4, 5))
+  }
 }

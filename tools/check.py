@@ -59,6 +59,35 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
             n_fail += 1
             continue
+        # Pre-flight for the driver's pandas hash path: the driver
+        # converts both sides to pandas and hashes values, so a DuckDB
+        # HUGEINT (→float64) vs Spark int64 mismatches even when every
+        # value is equal (the r4/r5 f24/f38 lesson). Catch it here.
+        dtype_bad = []
+        try:
+            exp_df = con.sql(sql).df()
+            got_df = got_t.to_pandas()
+            def kind(dt):
+                s = str(dt).lower()
+                if s.startswith(("int", "uint")):
+                    return "int"
+                if s.startswith("float"):
+                    return "float"
+                return "other"
+            for c in got_cols:
+                gk, ek = kind(got_df[c].dtype), kind(exp_df[c].dtype)
+                # only the int-vs-float kind split breaks the driver's
+                # hash (HUGEINT→float64 vs Spark int64); datetime/object/
+                # category splits hash fine (values stringify equal)
+                if {gk, ek} == {"int", "float"}:
+                    dtype_bad.append((c, str(got_df[c].dtype), str(exp_df[c].dtype)))
+        except Exception:
+            pass
+        if dtype_bad:
+            print(f"FAIL {name}: pandas dtype mismatch (driver hash would "
+                  f"differ): {dtype_bad}")
+            n_fail += 1
+            continue
         if got == exp:
             n_pass += 1
             continue
