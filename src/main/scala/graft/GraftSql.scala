@@ -16,9 +16,25 @@ object GraftSql {
   private val Summarize = """(?is)\s*SUMMARIZE\s+([\w.]+)\s*;?\s*""".r
   private val Describe = """(?is)\s*DESCRIBE\s+([\w.]+)\s*;?\s*""".r
   private val LimitPercent = """(?is)^(.*)\bLIMIT\s+(\d+)\s*(?:%|PERCENT)\s*;?\s*$""".r
+  private val Explain = """(?is)^\s*EXPLAIN(\s+ANALYZE)?\s+(.*)$""".r
 
   def sql(spark: SparkSession, text: String): DataFrame = {
     spark.conf.set("spark.graft.current_query", text)
+    text match {
+      // EXPLAIN [ANALYZE] <stmt> (reference
+      // parser/statement/explain_statement.cpp): same result shape as
+      // the reference — (explain_key, explain_value) string rows —
+      // with Spark's plan text as the value. Plan rendering is
+      // engine-specific by nature (documented; no oracle).
+      case Explain(analyze, inner) =>
+        return explain(spark, inner, analyze != null)
+      // DML verbs route to the copy-on-write engine layer
+      // (sources/DmlSql → sources/Dml); plain INSERT INTO stays on
+      // Spark's native path below.
+      case _ if graft.sources.DmlSql.matches(text) =>
+        return graft.sources.DmlSql.run(spark, text)
+      case _ =>
+    }
     text match {
       // LIMIT n% (reference percentage limit): top fraction of the
       // result — needs the total, so one counting pass then limit
@@ -39,9 +55,20 @@ object GraftSql {
       case Summarize(table) =>
         graft.operators.Summarize.summarize(spark.table(table))
       case Describe(table) => describe(spark, spark.table(table))
-      case _ => spark.sql(translate(text))
+      case _ =>
+        translate(text) match {
+          // Spark's v1 session catalog has no REPLACE TABLE — the
+          // reference's CREATE OR REPLACE is a drop-then-create there
+          case CreateOrReplace(name, rest) =>
+            spark.sql(s"DROP TABLE IF EXISTS $name")
+            spark.sql(s"CREATE TABLE $name $rest")
+          case t => spark.sql(t)
+        }
     }
   }
+
+  private val CreateOrReplace =
+    """(?is)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+(`[^`]+`|\S+)\s+(.*)$""".r
 
   /** Run a multi-statement DuckDB-dialect script (e.g. the reference
     * fork's own sql_files scripts): statements split on `;` outside
@@ -93,6 +120,47 @@ object GraftSql {
     }
     flush()
     out.result()
+  }
+
+  /** EXPLAIN → Spark's formatted plan; EXPLAIN ANALYZE → execute,
+    * then render the final (AQE-resolved) physical tree with each
+    * node's metric values — the reference's profiler-annotated tree
+    * re-expressed with Spark's SQLMetrics.
+    */
+  def explain(spark: SparkSession, inner: String, analyze: Boolean): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val df = sql(spark, inner)
+    val schema = StructType(Seq(
+      StructField("explain_key", StringType, nullable = false),
+      StructField("explain_value", StringType, nullable = false)))
+    def result(key: String, value: String): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(Row(key, value)), schema)
+    if (!analyze) {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      result("physical_plan", plan)
+    } else {
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val sb = new StringBuilder
+      sb.append(f"Total Time: $secs%.3fs   Rows Returned: $rows%d%n")
+      def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
+        val ms = p.metrics.toSeq.sortBy(_._1)
+          .map { case (k, m) => s"$k=${m.value}" }.mkString(", ")
+        sb.append("  " * depth).append(p.nodeName)
+        if (ms.nonEmpty) sb.append(" [").append(ms).append("]")
+        sb.append("\n")
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan, depth + 1)
+          case _ => p.children.foreach(walk(_, depth + 1))
+        }
+      }
+      walk(df.queryExecution.executedPlan, 0)
+      result("analyzed_plan", sb.toString)
+    }
   }
 
   /** DESCRIBE shaped like the reference's pragma_table_info result

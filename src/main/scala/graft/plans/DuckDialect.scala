@@ -325,26 +325,66 @@ object DuckDialect {
       }
       expectOp("(")
       val cols = ArrayBuffer.empty[String]
+      val pkCols = ArrayBuffer.empty[String]
+      val TableConstraint = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+      // `PRIMARY KEY (a, b)` column list at the current position
+      def pkList(): Unit = {
+        next() // PRIMARY
+        if (peekWord("KEY")) next()
+        if (peekOp("(")) {
+          next()
+          while (more && !peekOp(")")) next() match {
+            case TQuoted(s) => pkCols += s
+            case TOp(",") =>
+            case t => pkCols += t.text
+          }
+          expectOp(")")
+        }
+      }
       while (more && !peekOp(")")) {
-        val cname = next() match {
-          case TQuoted(s) => quoteIdent(s)
-          case t => t.text
+        peek match {
+          // table-level constraint entry — consumed, never a column.
+          // PRIMARY KEY columns are RECORDED (TableMeta) for the DML
+          // front door's ON CONFLICT defaulting before stripping.
+          case TWord(w) if TableConstraint(w.toUpperCase) =>
+            if (w.equalsIgnoreCase("PRIMARY")) pkList()
+            var depth = 0
+            var stop = false
+            while (more && !stop) peek match {
+              case TOp("(") => depth += 1; next()
+              case TOp(")") if depth > 0 => depth -= 1; next()
+              case TOp(")") => stop = true
+              case TOp(",") if depth == 0 => stop = true
+              case _ => next()
+            }
+          case _ =>
+            val (cname0, cname) = next() match {
+              case TQuoted(s) => (s, quoteIdent(s))
+              case t => (t.text, t.text)
+            }
+            val ty = parseType()
+            // strip inline constraints up to the next ',' or ')',
+            // recording `PRIMARY KEY` on the way past
+            var depth = 0
+            var stop = false
+            while (more && !stop) peek match {
+              case TOp("(") => depth += 1; next()
+              case TOp(")") if depth > 0 => depth -= 1; next()
+              case TOp(")") => stop = true
+              case TOp(",") if depth == 0 => stop = true
+              case TWord(w) if depth == 0 && w.equalsIgnoreCase("PRIMARY") =>
+                next()
+                if (peekWord("KEY")) { next(); pkCols += cname0 }
+              case _ => next()
+            }
+            cols += s"$cname $ty"
         }
-        val ty = parseType()
-        // strip inline constraints up to the next ',' or ')'
-        var depth = 0
-        var stop = false
-        while (more && !stop) peek match {
-          case TOp("(") => depth += 1; next()
-          case TOp(")") if depth > 0 => depth -= 1; next()
-          case TOp(")") => stop = true
-          case TOp(",") if depth == 0 => stop = true
-          case _ => next()
-        }
-        cols += s"$cname $ty"
         if (peekOp(",")) next()
       }
       expectOp(")")
+      val bare = name.stripPrefix("`").stripSuffix("`")
+      if (pkCols.nonEmpty) TableMeta.recordPk(bare, pkCols.toSeq)
+      else TableMeta.clear(bare)
       Some(s"CREATE $orReplace" + s"TABLE $ifNotExists$name (${cols.mkString(", ")}) USING parquet")
     }
 

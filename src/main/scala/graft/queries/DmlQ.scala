@@ -224,6 +224,68 @@ object DmlQ {
         .agg(count(lit(1)).as("null_bad"))
       val total = planted.agg(count(lit(1)).as("total"))
       checkBad.crossJoin(nullBad).crossJoin(total)
+    },
+
+    // U9: UPDATE + DELETE as STATEMENTS through the dialect front
+    // door (sources/DmlSql; reference update_statement.cpp /
+    // delete_statement.cpp) — the verbatim text a reference user
+    // types, executed against a managed table, end state read back.
+    QDef.sql("u09_dml_statements",
+      s"""WITH upd AS (
+         |  SELECT c_mktsegment,
+         |    CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0
+         |         ELSE c_acctbal END AS bal
+         |  FROM customer)
+         |SELECT c_mktsegment, COUNT(*) AS n, ${Exact.dsumSql("bal")} AS total
+         |FROM upd WHERE NOT (bal < 0.0)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val tbl = s"u09fd_${math.abs(dir.hashCode).toHexString}"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .repartition(8, col("c_custkey"))
+        .write.saveAsTable(tbl)
+      graft.GraftSql.runScript(s,
+        s"""UPDATE $tbl SET c_acctbal = c_acctbal + 100.0 WHERE c_mktsegment = 'BUILDING';
+           |DELETE FROM $tbl WHERE c_acctbal < 0.0""".stripMargin)
+      s.table(tbl)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("c_acctbal")).as("total"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // U10: INSERT … ON CONFLICT DO UPDATE as a STATEMENT (reference
+    // insert_statement.cpp:8 OnConflictInfo): keys 51–100 collide and
+    // take bal + excluded.bal, 101–150 insert. The oracle states the
+    // merged table as pure SQL.
+    QDef.sql("u10_upsert_statement",
+      s"""WITH base AS (
+         |  SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS v
+         |  FROM customer WHERE c_custkey <= 100),
+         |ins AS (SELECT k + 50 AS k, 1.0 AS v FROM base),
+         |upd AS (SELECT b.k, b.v + i.v AS v FROM base b JOIN ins i ON b.k = i.k),
+         |keep AS (SELECT * FROM base WHERE k NOT IN (SELECT k FROM ins)),
+         |neww AS (SELECT * FROM ins WHERE k NOT IN (SELECT k FROM base)),
+         |fin AS (SELECT * FROM upd UNION ALL SELECT * FROM keep
+         |        UNION ALL SELECT * FROM neww)
+         |SELECT CAST(k % 7 AS INT) AS grp, COUNT(*) AS n,
+         |  ${Exact.dsumSql("v")} AS total
+         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val tag = math.abs(dir.hashCode).toHexString
+      val tgt = s"u10fd_$tag"
+      val src = s"u10src_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $tgt")
+      s.sql(s"DROP TABLE IF EXISTS $src")
+      val base = t(s, dir, "customer").filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("k"), col("c_acctbal").cast("double").as("v"))
+      base.repartition(4, col("k")).write.saveAsTable(tgt)
+      base.write.saveAsTable(src)
+      graft.GraftSql.sql(s,
+        s"INSERT INTO $tgt SELECT k + 50, 1.0 FROM $src " +
+          "ON CONFLICT (k) DO UPDATE SET v = v + excluded.v")
+      s.table(tgt)
+        .groupBy((col("k") % 7).cast("int").as("grp"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("v")).as("total"))
+        .orderBy(col("grp"))
     }
   )
 }

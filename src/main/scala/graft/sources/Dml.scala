@@ -265,7 +265,8 @@ object Dml {
   }
 
   def merge(spark: SparkSession, path: String, source: DataFrame,
-            on: Seq[String], set: Map[String, Column]): DmlStats = {
+            on: Seq[String], set: Map[String, Column],
+            targetAlias: String = "t", sourceAlias: String = "excluded"): DmlStats = {
     val dupKeys = source.groupBy(on.map(col).toIndexedSeq: _*)
       .count().filter(col("count") > 1).limit(1).count()
     require(dupKeys == 0, "MERGE source has duplicate join keys")
@@ -304,9 +305,13 @@ object Dml {
           .observe(obsIns, count(lit(1)).as("n"))
         // left join: unmatched rows in a hit file pass through
         // unchanged; matched rows get `set` applied (source cols
-        // resolve via `source`)
-        val joined = hit
-          .join(source, on.map(c => hit(c) === source(c)).reduce(_ && _), "left")
+        // resolve via `source`). The sides are aliased so string-built
+        // set expressions (the DML front door's ON CONFLICT … DO
+        // UPDATE SET v = excluded.v) can qualify either row; aliasing
+        // preserves attribute ids, so df(col) references keep
+        // resolving for programmatic callers.
+        val joined = hit.as(targetAlias)
+          .join(source.as(sourceAlias), on.map(c => hit(c) === source(c)).reduce(_ && _), "left")
         val matched = on.map(c => source(c).isNotNull).reduce(_ && _)
         val observed = joined.observe(obsM,
           sum(when(matched, 1L).otherwise(0L)).as("n"))

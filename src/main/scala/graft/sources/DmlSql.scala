@@ -1,0 +1,355 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.plans.{DuckDialect, TableMeta}
+
+/** Mutation statements through the dialect front door — the
+  * reference's UPDATE / DELETE / INSERT … ON CONFLICT surface
+  * (/root/reference/src/parser/statement/update_statement.cpp,
+  * delete_statement.cpp, insert_statement.cpp — OnConflictInfo at
+  * insert_statement.cpp:8; `INSERT OR REPLACE/IGNORE` are sugar for
+  * ON CONFLICT DO UPDATE/DO NOTHING per the same header) routed to
+  * the copy-on-write engine layer (sources/Dml).
+  *
+  * Statement text is parsed with a quote/paren-aware scanner at the
+  * clause level; embedded expressions go through the full dialect
+  * translator and resolve against the session registry, so dialect
+  * spellings (`//`, `!`, list ops) work inside SET and WHERE.
+  *
+  * The target must be a catalog TABLE (the dialect's CREATE TABLE
+  * writes managed parquet): DML rewrites the table's files in place,
+  * which a view has none of. Each statement returns the reference's
+  * result shape — a single `Count` column with the number of rows
+  * changed (updated + inserted).
+  */
+object DmlSql {
+
+  private val UpdateRe = """(?is)^\s*UPDATE\s+.*""".r
+  private val DeleteRe = """(?is)^\s*DELETE\s+FROM\s+.*""".r
+  private val InsertRe = """(?is)^\s*INSERT\s+.*""".r
+
+  /** True for statements this object must run: all UPDATE/DELETE, and
+    * the INSERT variants Spark's own INSERT INTO cannot express
+    * (OR REPLACE / OR IGNORE / ON CONFLICT). Plain INSERT stays on
+    * Spark's native path.
+    */
+  def matches(text: String): Boolean = text match {
+    case UpdateRe() | DeleteRe() => true
+    case InsertRe() =>
+      val up = text.toUpperCase
+      up.matches("(?s)^\\s*INSERT\\s+OR\\s+(REPLACE|IGNORE)\\b.*") ||
+        topIndexOf(text, "ON CONFLICT") >= 0
+    case _ => false
+  }
+
+  def run(spark: SparkSession, text: String): DataFrame = text match {
+    case UpdateRe() => update(spark, text)
+    case DeleteRe() => delete(spark, text)
+    case _          => insertOnConflict(spark, text)
+  }
+
+  // ------------------------------------------------------------ UPDATE
+
+  /** `UPDATE t SET c = e [, …] [WHERE cond]`. UPDATE … FROM (join
+    * update) is not supported through the front door — use MERGE
+    * semantics via INSERT … ON CONFLICT or the Dml API.
+    */
+  private def update(spark: SparkSession, text: String): DataFrame = {
+    val afterVerb = text.trim.drop("UPDATE".length).trim
+    val setIdx = topIndexOf(afterVerb, "SET")
+    require(setIdx > 0, "UPDATE: missing SET clause")
+    val table = stripAlias(afterVerb.substring(0, setIdx))
+    val rest = afterVerb.substring(setIdx + 3)
+    require(topIndexOf(rest, "FROM") < 0,
+      "UPDATE ... FROM is not supported through the front door; " +
+        "use INSERT ... ON CONFLICT or the Dml API for join updates")
+    val whereIdx = topIndexOf(rest, "WHERE")
+    val (setPart, wherePart) =
+      if (whereIdx >= 0) (rest.substring(0, whereIdx), Some(rest.substring(whereIdx + 5)))
+      else (rest, None)
+    val sets = topSplit(setPart, ',').map(parseAssign)
+    val cond = wherePart.map(w => expr(frag(w))).getOrElse(lit(true))
+    val path = tablePath(spark, table)
+    val stats = Dml.update(spark, path, cond,
+      sets.map { case (c, e) => c -> expr(frag(e)) }.toMap)
+    spark.catalog.refreshTable(table)
+    countDf(spark, stats.rowsRewritten)
+  }
+
+  // ------------------------------------------------------------ DELETE
+
+  private def delete(spark: SparkSession, text: String): DataFrame = {
+    val afterFrom = text.trim.drop("DELETE".length).trim.drop("FROM".length).trim
+    val whereIdx = topIndexOf(afterFrom, "WHERE")
+    val (tablePart, wherePart) =
+      if (whereIdx >= 0) (afterFrom.substring(0, whereIdx), Some(afterFrom.substring(whereIdx + 5)))
+      else (afterFrom, None)
+    val table = stripAlias(tablePart)
+    val path = tablePath(spark, table)
+    val stats = wherePart match {
+      case Some(w) => Dml.delete(spark, path, expr(frag(w)))
+      case None    => Dml.delete(spark, path, lit(true))
+    }
+    spark.catalog.refreshTable(table)
+    countDf(spark, stats.rowsRewritten)
+  }
+
+  // ----------------------------------------------- INSERT … ON CONFLICT
+
+  /** `INSERT [OR REPLACE|OR IGNORE] INTO t [(cols)] <VALUES…|SELECT…>
+    * [ON CONFLICT [(keys)] DO NOTHING | DO UPDATE SET …]`. The
+    * conflict key defaults to the PRIMARY KEY recorded from the
+    * table's dialect DDL (TableMeta), exactly like the reference
+    * binds the table's unique index when no target is spelled.
+    */
+  private def insertOnConflict(spark: SparkSession, text: String): DataFrame = {
+    var rest = text.trim.drop("INSERT".length).trim
+    var mode: String = null // "replace" | "ignore" | null
+    if (rest.toUpperCase.startsWith("OR ")) {
+      rest = rest.drop(2).trim
+      val up = rest.toUpperCase
+      if (up.startsWith("REPLACE")) { mode = "replace"; rest = rest.drop("REPLACE".length).trim }
+      else if (up.startsWith("IGNORE")) { mode = "ignore"; rest = rest.drop("IGNORE".length).trim }
+      else throw new IllegalArgumentException(s"INSERT OR: expected REPLACE or IGNORE")
+    }
+    require(rest.toUpperCase.startsWith("INTO"), "INSERT: missing INTO")
+    rest = rest.drop("INTO".length).trim
+    // table name, then optional (col, …) list
+    val nameEnd = rest.indexWhere(c => c.isWhitespace || c == '(')
+    val table = rest.substring(0, if (nameEnd < 0) rest.length else nameEnd)
+    rest = rest.substring(table.length).trim
+    var insertCols: Seq[String] = Nil
+    if (rest.startsWith("(") && {
+      val inner = rest.substring(1, matchParen(rest, 0))
+      !inner.toUpperCase.trim.startsWith("SELECT") && !inner.toUpperCase.trim.startsWith("VALUES")
+    }) {
+      val close = matchParen(rest, 0)
+      insertCols = rest.substring(1, close).split(',').map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+      rest = rest.substring(close + 1).trim
+    }
+    // split off the ON CONFLICT tail
+    val ocIdx = topIndexOf(rest, "ON CONFLICT")
+    val (srcPart, conflictPart) =
+      if (ocIdx >= 0) (rest.substring(0, ocIdx), Some(rest.substring(ocIdx + "ON CONFLICT".length)))
+      else (rest, None)
+
+    val path = tablePath(spark, table)
+    val target = spark.table(table)
+    val targetCols = target.columns.toSeq
+    val cols = if (insertCols.nonEmpty) insertCols else targetCols
+
+    // source rows: VALUES list or a query, positional-renamed and
+    // cast to the target schema like any INSERT
+    val raw =
+      if (srcPart.trim.toUpperCase.startsWith("VALUES"))
+        spark.sql(DuckDialect.translate(s"SELECT * FROM (${srcPart.trim}) AS __v(${cols.map(quote).mkString(", ")})"))
+      else graft.GraftSql.sql(spark, srcPart.trim)
+    require(raw.columns.length == cols.length,
+      s"INSERT: ${cols.length} target columns but ${raw.columns.length} in source")
+    val renamed = raw.toDF(cols: _*)
+    val source = renamed.select(targetCols.map { c =>
+      if (cols.contains(c)) col(quote(c)).cast(target.schema(c).dataType).as(c)
+      else lit(null).cast(target.schema(c).dataType).as(c)
+    }: _*)
+
+    // conflict action
+    val (keys, action, assigns) = conflictPart match {
+      case None =>
+        val pk = TableMeta.primaryKey(table).getOrElse(throw new IllegalArgumentException(
+          s"INSERT OR $mode: table $table has no recorded PRIMARY KEY; spell ON CONFLICT (cols)"))
+        (pk, if (mode == "ignore") "nothing" else "replace", Nil)
+      case Some(cp0) =>
+        var cp = cp0.trim
+        var keys: Seq[String] = Nil
+        if (cp.startsWith("(")) {
+          val close = matchParen(cp, 0)
+          keys = cp.substring(1, close).split(',').map(_.trim).toSeq
+          cp = cp.substring(close + 1).trim
+        }
+        if (keys.isEmpty)
+          keys = TableMeta.primaryKey(table).getOrElse(throw new IllegalArgumentException(
+            s"ON CONFLICT: no conflict target and no recorded PRIMARY KEY for $table"))
+        val up = cp.toUpperCase
+        if (up.startsWith("DO NOTHING")) (keys, "nothing", Nil)
+        else if (up.startsWith("DO UPDATE SET")) {
+          val setPart = cp.drop("DO UPDATE SET".length)
+          require(topIndexOf(setPart, "WHERE") < 0,
+            "ON CONFLICT ... DO UPDATE ... WHERE is not supported")
+          (keys, "update", topSplit(setPart, ',').map(parseAssign))
+        } else throw new IllegalArgumentException(
+          s"ON CONFLICT: expected DO NOTHING or DO UPDATE SET, got: $cp")
+    }
+
+    val stats = action match {
+      case "nothing" =>
+        // batch-internal conflicts also ignore (first row wins);
+        // matched rows pass through untouched and do NOT count —
+        // the reference reports only the inserted rows
+        val st = Dml.merge(spark, path, source.dropDuplicates(keys), keys, Map.empty)
+        st.copy(rowsRewritten = 0)
+      case "replace" =>
+        // OR REPLACE ≡ DO UPDATE SET every non-key column = excluded's
+        val set = targetCols.filterNot(keys.contains).map(c => c -> source(c)).toMap
+        Dml.merge(spark, path, source.dropDuplicates(keys), keys, set)
+      case "update" =>
+        val set = assigns.map { case (c, e) =>
+          c -> expr(qualifyBare(frag(e), targetCols, keys, "t"))
+        }.toMap
+        Dml.merge(spark, path, source, keys, set, targetAlias = "t")
+    }
+    spark.catalog.refreshTable(table)
+    countDf(spark, stats.rowsRewritten + stats.rowsInserted)
+  }
+
+  // ------------------------------------------------------------ helpers
+
+  /** Translate an expression fragment through the full dialect. */
+  private def frag(e: String): String = {
+    val out = DuckDialect.translate("SELECT " + e.trim)
+    out.stripPrefix("SELECT").trim
+  }
+
+  /** Qualify BARE references to target-table columns with the target
+    * alias — the reference resolves unqualified names in DO UPDATE
+    * SET against the existing row, and the merge join has both sides'
+    * columns in scope, so an unqualified name would be ambiguous.
+    * `excluded.…`-qualified names pass through.
+    */
+  private[sources] def qualifyBare(e: String, targetCols: Seq[String],
+                                   keys: Seq[String], alias: String): String = {
+    val lower = targetCols.map(_.toLowerCase).toSet
+    val sb = new StringBuilder
+    var i = 0
+    val n = e.length
+    while (i < n) {
+      val c = e.charAt(i)
+      if (c == '\'') { // string literal — copy through verbatim
+        sb += c; i += 1
+        while (i < n && e.charAt(i) != '\'') { sb += e.charAt(i); i += 1 }
+        if (i < n) { sb += '\''; i += 1 }
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (e.charAt(i).isLetterOrDigit || e.charAt(i) == '_')) i += 1
+        val word = e.substring(start, i)
+        val prevDot = start > 0 && e.charAt(start - 1) == '.'
+        var j = i
+        while (j < n && e.charAt(j).isWhitespace) j += 1
+        val isCall = j < n && e.charAt(j) == '('
+        val isQualifier = j < n && e.charAt(j) == '.'
+        if (!prevDot && !isCall && !isQualifier && lower(word.toLowerCase))
+          sb.append(alias).append('.').append(word)
+        else sb.append(word)
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Resolve a catalog table's storage path. Temp views have no
+    * files to rewrite — refuse with direction.
+    */
+  private def tablePath(spark: SparkSession, table: String): String = {
+    val cat = spark.sessionState.catalog
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    require(!cat.isTempView(id),
+      s"DML target $table is a temporary view; DML needs a TABLE " +
+        "(CREATE TABLE through the front door, or the Dml API on a parquet path)")
+    cat.getTableMetadata(id).location.toString
+  }
+
+  private def stripAlias(s: String): String = {
+    val parts = s.trim.split("\\s+")
+    parts(0)
+  }
+
+  private def parseAssign(s: String): (String, String) = {
+    val eq = s.indexOf('=')
+    require(eq > 0, s"expected `col = expr`, got: $s")
+    (s.substring(0, eq).trim.stripPrefix("\"").stripSuffix("\""), s.substring(eq + 1).trim)
+  }
+
+  private def quote(c: String): String = s"`$c`"
+
+  private def countDf(spark: SparkSession, n: Long): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(n)),
+      StructType(Seq(StructField("Count", LongType, nullable = false))))
+
+  /** Index of a top-level keyword (outside quotes and parens),
+    * case-insensitive, at word boundaries. Multi-word keywords match
+    * across any whitespace run.
+    */
+  private[sources] def topIndexOf(s: String, kw: String): Int = {
+    val words = kw.split(' ')
+    var i = 0
+    var depth = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"') {
+        val q = c; i += 1
+        while (i < n && s.charAt(i) != q) i += 1
+        i += 1
+      } else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && c.isLetter) {
+        val start = i
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        if (s.substring(start, i).equalsIgnoreCase(words(0)) &&
+            (start == 0 || !s.charAt(start - 1).isLetterOrDigit)) {
+          // match the remaining words of a multi-word keyword
+          var j = i
+          var w = 1
+          var ok = true
+          while (ok && w < words.length) {
+            while (j < n && s.charAt(j).isWhitespace) j += 1
+            val ws = j
+            while (j < n && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+            if (!s.substring(ws, j).equalsIgnoreCase(words(w))) ok = false
+            w += 1
+          }
+          if (ok) return start
+        }
+      } else i += 1
+    }
+    -1
+  }
+
+  /** Split on a top-level separator (outside quotes and parens). */
+  private[sources] def topSplit(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var depth = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"') {
+        val q = c; cur += c; i += 1
+        while (i < n && s.charAt(i) != q) { cur += s.charAt(i); i += 1 }
+        if (i < n) { cur += q; i += 1 }
+      } else if (c == '(') { depth += 1; cur += c; i += 1 }
+      else if (c == ')') { depth -= 1; cur += c; i += 1 }
+      else if (c == sep && depth == 0) { out += cur.toString; cur.clear(); i += 1 }
+      else { cur += c; i += 1 }
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Index of the `)` matching the `(` at `open`. */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { i += 1; while (i < s.length && s.charAt(i) != '\'') i += 1 }
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens in: $s")
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DML statements through the dialect front door (sources/DmlSql):
+  * UPDATE / DELETE / INSERT … ON CONFLICT / INSERT OR REPLACE /
+  * INSERT OR IGNORE run verbatim as a script, with the end state AND
+  * every per-statement Count pinned by executing the same script in
+  * DuckDB 1.0.0. PRIMARY KEY is recorded from the dialect DDL
+  * (plans/TableMeta), so OR REPLACE / OR IGNORE need no explicit
+  * conflict target — same defaulting as the reference's unique-index
+  * binding (insert_statement.cpp:8 OnConflictInfo).
+  */
+class DmlSqlSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def inScratchDb[T](body: => T): T = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS dmlsql")
+    spark.sql("USE dmlsql")
+    spark.sql("DROP TABLE IF EXISTS accounts")
+    try body
+    finally {
+      spark.sql("DROP TABLE IF EXISTS accounts")
+      spark.sql("USE default")
+    }
+  }
+
+  test("mutation script runs verbatim; counts and end state match DuckDB") {
+    inScratchDb {
+      val script =
+        """CREATE OR REPLACE TABLE accounts (id INTEGER PRIMARY KEY, owner VARCHAR, bal DOUBLE, seg VARCHAR);
+          |INSERT INTO accounts VALUES (1, 'ann', 100.0, 'A'), (2, 'bo', 50.0, 'B'), (3, 'cy', -20.0, 'A'), (4, 'dee', 70.0, 'C');
+          |UPDATE accounts SET bal = bal + 10 WHERE seg = 'A';
+          |DELETE FROM accounts WHERE bal < 0;
+          |INSERT INTO accounts VALUES (1, 'annie', 5.0, 'A'), (5, 'ed', 30.0, 'B') ON CONFLICT (id) DO UPDATE SET bal = bal + excluded.bal, owner = excluded.owner;
+          |INSERT OR IGNORE INTO accounts VALUES (1, 'X', 0.0, 'Z'), (6, 'fi', 12.0, 'A');
+          |INSERT OR REPLACE INTO accounts VALUES (2, 'bob', 55.0, 'B');
+          |SELECT id, owner, bal, seg FROM accounts ORDER BY id""".stripMargin
+      val results = GraftSql.runScript(spark, script)
+      // per-statement Counts, pinned in DuckDB (UPDATE 2, DELETE 1,
+      // upsert 1+1, OR IGNORE 1, OR REPLACE 1)
+      def cnt(i: Int): Long = results(i).collect()(0).getLong(0)
+      assert(cnt(2) === 2L)
+      assert(cnt(3) === 1L)
+      assert(cnt(4) === 2L)
+      assert(cnt(5) === 1L)
+      assert(cnt(6) === 1L)
+      // end state, pinned in DuckDB
+      val fin = results.last.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getString(3))).toSeq
+      assert(fin === Seq(
+        (1, "annie", 115.0, "A"), (2, "bob", 55.0, "B"), (4, "dee", 70.0, "C"),
+        (5, "ed", 30.0, "B"), (6, "fi", 12.0, "A")))
+    }
+  }
+
+  test("dialect spellings work inside SET and WHERE") {
+    inScratchDb {
+      GraftSql.runScript(spark,
+        """CREATE OR REPLACE TABLE accounts (id INTEGER PRIMARY KEY, owner VARCHAR, bal DOUBLE, seg VARCHAR);
+          |INSERT INTO accounts VALUES (1, 'a', 100.0, 'A'), (2, 'b', 51.0, 'B');
+          |UPDATE accounts SET bal = bal // 2 WHERE id % 2 = 0""".stripMargin)
+      val got = spark.table("accounts").orderBy("id").collect()
+        .map(r => (r.getInt(0), r.getDouble(2))).toSeq
+      // 51.0 // 2 = 25.5 (non-integral operands divide plain) — DuckDB-pinned
+      assert(got === Seq((1, 100.0), (2, 25.5)))
+    }
+  }
+
+  test("ON CONFLICT DO NOTHING skips existing and batch-duplicate keys") {
+    inScratchDb {
+      val res = GraftSql.runScript(spark,
+        """CREATE OR REPLACE TABLE accounts (id INTEGER PRIMARY KEY, owner VARCHAR, bal DOUBLE, seg VARCHAR);
+          |INSERT INTO accounts VALUES (1, 'a', 1.0, 'A');
+          |INSERT INTO accounts VALUES (1, 'dup', 9.0, 'Z'), (2, 'b', 2.0, 'B') ON CONFLICT (id) DO NOTHING""".stripMargin)
+      assert(res.last.collect()(0).getLong(0) === 1L)
+      val got = spark.table("accounts").orderBy("id").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(got === Seq((1, "a"), (2, "b")))
+    }
+  }
+
+  test("DML on a temp view refuses with direction") {
+    graft.sources.Catalog.registerAll(spark, sfDir)
+    val e = intercept[Exception] {
+      GraftSql.sql(spark, "UPDATE nation SET n_name = 'x'")
+    }
+    assert(e.getMessage.contains("temporary view"))
+  }
+
+  test("EXPLAIN and EXPLAIN ANALYZE return the reference's result shape") {
+    graft.sources.Catalog.registerAll(spark, sfDir)
+    val ex = GraftSql.sql(spark, "EXPLAIN SELECT n_regionkey, count(*) FROM nation GROUP BY 1")
+    assert(ex.columns.toSeq === Seq("explain_key", "explain_value"))
+    val r = ex.collect()(0)
+    assert(r.getString(0) === "physical_plan")
+    assert(r.getString(1).contains("HashAggregate"))
+    val an = GraftSql.sql(spark, "EXPLAIN ANALYZE SELECT count(*) FROM nation").collect()(0)
+    assert(an.getString(0) === "analyzed_plan")
+    assert(an.getString(1).contains("Rows Returned: 1"))
+    assert(an.getString(1).contains("numOutputRows"))
+  }
+}
