@@ -33,6 +33,11 @@ object GraftSql {
       // Spark's native path below.
       case _ if graft.sources.DmlSql.matches(text) =>
         return graft.sources.DmlSql.run(spark, text)
+      // ASOF [LEFT] JOIN statement syntax → the union+window plan
+      // (plans/AsofSql → operators/Joins.asofJoin), then the rewritten
+      // statement continues through the normal path
+      case _ if graft.plans.AsofSql.matches(text) =>
+        return sql(spark, graft.plans.AsofSql.rewrite(spark, text))
       case _ =>
     }
     text match {

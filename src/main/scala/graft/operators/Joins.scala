@@ -58,7 +58,9 @@ object Joins {
       left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      direction: String = ">=",
+      leftOuter: Boolean = true): DataFrame = {
     val leftCols = left.columns.toSeq
     val mType = org.apache.spark.sql.types.StructType(
       payload.map(p => right.schema(p)))
@@ -80,13 +82,29 @@ object Joins {
       .select(Seq(col("__k"), col("__t"), col("__isl"), col("__m")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val u = l.unionByName(r)
-    // right rows sort BEFORE left rows at equal time (__isl 0 < 1), so
-    // rightTime == leftTime matches — the `<=` in ASOF.
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__isl"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
+    // All four reference inequalities (bind_joinref): `>=`/`>` match
+    // backward (latest preceding right row), `<=`/`<` forward
+    // (earliest following). Tie handling is encoded purely in the
+    // sort order of the left/right tag: when equal times MATCH
+    // (>=, <=) the right row sorts into the left row's frame; when
+    // they don't (>, <) it sorts out of it.
+    val tieMatches = direction == ">=" || direction == "<="
+    val backward = direction == ">=" || direction == ">"
+    val tagOrder =
+      if (backward == tieMatches) col("__isl").asc // right(0) first
+      else col("__isl").desc                       // left(1) first
+    val w0 = Window.partitionBy(col("__k")).orderBy(col("__t"), tagOrder)
+    val matched =
+      if (backward)
+        last(col("__m"), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      else
+        first(col("__m"), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val out = u.withColumn("__m", matched)
       .filter(col("__isl") === 1)
+    // plain ASOF JOIN is INNER: left rows with no match drop
+    (if (leftOuter) out else out.filter(col("__m").isNotNull))
       .select(leftCols.map(col) ++
         payload.map(p => col("__m").getField(p).as(p)): _*)
   }

@@ -1,0 +1,180 @@
+package graft.plans
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.DmlSql.{topIndexOf, topSplit}
+
+/** `ASOF [LEFT] JOIN` statement syntax through the front door — the
+  * reference's spelling (parser/transform/tableref/transform_join.cpp:54
+  * sets JoinRefType::ASOF; the binder requires exactly one inequality
+  * among the conjuncts). The join itself is the q31 union+window plan
+  * (operators/Joins.asofJoin): one shuffle on the key, one sort, zero
+  * pair space — the same partition-by-key/sort-by-time shape as the
+  * reference's physical_asof_join.cpp, which is the plan that holds
+  * at 100 TB.
+  *
+  * Translate-time rewrite, schema-aware: the joined result is
+  * registered as a temp view and the statement re-targeted at it, so
+  * everything around the join (projections, WHERE, GROUP BY, the rest
+  * of the dialect) flows through the normal path. Supported shape:
+  * `FROM <table> [alias] ASOF [LEFT] JOIN <table> [alias] ON <conds>`
+  * with plain table names; equality conjuncts become the key, the one
+  * inequality (>=, >, <=, <) the time ordering. Right-side columns
+  * whose names collide with left ones are dropped from the output
+  * (for matched rows the key columns are equal anyway) — qualify with
+  * distinct names where both are needed.
+  */
+object AsofSql {
+
+  private val viewId = new AtomicLong(0L)
+
+  private val ClauseKw = Set("WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY",
+    "ORDER", "LIMIT", "UNION", "EXCEPT", "INTERSECT", "USING")
+
+  /** True when the statement contains a top-level `ASOF [LEFT] JOIN`. */
+  def matches(text: String): Boolean = {
+    val i = topIndexOf(text, "ASOF JOIN")
+    val j = topIndexOf(text, "ASOF LEFT JOIN")
+    i >= 0 || j >= 0
+  }
+
+  /** Execute the join and return the statement rewritten over the
+    * registered view.
+    */
+  def rewrite(spark: SparkSession, text: String): String = {
+    val fromIdx = topIndexOf(text, "FROM")
+    require(fromIdx >= 0, "ASOF JOIN: no FROM clause")
+    val asofIdx = topIndexOf(text, "ASOF")
+    require(asofIdx > fromIdx, "ASOF JOIN: ASOF before FROM")
+    val (ltName, ltAlias) = tableRef(text.substring(fromIdx + 4, asofIdx))
+    var rest = text.substring(asofIdx + 4).trim
+    var leftOuter = false
+    if (rest.toUpperCase.startsWith("LEFT")) { leftOuter = true; rest = rest.drop(4).trim }
+    require(rest.toUpperCase.startsWith("JOIN"), "ASOF: expected JOIN")
+    rest = rest.drop(4).trim
+    val onIdx = topIndexOf(rest, "ON")
+    require(onIdx > 0, "ASOF JOIN: missing ON")
+    val (rtName, rtAlias) = tableRef(rest.substring(0, onIdx))
+    rest = rest.substring(onIdx + 2)
+    // the ON condition runs to the next top-level clause keyword
+    val condEnd = ClauseKw.iterator.map(k => topIndexOf(rest, k))
+      .filter(_ >= 0).reduceOption(_ min _).getOrElse(rest.length)
+    val cond = rest.substring(0, condEnd)
+    val tail = rest.substring(condEnd)
+
+    val lt = spark.table(ltName)
+    val rt = spark.table(rtName)
+    val lNames = (Seq(ltName) ++ ltAlias).map(_.toLowerCase)
+    val rNames = (Seq(rtName) ++ rtAlias).map(_.toLowerCase)
+    def strip(e: String): String = {
+      var s = e
+      for (q <- lNames ++ rNames)
+        s = s.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(q) + "\\s*\\.\\s*", "")
+      s
+    }
+    def sideOf(e: String): String = {
+      val qual = "(?i)\\b([A-Za-z_][A-Za-z_0-9]*)\\s*\\.".r
+        .findFirstMatchIn(e).map(_.group(1).toLowerCase)
+      qual match {
+        case Some(q) if lNames.contains(q) => "l"
+        case Some(q) if rNames.contains(q) => "r"
+        case _ =>
+          val id = "(?i)\\b[A-Za-z_][A-Za-z_0-9]*\\b".r.findFirstIn(e.trim)
+          id match {
+            case Some(c) if lt.columns.exists(_.equalsIgnoreCase(c)) => "l"
+            case Some(c) if rt.columns.exists(_.equalsIgnoreCase(c)) => "r"
+            case _ => throw new IllegalArgumentException(
+              s"ASOF JOIN: cannot resolve side of `$e`")
+          }
+      }
+    }
+
+    val leftKeys = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val rightKeys = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var time: Option[(Column, Column, String)] = None
+    for (conjunct <- splitAnd(cond)) {
+      val (lhs, op, rhs) = comparison(conjunct)
+      val (le, re0, normOp) =
+        if (sideOf(lhs) == "l") (lhs, rhs, op)
+        else (rhs, lhs, flip(op))
+      require(sideOf(re0) == "r",
+        s"ASOF JOIN: conjunct `$conjunct` does not compare the two sides")
+      if (normOp == "=") {
+        leftKeys += expr(strip(le)); rightKeys += expr(strip(re0))
+      } else {
+        require(time.isEmpty, s"ASOF JOIN: more than one inequality in `$cond`")
+        time = Some((expr(strip(le)), expr(strip(re0)), normOp))
+      }
+    }
+    val (ltime, rtime, dir) = time.getOrElse(throw new IllegalArgumentException(
+      "ASOF JOIN: no inequality condition (reference requires exactly one)"))
+
+    // positional field names: the union inside asofJoin matches
+    // nested struct fields BY NAME, and the two sides' key
+    // expressions are named differently
+    def keyStruct(ks: Seq[Column]): Column =
+      if (ks.isEmpty) lit(0)
+      else struct(ks.zipWithIndex.map { case (c, i) => c.as(s"_k$i") }: _*)
+    val lKey = keyStruct(leftKeys.toSeq)
+    val rKey = keyStruct(rightKeys.toSeq)
+    val payload = rt.columns.filterNot(c => lt.columns.contains(c)).toSeq
+    val joined = graft.operators.Joins.asofJoin(
+      lt, rt, lKey, rKey, ltime, rtime, payload,
+      direction = dir, leftOuter = leftOuter)
+    val view = s"__asof_${viewId.incrementAndGet()}"
+    joined.createOrReplaceTempView(view)
+    strip(text.substring(0, fromIdx)) + "FROM " + view + " " + strip(tail)
+  }
+
+  private def tableRef(s: String): (String, Option[String]) = {
+    val parts = s.trim.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
+    require(parts.nonEmpty && parts.length <= 2,
+      s"ASOF JOIN: expected `table [alias]`, got: $s " +
+        "(subqueries in ASOF position are not supported — name them as views first)")
+    (parts(0), parts.lift(1))
+  }
+
+  private def splitAnd(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var cur = s
+    var i = topIndexOf(cur, "AND")
+    while (i >= 0) {
+      out += cur.substring(0, i)
+      cur = cur.substring(i + 3)
+      i = topIndexOf(cur, "AND")
+    }
+    out += cur
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Find the one top-level comparison operator in a conjunct. */
+  private def comparison(s: String): (String, String, String) = {
+    var depth = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'') { i += 1; while (i < n && s.charAt(i) != '\'') i += 1; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && (c == '<' || c == '>' || c == '=')) {
+        val op =
+          if (i + 1 < n && s.charAt(i + 1) == '=') s.substring(i, i + 2)
+          else c.toString
+        return (s.substring(0, i), op, s.substring(i + op.length))
+      } else i += 1
+    }
+    throw new IllegalArgumentException(s"ASOF JOIN: no comparison in `$s`")
+  }
+
+  private def flip(op: String): String = op match {
+    case ">=" => "<="
+    case "<=" => ">="
+    case ">"  => "<"
+    case "<"  => ">"
+    case "="  => "="
+  }
+}

@@ -22,6 +22,19 @@ object DmlQ {
 
   private def ts(d: String): Column = lit(d).cast("timestamp")
 
+  /** Drop a managed table AND its warehouse directory. The catalog
+    * (Derby metastore) is per-JVM while ./spark-warehouse is shared,
+    * so another process's run can leave an orphaned location that
+    * makes saveAsTable refuse — clear both.
+    */
+  private def freshTable(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir") + "/" + name)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+  }
+
   /** Seed a mutable copy: 8 files, hash-clustered on `key` so DML
     * predicates on the key touch a strict subset of files. The path is
     * stable per (entry, sf dir) and overwritten each run, so repeated
@@ -240,7 +253,7 @@ object DmlQ {
          |FROM upd WHERE NOT (bal < 0.0)
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
       val tbl = s"u09fd_${math.abs(dir.hashCode).toHexString}"
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      freshTable(s, tbl)
       t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
         .repartition(8, col("c_custkey"))
         .write.saveAsTable(tbl)
@@ -273,8 +286,8 @@ object DmlQ {
       val tag = math.abs(dir.hashCode).toHexString
       val tgt = s"u10fd_$tag"
       val src = s"u10src_$tag"
-      s.sql(s"DROP TABLE IF EXISTS $tgt")
-      s.sql(s"DROP TABLE IF EXISTS $src")
+      freshTable(s, tgt)
+      freshTable(s, src)
       val base = t(s, dir, "customer").filter(col("c_custkey") <= 100)
         .select(col("c_custkey").as("k"), col("c_acctbal").cast("double").as("v"))
       base.repartition(4, col("k")).write.saveAsTable(tgt)

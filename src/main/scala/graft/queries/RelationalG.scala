@@ -188,6 +188,40 @@ object RelationalG {
         .select(k, explode(flatten(array(
           array(k % 7, k % 5), array(k % 3)))).as("u"))
         .orderBy(col("p_partkey"), col("u"))
+    },
+
+    // R69: the reference's ASOF JOIN *statement* syntax
+    // (transform_join.cpp:54) runs VERBATIM on both engines — the
+    // dialect front door rewrites it into the q31 union+window plan
+    // (plans/AsofSql → operators/Joins.asofJoin). Backward `>=`:
+    // latest order at-or-before each event. Payload is the matched
+    // row's o_orderdate only — (o_custkey, o_orderdate) can tie, and
+    // the DATE of the match is deterministic where the full row
+    // isn't.
+    {
+      val text =
+        """SELECT event_id, user_id, CAST(o_orderdate AS DATE) AS last_od
+          |FROM events e ASOF JOIN orders ON e.user_id = o_custkey AND e.ts >= o_orderdate
+          |ORDER BY event_id""".stripMargin
+      QDef.sql("q68_asof_statement", text) { (s, dir) =>
+        Catalog.registerAll(s, dir)
+        graft.GraftSql.sql(s, text)
+      }
+    },
+
+    // R70: ASOF LEFT JOIN, forward `<=` — earliest event at-or-after
+    // each order date; orders whose customer has no events keep NULL
+    // payloads (LEFT). (user_id, ts) is unique in the testdata, so
+    // the matched event is deterministic.
+    {
+      val text =
+        """SELECT o_orderkey, event_id, ts
+          |FROM orders ASOF LEFT JOIN events e ON o_custkey = e.user_id AND o_orderdate <= e.ts
+          |ORDER BY o_orderkey""".stripMargin
+      QDef.sql("q69_asof_left_statement", text) { (s, dir) =>
+        Catalog.registerAll(s, dir)
+        graft.GraftSql.sql(s, text)
+      }
     }
   )
 }

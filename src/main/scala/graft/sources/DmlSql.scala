@@ -218,7 +218,7 @@ object DmlSql {
     * columns in scope, so an unqualified name would be ambiguous.
     * `excluded.…`-qualified names pass through.
     */
-  private[sources] def qualifyBare(e: String, targetCols: Seq[String],
+  private[graft] def qualifyBare(e: String, targetCols: Seq[String],
                                    keys: Seq[String], alias: String): String = {
     val lower = targetCols.map(_.toLowerCase).toSet
     val sb = new StringBuilder
@@ -281,7 +281,7 @@ object DmlSql {
     * case-insensitive, at word boundaries. Multi-word keywords match
     * across any whitespace run.
     */
-  private[sources] def topIndexOf(s: String, kw: String): Int = {
+  private[graft] def topIndexOf(s: String, kw: String): Int = {
     val words = kw.split(' ')
     var i = 0
     var depth = 0
@@ -318,7 +318,7 @@ object DmlSql {
   }
 
   /** Split on a top-level separator (outside quotes and parens). */
-  private[sources] def topSplit(s: String, sep: Char): Seq[String] = {
+  private[graft] def topSplit(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var i = 0
