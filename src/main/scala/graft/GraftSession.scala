@@ -48,6 +48,9 @@ object GraftSession {
       // epoch-arithmetic kernels (unix_micros, casts to BIGINT) and the
       // DuckDB oracle agree on wall-clock values.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // Spark 4.1 ships TimeType behind this flag; the reference's
+      // TIME surface (make_time, TIME casts) maps onto it directly
+      .config("spark.sql.timeType.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -18,8 +18,24 @@ object GraftSql {
   private val LimitPercent = """(?is)^(.*)\bLIMIT\s+(\d+)\s*(?:%|PERCENT)\s*;?\s*$""".r
   private val Explain = """(?is)^\s*EXPLAIN(\s+ANALYZE)?\s+(.*)$""".r
 
-  def sql(spark: SparkSession, text: String): DataFrame = {
-    spark.conf.set("spark.graft.current_query", text)
+  def sql(spark: SparkSession, text0: String): DataFrame = {
+    spark.conf.set("spark.graft.current_query", text0)
+    // CREATE MACRO registers; every other statement gets macro calls
+    // textually inlined first (the reference binder does the same)
+    if (graft.plans.MacroReg.isCreate(text0)) {
+      graft.plans.MacroReg.register(text0)
+      return spark.emptyDataFrame
+    }
+    val text = graft.plans.MacroReg.expand(text0)
+    // schema-aware dialect rewrites that need the session
+    unionByNamePass(spark, text) match {
+      case Some(v) => return sql(spark, v)
+      case None =>
+    }
+    pivotPass(spark, text) match {
+      case Some(v) => return sql(spark, v)
+      case None =>
+    }
     text match {
       // EXPLAIN [ANALYZE] <stmt> (reference
       // parser/statement/explain_statement.cpp): same result shape as
@@ -67,9 +83,167 @@ object GraftSql {
           case CreateOrReplace(name, rest) =>
             spark.sql(s"DROP TABLE IF EXISTS $name")
             spark.sql(s"CREATE TABLE $name $rest")
-          case t => spark.sql(t)
+          case t =>
+            // post-translate passes: star REPLACE + COLUMNS('re')
+            // (schema-aware), then window EXCLUDE / named-window
+            // inlining, then nested-generator extraction (SqlPasses)
+            spark.sql(graft.plans.SqlPasses.generatorPass(
+              graft.plans.SqlPasses.windowExcludePass(
+                columnsPass(spark, starReplacePass(spark, t)))))
         }
     }
+  }
+
+  private val asofViewId = new java.util.concurrent.atomic.AtomicLong(100L)
+
+  /** `… UNION [ALL] BY NAME …` (reference setop syntax): execute the
+    * two sides, `unionByName(allowMissingColumns = true)`, splice a
+    * temp view into the enclosing scope. Without ALL the reference
+    * dedups — so does this. Column order matches the reference: left
+    * columns first, right-only columns appended.
+    */
+  private def unionByNamePass(spark: SparkSession, text: String): Option[String] = {
+    val Re = "(?i)\\bUNION\\s+(ALL\\s+)?BY\\s+NAME\\b".r
+    Re.findFirstMatchIn(text).map { m =>
+      val all = m.group(1) != null
+      // enclosing scope: the '(' whose depth the match sits inside
+      var depth = 0
+      var open = -1
+      var i = m.start - 1
+      while (i >= 0 && open < 0) {
+        val c = text.charAt(i)
+        if (c == ')') depth += 1
+        else if (c == '(') { if (depth == 0) open = i else depth -= 1 }
+        i -= 1
+      }
+      val close = if (open >= 0) graft.plans.SqlPasses.matchParen(text, open) else text.length
+      val scopeStart = if (open >= 0) open + 1 else 0
+      val left = text.substring(scopeStart, m.start).trim
+      val right = text.substring(m.end, close).trim
+      val l = sql(spark, left)
+      val r = sql(spark, right)
+      val u0 = l.unionByName(r, allowMissingColumns = true)
+      val u = if (all) u0 else u0.distinct()
+      val view = s"__setop_${asofViewId.incrementAndGet()}"
+      u.createOrReplaceTempView(view)
+      text.substring(0, scopeStart) + s" SELECT * FROM $view " + text.substring(close)
+    }
+  }
+
+  /** Dynamic `PIVOT <source> ON <col> USING <agg> [GROUP BY cols]`
+    * (reference transform_pivot.cpp:100): two passes, exactly like
+    * the reference — distinct values of the pivot column first, then
+    * a grouped pivot over them. The distinct-value collect is
+    * driver-side and guarded (pivot output columns are schema, so
+    * EVERY engine materializes them; the reference does the same
+    * scan). Spliced back as a temp view.
+    */
+  private def pivotPass(spark: SparkSession, text: String): Option[String] = {
+    val Re = "(?i)\\bPIVOT\\s*\\(".r
+    Re.findFirstMatchIn(text).map { m =>
+      import graft.plans.SqlPasses.matchParen
+      val srcOpen = text.indexOf('(', m.start)
+      val srcClose = matchParen(text, srcOpen)
+      val source = text.substring(srcOpen + 1, srcClose)
+      var rest = text.substring(srcClose + 1)
+      val OnRe = "(?i)^\\s*ON\\s+".r
+      val on = OnRe.findFirstMatchIn(rest).getOrElse(
+        throw new IllegalArgumentException("PIVOT: expected ON <column>"))
+      rest = rest.substring(on.end)
+      val usingIdx = graft.sources.DmlSql.topIndexOf(rest, "USING")
+      require(usingIdx >= 0, "PIVOT: expected USING <aggregate>")
+      val onCol = rest.substring(0, usingIdx).trim
+      rest = rest.substring(usingIdx + 5)
+      // the pivot clause ends at the scope's ')' or end of text
+      var depth = 0
+      var end = rest.length
+      var j = 0
+      while (j < end) {
+        val c = rest.charAt(j)
+        if (c == '\'') { j += 1; while (j < end && rest.charAt(j) != '\'') j += 1 }
+        else if (c == '(') depth += 1
+        else if (c == ')') { if (depth == 0) { end = j } else depth -= 1 }
+        j += 1
+      }
+      val clause = rest.substring(0, end)
+      val tail = rest.substring(end)
+      val gIdx = graft.sources.DmlSql.topIndexOf(clause, "GROUP BY")
+      val (aggText, groupCols) =
+        if (gIdx >= 0)
+          (clause.substring(0, gIdx).trim,
+            graft.sources.DmlSql.topSplit(clause.substring(gIdx + 8), ',').map(_.trim))
+        else (clause.trim, Nil)
+      val src = sql(spark, source.trim)
+      val grouped =
+        if (groupCols.nonEmpty) groupCols
+        else {
+          // reference default: implicit GROUP BY every column not
+          // named in ON and not consumed by the aggregate
+          val aggLower = aggText.toLowerCase
+          src.columns.filterNot(_.equalsIgnoreCase(onCol))
+            .filterNot(c => aggLower.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(c.toLowerCase)}\\b.*")).toSeq
+        }
+      val values = src.select(onCol).distinct().limit(10001).collect().map(_.get(0))
+      require(values.length <= 10000,
+        "PIVOT: more than 10000 distinct pivot values — not a pivotable column")
+      val sorted = values.sortBy(v => if (v == null) "" else v.toString).toSeq
+      val out = src.groupBy(grouped.map(org.apache.spark.sql.functions.col): _*)
+        .pivot(onCol, sorted)
+        .agg(org.apache.spark.sql.functions.expr(aggText))
+      val view = s"__pivot_${asofViewId.incrementAndGet()}"
+      out.createOrReplaceTempView(view)
+      text.substring(0, m.start) + view + " " + tail
+    }
+  }
+
+  /** `SELECT * [EXCEPT (…)] REPLACE (e AS c, …) FROM …` — the star
+    * REPLACE modifier (reference star_expression REPLACE list).
+    * Schema-aware: probe the statement without the REPLACE list for
+    * its columns (lazy — no execution), then project explicitly with
+    * the replaced expressions substituted in place.
+    */
+  private def starReplacePass(spark: SparkSession, sql0: String): String = {
+    val Re = "(?i)SELECT\\s+\\*\\s*(EXCEPT\\s*\\([^)]*\\)\\s*)?REPLACE\\s*\\(".r
+    val m = Re.findFirstMatchIn(sql0).getOrElse(return sql0)
+    import graft.plans.SqlPasses.matchParen
+    val repOpen = sql0.lastIndexOf('(', m.end - 1)
+    val repClose = matchParen(sql0, repOpen)
+    val repList = graft.sources.DmlSql.topSplit(sql0.substring(repOpen + 1, repClose), ',')
+    val rest = sql0.substring(repClose + 1)
+    val exceptPart = Option(m.group(1)).getOrElse("")
+    val probeCols = spark.sql(s"SELECT * $exceptPart $rest").columns.toSeq
+    val repMap = repList.map { item =>
+      val asIdx = graft.sources.DmlSql.topIndexOf(item, "AS")
+      require(asIdx > 0, s"REPLACE: expected `expr AS name`, got: $item")
+      val name = item.substring(asIdx + 2).trim.stripPrefix("`").stripSuffix("`")
+      name.toLowerCase -> item.substring(0, asIdx).trim
+    }.toMap
+    val proj = probeCols.map { c =>
+      repMap.get(c.toLowerCase).map(e => s"$e AS `$c`").getOrElse(s"`$c`")
+    }.mkString(", ")
+    sql0.substring(0, m.start) + s"SELECT $proj " + rest
+  }
+
+  /** `fn(COLUMNS('regex'))` multi-column expansion (reference
+    * COLUMNS star expression): expands to one aggregate per matching
+    * column of the statement's FROM relation, each aliased to the
+    * plain column name — the reference's own output naming (pinned
+    * in DuckDB 1.0.0).
+    */
+  private def columnsPass(spark: SparkSession, sql0: String): String = {
+    if (!sql0.toUpperCase.contains("COLUMNS")) return sql0
+    val Re = "(?i)([A-Za-z_]\\w*)\\s*\\(\\s*COLUMNS\\s*\\(\\s*'([^']*)'\\s*\\)\\s*\\)".r
+    val fromIdx = graft.sources.DmlSql.topIndexOf(sql0, "FROM")
+    if (fromIdx < 0 || Re.findFirstIn(sql0).isEmpty) return sql0
+    val cols = spark.sql("SELECT * " + sql0.substring(fromIdx)).columns.toSeq
+    Re.replaceAllIn(sql0, m => {
+      val fn = m.group(1)
+      val p = java.util.regex.Pattern.compile(m.group(2))
+      val hit = cols.filter(c => p.matcher(c).find())
+      require(hit.nonEmpty, s"COLUMNS('${m.group(2)}') matched no columns")
+      java.util.regex.Matcher.quoteReplacement(
+        hit.map(c => s"$fn(`$c`) AS `$c`").mkString(", "))
+    })
   }
 
   private val CreateOrReplace =

@@ -42,9 +42,34 @@ object AsofSql {
   }
 
   /** Execute the join and return the statement rewritten over the
-    * registered view.
+    * registered view. A leading WITH clause is materialized first —
+    * each CTE becomes a temp view (the reference binds CTEs before
+    * the join ref the same way), so `ASOF JOIN <cte>` works.
     */
-  def rewrite(spark: SparkSession, text: String): String = {
+  def rewrite(spark: SparkSession, text0: String): String = {
+    var text = text0
+    if (text.trim.toUpperCase.startsWith("WITH")) {
+      var i = text.indexOf(text.trim.take(4)) + 4
+      var more = true
+      while (more) {
+        while (i < text.length && text.charAt(i).isWhitespace) i += 1
+        val nameEnd = text.indexWhere(c => !(c.isLetterOrDigit || c == '_'), i)
+        val name = text.substring(i, nameEnd)
+        i = nameEnd
+        while (i < text.length && text.charAt(i).isWhitespace) i += 1
+        require(text.regionMatches(true, i, "AS", 0, 2), "WITH: expected AS")
+        i += 2
+        while (i < text.length && text.charAt(i).isWhitespace) i += 1
+        require(text.charAt(i) == '(', "WITH: expected (query)")
+        val close = SqlPasses.matchParen(text, i)
+        graft.GraftSql.sql(spark, text.substring(i + 1, close))
+          .createOrReplaceTempView(name)
+        i = close + 1
+        while (i < text.length && text.charAt(i).isWhitespace) i += 1
+        if (i < text.length && text.charAt(i) == ',') i += 1 else more = false
+      }
+      text = text.substring(i)
+    }
     val fromIdx = topIndexOf(text, "FROM")
     require(fromIdx >= 0, "ASOF JOIN: no FROM clause")
     val asofIdx = topIndexOf(text, "ASOF")

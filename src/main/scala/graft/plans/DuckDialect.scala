@@ -170,9 +170,14 @@ object DuckDialect {
     "=" -> 40, "<" -> 40, ">" -> 40, "<=" -> 40, ">=" -> 40,
     "<>" -> 40, "!=" -> 40,
     // additive / multiplicative
-    "+" -> 60, "-" -> 60, "*" -> 70, "/" -> 70, "%" -> 70)
+    "+" -> 60, "-" -> 60, "*" -> 70)
 
   private val REWRITE_INFIX: Map[String, Int] = Map(
+    // the reference returns NULL on a zero divisor for / and %
+    // (BinaryZeroIsNullWrapper; pinned: 1/0, 1.0/0.0, 7%0 are all
+    // NULL in DuckDB) — Spark's ANSI operators would throw, so both
+    // rewrite to the try_ forms, which match exactly
+    "/" -> 70, "%" -> 70,
     "**" -> 80, "^" -> 80, "//" -> 70,
     "~" -> 50, "!~" -> 50, "~~" -> 50, "!~~" -> 50, "~~*" -> 50, "!~~*" -> 50,
     "~*" -> 50, "!~*" -> 50,
@@ -569,8 +574,16 @@ object DuckDialect {
               left = s"($left $o $r)"
             }
           case TOp(o) if REWRITE_INFIX.contains(o) && REWRITE_INFIX(o) >= min =>
-            next(); val r = expr(REWRITE_INFIX(o) + 1)
+            next()
+            if (o == "%" && (!more || peekOp(")") || isGlue(peek))) {
+              // `LIMIT 1%`: no right operand — keep the raw suffix for
+              // the statement-level percent-limit route
+              left = s"$left $o"; loop = false
+            } else {
+            val r = expr(REWRITE_INFIX(o) + 1)
             left = o match {
+              case "/"        => s"try_divide($left, $r)"
+              case "%"        => s"try_mod($left, $r)"
               case "**" | "^" => s"power($left, $r)"
               case "//"       => s"`//`($left, $r)"
               case "~"        => s"regexp_full_match($left, $r)"
@@ -587,6 +600,7 @@ object DuckDialect {
               case "@>"       => s"list_has_all($left, $r)"
               case "<@"       => s"list_has_all($r, $left)"
               case "^@"       => s"starts_with($left, $r)"
+            }
             }
           case TWord(w) if w.equalsIgnoreCase("AND") && 20 >= min =>
             next(); val r = expr(21); left = s"($left AND $r)"
@@ -872,6 +886,21 @@ object DuckDialect {
       expectOp(")")
       lastGlue = savedGlue
       var out = s"$fname(${renderArgs(parts.toSeq)})$nullsSuffix"
+      // a CALL named map is the reference's map(key_list, value_list)
+      // constructor (the variadic pair form is only ever generated
+      // here from MAP literals) → Spark's map_from_arrays
+      if (low == "map" && parts.count(_ == ",") == 1)
+        out = s"map_from_arrays(${renderArgs(parts.toSeq)})"
+      // unnest(x, recursive := true): one structural level collapses
+      // per flatten — the reference's recursive flag for
+      // list-of-list inputs (transform of unnest's named parameter)
+      if (low == "unnest" &&
+          parts.exists(_.toLowerCase.startsWith("recursive =>"))) {
+        val pos = parts.filterNot(p => p == "," ||
+          p.toLowerCase.startsWith("recursive =>") ||
+          p.toLowerCase.startsWith("max_depth =>"))
+        out = s"explode(flatten(${pos.mkString(", ")}))"
+      }
       if (inlineOrder.nonEmpty) {
         val ob = inlineOrder.filterNot(_ == ",").mkString(", ")
         out =
@@ -1101,8 +1130,11 @@ object DuckDialect {
                 base = s"duck_slice($base, $a, $hi)"
               } else {
                 expectOp("]")
-                // string key → native map/struct access; else 1-based list index
-                base = if (a.startsWith("'")) s"$base[$a]" else s"list_extract($base, $a)"
+                // every subscript routes through the polymorphic
+                // list_extract (DuckNames.ListExtract): 1-based list
+                // index, struct field (by position or name), map key →
+                // single-element LIST like the reference's map_extract
+                base = s"list_extract($base, $a)"
               }
             }
           case TOp("::") =>

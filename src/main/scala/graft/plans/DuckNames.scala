@@ -494,10 +494,22 @@ case class ListExtract(input: Expression, index: Expression)
     require(index.foldable, "struct subscripts require a constant index")
     index.eval(null).asInstanceOf[Number].intValue
   }
+  /** struct['name'] — 1-based position of a constant string key. */
+  private def structFieldIdx(s: StructType): Int = index.dataType match {
+    case StringType if index.foldable =>
+      val name = index.eval(null).toString
+      val i = s.fields.indexWhere(_.name.equalsIgnoreCase(name))
+      require(i >= 0, s"struct subscript: no field '$name'")
+      i + 1
+    case _ => constIdx
+  }
   override def dataType: DataType = input.dataType match {
     case ArrayType(et, _) => et
-    case s: StructType => s.fields(constIdx - 1).dataType // 1-based, like the reference
-    case MapType(_, vt, _) => vt
+    case s: StructType => s.fields(structFieldIdx(s) - 1).dataType // 1-based, like the reference
+    // map subscript returns a LIST — [value] on hit, [] on miss
+    // (reference map_extract.cpp:30 binds LIST(value_type), :88
+    // returns the empty list for a missing key)
+    case MapType(_, vt, _) => ArrayType(vt)
     case _ => StringType
   }
   override def nullable: Boolean = true
@@ -506,10 +518,10 @@ case class ListExtract(input: Expression, index: Expression)
       case _: ArrayType | StringType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case s: StructType =>
-        if (index.foldable && { val i = constIdx; i >= 1 && i <= s.fields.length })
+        if (index.foldable && { val i = structFieldIdx(s); i >= 1 && i <= s.fields.length })
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
         else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          "struct subscript must be a constant within 1..#fields")
+          "struct subscript must be a constant position or field name")
       case m: MapType =>
         if (index.dataType == m.keyType ||
             index.dataType.catalogString == m.keyType.catalogString)
@@ -535,20 +547,22 @@ case class ListExtract(input: Expression, index: Expression)
       if (i < 1 || i > n) null else arr.get(i - 1, at.elementType)
     case st: StructType =>
       val row = in.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
-      val i = constIdx
+      val i = structFieldIdx(st)
       if (row.isNullAt(i - 1)) null else row.get(i - 1, st.fields(i - 1).dataType)
     case mt: MapType =>
       val m = in.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
       val keys = m.keyArray()
       val n = m.numElements()
       var i = 0
-      var out: Any = null
-      while (i < n && out == null) {
-        if (keys.get(i, mt.keyType) == idxV && !m.valueArray().isNullAt(i))
-          out = m.valueArray().get(i, mt.valueType)
+      var hit = -1
+      while (i < n && hit < 0) {
+        if (keys.get(i, mt.keyType) == idxV) hit = i
         i += 1
       }
-      out
+      if (hit < 0) new GenericArrayData(Array.empty[Any])
+      else new GenericArrayData(Array[Any](
+        if (m.valueArray().isNullAt(hit)) null
+        else m.valueArray().get(hit, mt.valueType)))
     case _ => null
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ListExtract =

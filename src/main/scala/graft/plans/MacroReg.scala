@@ -1,0 +1,72 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.sources.DmlSql.topSplit
+
+/** CREATE MACRO through the front door (reference
+  * src/parser/parsed_data/create_macro_info.cpp): DuckDB macros are
+  * untyped SQL expressions inlined at bind time, so the faithful
+  * Spark analog is textual expansion before translation — the macro
+  * body lands in the caller's plan exactly like the reference's
+  * binder inlines it (and like MacroSpec's typed SQL-UDF analog, but
+  * without demanding parameter types DuckDB never had).
+  */
+object MacroReg {
+  private val macros = new ConcurrentHashMap[String, (Seq[String], String)]()
+
+  private val Create =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MACRO\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s+AS\s+(.+?)\s*;?\s*$""".r
+
+  def isCreate(text: String): Boolean = Create.findFirstIn(text).isDefined
+
+  def register(text: String): Unit = text match {
+    case Create(name, params, body) =>
+      macros.put(name.toLowerCase,
+        (params.split(',').map(_.trim).filter(_.nonEmpty).toSeq, body.trim))
+    case _ => throw new IllegalArgumentException(
+      s"CREATE MACRO: unsupported shape (scalar `name(p, …) AS expr` only): $text")
+  }
+
+  def nonEmpty: Boolean = !macros.isEmpty
+
+  /** Expand macro calls textually, innermost-out, to a fixpoint
+    * (macros may call macros — reference macros compose the same
+    * way). Parameters substitute at identifier boundaries, arguments
+    * parenthesized.
+    */
+  def expand(sql0: String): String = {
+    if (macros.isEmpty) return sql0
+    var sql = sql0
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 10) {
+      changed = false
+      rounds += 1
+      macros.forEach { (name, defn) =>
+        val (params, body) = defn
+        val CallRe = ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(name) + "\\s*\\(").r
+        var m = CallRe.findFirstMatchIn(sql)
+        var spins = 0
+        while (m.isDefined && spins < 64) {
+          spins += 1
+          val open = sql.indexOf('(', m.get.start)
+          val close = SqlPasses.matchParen(sql, open)
+          val args = topSplit(sql.substring(open + 1, close), ',')
+          require(args.length == params.length,
+            s"macro $name expects ${params.length} args, got ${args.length}")
+          var expanded = body
+          params.zip(args).foreach { case (p, a) =>
+            expanded = expanded.replaceAll(
+              "(?i)\\b" + java.util.regex.Pattern.quote(p) + "\\b",
+              java.util.regex.Matcher.quoteReplacement(s"($a)"))
+          }
+          sql = sql.substring(0, m.get.start) + s"($expanded)" + sql.substring(close + 1)
+          changed = true
+          m = CallRe.findFirstMatchIn(sql)
+        }
+      }
+    }
+    sql
+  }
+}

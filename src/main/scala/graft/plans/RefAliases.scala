@@ -316,29 +316,48 @@ object RefAliases {
     register(e, "millennium")(args =>
       Cast(Add(Divide(Subtract(uf("year", args), Literal(1)), Literal(1000)),
         Literal(1)), IntegerType))
-    // python-style '{}' / '{0}' placeholders → java format_string
+    // python-style '{}' / '{0}' / '{[N]:[width][.prec][dfsx]}'
+    // placeholders (the reference vendors fmtlib) → java format_string
     register(e, "format") { args =>
       val fmt = constString("format", args(0))
       val out = new StringBuilder
+      // per-argument conversion demanded by its format spec
+      // ('s' string, 'f' double, 'd'/'x' long)
+      val convOf = scala.collection.mutable.Map.empty[Int, Char]
       var auto = 0
       var i = 0
+      val SpecRe = """(\d*)(?::(\d*)(\.\d+)?([dfsxX])?)?""".r
       while (i < fmt.length) {
         fmt.charAt(i) match {
-          case '{' if i + 1 < fmt.length && fmt.charAt(i + 1) == '}' =>
-            auto += 1; out.append("%").append(auto).append("$s"); i += 2
           case '{' =>
             val close = fmt.indexOf('}', i)
-            require(close > i, "format: unbalanced '{'")
+            require(close >= i, "format: unbalanced '{'")
             val spec = fmt.substring(i + 1, close)
-            require(spec.forall(_.isDigit),
-              s"format: unsupported format spec '{$spec}' (positional only)")
-            out.append("%").append(spec.toInt + 1).append("$s"); i = close + 1
+            spec match {
+              case SpecRe(idxS, width, prec, conv) =>
+                val idx = if (idxS.nonEmpty) idxS.toInt else { val a = auto; auto += 1; a }
+                val c = Option(conv).map(_.head).getOrElse('s')
+                convOf(idx) = c
+                out.append("%").append(idx + 1).append("$")
+                if (width != null && width.nonEmpty) out.append(width)
+                if (prec != null) out.append(prec)
+                out.append(c)
+              case _ => throw new IllegalArgumentException(
+                s"format: unsupported format spec '{$spec}'")
+            }
+            i = close + 1
           case '%' => out.append("%%"); i += 1
           case c => out.append(c); i += 1
         }
       }
-      uf("format_string",
-        Literal(out.toString) +: args.tail.map(a => Cast(a, StringType)))
+      val casted = args.tail.zipWithIndex.map { case (a, ix) =>
+        convOf.getOrElse(ix, 's') match {
+          case 'f'       => Cast(a, DoubleType)
+          case 'd' | 'x' | 'X' => Cast(a, LongType)
+          case _         => Cast(a, StringType)
+        }
+      }
+      uf("format_string", Literal(out.toString) +: casted)
     }
     // fixed-width tumbling buckets; sub-day widths only (the f23
     // alignment identity: the reference's 2000-01-03 origin lands on

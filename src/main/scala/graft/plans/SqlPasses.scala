@@ -1,0 +1,302 @@
+package graft.plans
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.sources.DmlSql.topIndexOf
+
+/** Text-level rewrite passes run AFTER DuckDialect.translate — each
+  * turns a reference idiom Spark's parser/analyzer rejects into
+  * plan-equivalent Spark SQL. Pure text→text; schema-aware rewrites
+  * live in GraftSql.
+  */
+object SqlPasses {
+
+  // ---------------------------------------------------------- helpers
+
+  private[graft] def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { i += 1; while (i < s.length && s.charAt(i) != '\'') i += 1 }
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens")
+  }
+
+  private def depthAt(s: String, pos: Int): Int = {
+    var depth = 0
+    var i = 0
+    while (i < pos) {
+      val c = s.charAt(i)
+      if (c == '\'') { i += 1; while (i < pos && s.charAt(i) != '\'') i += 1 }
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      i += 1
+    }
+    depth
+  }
+
+  private def findAll(s: String, re: scala.util.matching.Regex): Seq[scala.util.matching.Regex.Match] =
+    re.findAllMatchIn(s).toSeq
+
+  // ------------------------------------------- nested generators
+
+  /** Spark generators (explode) cannot nest inside expressions; the
+    * reference's `unnest(x)::T` / `CAST(unnest(x) AS T)` select-item
+    * idiom lands exactly there after translation. Rewrite each
+    * `CAST(explode(X) AS T)` into a LATERAL VIEW over X, and when the
+    * statement also computes `generate_subscripts(X, 1)` (the
+    * reference's 1-based index generator, zipped positionally with
+    * unnest of the same list) use ONE posexplode for both — which is
+    * also the plan you want: a single generator, no zip join.
+    */
+  def generatorPass(sql0: String): String = {
+    var sql = sql0
+    var n = 0
+    val CastExplode = "(?i)CAST\\s*\\(\\s*explode\\s*\\(".r
+    var m = CastExplode.findFirstMatchIn(sql)
+    while (m.isDefined && n < 8) {
+      n += 1
+      val castStart = m.get.start
+      val exOpen = sql.indexOf('(', sql.toLowerCase.indexOf("explode", castStart) + 6)
+      val exClose = matchParen(sql, exOpen)
+      val arg = sql.substring(exOpen + 1, exClose).trim
+      val gv = s"__gv$n"
+      val gp = s"__gp$n"
+      val argRe = java.util.regex.Pattern.quote(arg)
+      val subsRe = ("(?i)generate_subscripts\\s*\\(\\s*" + argRe + "\\s*,\\s*1\\s*\\)").r
+      val hasSubs = subsRe.findFirstIn(sql).isDefined
+      // replace the nested explode call with the lateral-view column
+      sql = sql.substring(0, sql.toLowerCase.indexOf("explode", castStart)) + gv +
+        sql.substring(exClose + 1)
+      if (hasSubs) sql = subsRe.replaceAllIn(sql, s"($gp + 1)")
+      // insert the LATERAL VIEW after the first table ref of the FROM
+      // clause at the same depth as the rewritten expression
+      val d = depthAt(sql, castStart)
+      val lv =
+        if (hasSubs) s" LATERAL VIEW posexplode($arg) __g$n AS $gp, $gv "
+        else s" LATERAL VIEW explode($arg) __g$n AS $gv "
+      val fromIdx = {
+        var idx = -1
+        val FromRe = "(?i)\\bFROM\\b".r
+        for (fm <- findAll(sql, FromRe) if idx < 0)
+          if (fm.start > castStart && depthAt(sql, fm.start) == d) idx = fm.start
+        require(idx >= 0, "generatorPass: no FROM clause for the nested generator")
+        idx
+      }
+      // end of the first table ref: next clause keyword, comma, or
+      // closing paren at this depth
+      var j = fromIdx + 4
+      while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+      if (j < sql.length && sql.charAt(j) == '(') j = matchParen(sql, j) + 1
+      else while (j < sql.length && (sql.charAt(j).isLetterOrDigit ||
+        "._`".contains(sql.charAt(j)))) j += 1
+      sql = sql.substring(0, j) + lv + sql.substring(j)
+      m = CastExplode.findFirstMatchIn(sql)
+    }
+    sql
+  }
+
+  // ------------------------------------------- window EXCLUDE
+
+  /** The reference's window frame `EXCLUDE CURRENT ROW / GROUP /
+    * TIES` (window_segment_tree handles exclusion natively) and
+    * frame-extended named-window references (`OVER (w RANGE …)`),
+    * neither of which Spark's parser accepts. Named windows are
+    * inlined from the WINDOW clause; each EXCLUDE is rewritten into
+    * arithmetic over plain frames:
+    *   SUM … EXCLUDE CURRENT ROW ≡ SUM(frame) − COALESCE(E, 0)
+    *   SUM … EXCLUDE GROUP       ≡ SUM(frame) − COALESCE(SUM(peers), 0)
+    *   SUM … EXCLUDE TIES        ≡ SUM(frame) − SUM(peers) + E
+    *   COUNT analogues count rows instead; MIN/MAX over a bounded
+    *   ROWS frame EXCLUDE CURRENT ROW split into least/greatest of
+    *   the two half-frames. `peers` = RANGE BETWEEN CURRENT ROW AND
+    *   CURRENT ROW over the same partition+order.
+    */
+  private val ExcludeRe = "(?i)\\bEXCLUDE\\b".r
+
+  def windowExcludePass(sql0: String): String = {
+    var sql = sql0
+    if (ExcludeRe.findFirstIn(sql).isEmpty &&
+        "(?i)\\bWINDOW\\b".r.findFirstIn(sql).isEmpty) return sql
+
+    // 1. collect + strip the WINDOW clause (any depth — each SELECT
+    //    scope's clause is found by the same keyword scan)
+    val windows = scala.collection.mutable.Map.empty[String, String]
+    val WindowRe = "(?i)\\bWINDOW\\s+".r
+    var changed = true
+    while (changed) {
+      changed = false
+      for (wm <- WindowRe.findFirstMatchIn(sql) if !changed) {
+        // parse name AS (body) [, name AS (body)]*
+        var i = wm.end
+        val start = wm.start
+        var ok = true
+        while (ok) {
+          val nameEnd0 = sql.indexWhere(c => !(c.isLetterOrDigit || c == '_'), i)
+          val nameEnd = if (nameEnd0 < 0) sql.length else nameEnd0
+          val name = sql.substring(i, nameEnd)
+          var j = nameEnd
+          while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+          if (name.isEmpty || j + 2 > sql.length || !sql.substring(j, j + 2).equalsIgnoreCase("AS")) { ok = false }
+          else {
+            j += 2
+            while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+            require(j < sql.length && sql.charAt(j) == '(', "WINDOW: expected (spec)")
+            val close = matchParen(sql, j)
+            windows(name.toLowerCase) = sql.substring(j + 1, close).trim
+            i = close + 1
+            while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+            if (i < sql.length && sql.charAt(i) == ',') {
+              i += 1
+              while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+            } else ok = false
+          }
+        }
+        if (windows.nonEmpty) {
+          sql = sql.substring(0, start) + " " + sql.substring(i)
+          changed = true
+        }
+      }
+      if (windows.isEmpty) changed = false
+    }
+
+    // 2. inline named windows into every OVER reference
+    if (windows.nonEmpty) {
+      val OverRef = "(?i)\\bOVER\\s*".r
+      val sb = new StringBuilder
+      var last = 0
+      for (om <- findAll(sql, OverRef)) {
+        val j = om.end
+        if (j < sql.length && sql.charAt(j) == '(') {
+          val close = matchParen(sql, j)
+          val body = sql.substring(j + 1, close)
+          val first = body.trim.takeWhile(c => c.isLetterOrDigit || c == '_')
+          windows.get(first.toLowerCase) match {
+            case Some(base) if last <= om.start =>
+              val rest = body.trim.drop(first.length)
+              sb.append(sql.substring(last, j + 1)).append(base).append(" ").append(rest)
+              last = close
+            case _ =>
+          }
+        } else if (last <= om.start) { // bare OVER name
+          val nameEnd0 = sql.indexWhere(c => !(c.isLetterOrDigit || c == '_'), j)
+          val nameEnd = if (nameEnd0 < 0) sql.length else nameEnd0
+          val name = sql.substring(j, nameEnd)
+          if (windows.contains(name.toLowerCase)) {
+            sb.append(sql.substring(last, j)).append("(").append(windows(name.toLowerCase)).append(")")
+            last = nameEnd
+          }
+        }
+      }
+      sb.append(sql.substring(last))
+      sql = sb.toString
+    }
+
+    // 3. rewrite EXCLUDE frames
+    var guard = 0
+    var ex = ExcludeRe.findFirstMatchIn(sql).map(_.start).getOrElse(-1)
+    while (ex >= 0 && guard < 32) {
+      guard += 1
+      sql = rewriteOneExclude(sql, ex)
+      ex = ExcludeRe.findFirstMatchIn(sql).map(_.start).getOrElse(-1)
+    }
+    sql
+  }
+
+  private def rewriteOneExclude(sql: String, exIdx0: Int): String = {
+    // EXCLUDE sits inside an OVER (...) — find the enclosing parens
+    var open = -1
+    var depth = 0
+    var i = exIdx0
+    while (i >= 0 && open < 0) {
+      val c = sql.charAt(i)
+      if (c == ')') depth += 1
+      else if (c == '(') { if (depth == 0) open = i else depth -= 1 }
+      i -= 1
+    }
+    require(open >= 0, "EXCLUDE outside parens")
+    val close = matchParen(sql, open)
+    val spec = sql.substring(open + 1, close)
+    val exIdx = topIndexOf(spec, "EXCLUDE")
+    val frame = spec.substring(0, exIdx).trim
+    val kindTxt = spec.substring(exIdx + "EXCLUDE".length).trim.toUpperCase
+    val kind =
+      if (kindTxt.startsWith("CURRENT")) "CURRENT"
+      else if (kindTxt.startsWith("GROUP")) "GROUP"
+      else if (kindTxt.startsWith("TIES")) "TIES"
+      else "NONE" // NO OTHERS
+
+    // the aggregate call directly before OVER
+    val overIdx = sql.toUpperCase.lastIndexOf("OVER", open) match {
+      case x if x >= 0 => x
+      case _ => throw new IllegalArgumentException("EXCLUDE without OVER")
+    }
+    var e = overIdx - 1
+    while (e >= 0 && sql.charAt(e).isWhitespace) e -= 1
+    require(e >= 0 && sql.charAt(e) == ')', "EXCLUDE: no call before OVER")
+    var d2 = 0
+    var cOpen = -1
+    var k = e
+    while (k >= 0 && cOpen < 0) {
+      val c = sql.charAt(k)
+      if (c == ')') d2 += 1
+      else if (c == '(') { d2 -= 1; if (d2 == 0) cOpen = k }
+      k -= 1
+    }
+    var fnStart = cOpen - 1
+    while (fnStart >= 0 && (sql.charAt(fnStart).isLetterOrDigit || sql.charAt(fnStart) == '_')) fnStart -= 1
+    fnStart += 1
+    val fn = sql.substring(fnStart, cOpen).toUpperCase
+    val arg = sql.substring(cOpen + 1, e).trim
+
+    // partition+order prefix of the frame (everything before the
+    // frame-unit keyword) → the peers frame
+    val frameUnitIdx = Seq("ROWS", "RANGE", "GROUPS").map(topIndexOf(frame, _))
+      .filter(_ >= 0).minOption.getOrElse(frame.length)
+    val po = frame.substring(0, frameUnitIdx).trim
+    val peers = s"$po RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+
+    val full = s"$fn($arg) OVER ($frame)"
+    val replacement = (fn, kind) match {
+      case (_, "NONE") => full
+      case ("SUM", "CURRENT") => s"(($full) - COALESCE($arg, 0))"
+      case ("SUM", "GROUP") => s"(($full) - COALESCE(SUM($arg) OVER ($peers), 0))"
+      case ("SUM", "TIES") =>
+        s"(($full) - COALESCE(SUM($arg) OVER ($peers), 0) + COALESCE($arg, 0))"
+      case ("COUNT", "CURRENT") =>
+        if (arg == "*") s"(($full) - 1)"
+        else s"(($full) - CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END)"
+      case ("COUNT", "GROUP") => s"(($full) - COUNT($arg) OVER ($peers))"
+      case ("COUNT", "TIES") =>
+        if (arg == "*") s"(($full) - COUNT($arg) OVER ($peers) + 1)"
+        else s"(($full) - COUNT($arg) OVER ($peers) + CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END)"
+      case ("MIN" | "MAX", "CURRENT") =>
+        // bounded ROWS frame: combine the two half-frames
+        val FrameRe = "(?i)ROWS\\s+BETWEEN\\s+(.+?)\\s+AND\\s+(.+)$".r
+        frame.substring(frameUnitIdx).trim match {
+          case FrameRe(lo, hi) =>
+            val cmb = if (fn == "MIN") "least" else "greatest"
+            val loF = s"$po ROWS BETWEEN ${lo.trim} AND 1 PRECEDING"
+            val hiF = s"$po ROWS BETWEEN 1 FOLLOWING AND ${hi.trim}"
+            val loOk = !lo.trim.equalsIgnoreCase("CURRENT ROW")
+            val hiOk = !hi.trim.equalsIgnoreCase("CURRENT ROW")
+            (loOk, hiOk) match {
+              case (true, true) =>
+                s"$cmb($fn($arg) OVER ($loF), $fn($arg) OVER ($hiF))"
+              case (true, false) => s"$fn($arg) OVER ($loF)"
+              case (false, true) => s"$fn($arg) OVER ($hiF)"
+              case _ => s"CAST(NULL AS DOUBLE)"
+            }
+          case _ => throw new IllegalArgumentException(
+            s"EXCLUDE CURRENT ROW on $fn needs a bounded ROWS frame, got: $frame")
+        }
+      case other => throw new IllegalArgumentException(
+        s"window EXCLUDE: unsupported combination $other")
+    }
+    sql.substring(0, fnStart) + replacement + sql.substring(close + 1)
+  }
+}

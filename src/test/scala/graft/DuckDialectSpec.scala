@@ -67,7 +67,10 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(t("SELECT {'a': 1}") === "SELECT named_struct('a', 1)")
     assert(t("SELECT MAP {'k': 5}") === "SELECT map('k', 5)")
     assert(t("SELECT x[2]") === "SELECT list_extract(x, 2)")
-    assert(t("SELECT x['k']") === "SELECT x['k']")
+    // string subscripts also route through the polymorphic
+    // list_extract: struct field by name, map key → [value] list
+    // (reference map_extract.cpp:30)
+    assert(t("SELECT x['k']") === "SELECT list_extract(x, 'k')")
     assert(t("SELECT x[2:3]") === "SELECT duck_slice(x, 2, 3)")
     assert(t("SELECT x[2:]") === "SELECT duck_slice(x, 2, NULL)")
     assert(t("SELECT struct_pack(a := 1, b := c)") === "SELECT named_struct('a', 1, 'b', c)")
