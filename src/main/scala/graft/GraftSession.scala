@@ -41,6 +41,12 @@ object GraftSession {
       // cluster (build size scales with 1/shuffle-partitions, and AQE
       // re-plans per-query from real map output sizes).
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // Always read bucketed tables bucketed: the auto-disable rule
+      // drops bucketed scans for plans without a distribution
+      // requirement, which also silently discards BUCKET PRUNING —
+      // the file-skip that makes CREATE INDEX point lookups open one
+      // bucket (sources/Indexing, IndexingSpec)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "400m")
       .config("spark.sql.session.timeZone", "UTC")
       // Testdata parquet stores naive timestamp[us]; read it as the

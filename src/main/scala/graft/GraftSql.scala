@@ -17,6 +17,10 @@ object GraftSql {
   private val Describe = """(?is)\s*DESCRIBE\s+([\w.]+)\s*;?\s*""".r
   private val LimitPercent = """(?is)^(.*)\bLIMIT\s+(\d+)\s*(?:%|PERCENT)\s*;?\s*$""".r
   private val Explain = """(?is)^\s*EXPLAIN(\s+ANALYZE)?\s+(.*)$""".r
+  private val CreateIndex =
+    """(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+)\s*\(([^)]*)\)\s*;?\s*$""".r
+  private val DropIndex =
+    """(?is)^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
 
   def sql(spark: SparkSession, text0: String): DataFrame = {
     spark.conf.set("spark.graft.current_query", text0)
@@ -44,6 +48,16 @@ object GraftSql {
       // engine-specific by nature (documented; no oracle).
       case Explain(analyze, inner) =>
         return explain(spark, inner, analyze != null)
+      // CREATE/DROP INDEX → the bucketed-layout analog of the
+      // reference's ART index (sources/Indexing)
+      case CreateIndex(unique, name, table, cols) =>
+        graft.sources.Indexing.createIndex(spark, name, table,
+          cols.split(',').map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq,
+          unique != null)
+        return spark.emptyDataFrame
+      case DropIndex(name) =>
+        graft.sources.Indexing.dropIndex(spark, name)
+        return spark.emptyDataFrame
       // DML verbs route to the copy-on-write engine layer
       // (sources/DmlSql → sources/Dml); plain INSERT INTO stays on
       // Spark's native path below.

@@ -312,6 +312,8 @@ object RefAliases {
 
     // ---- misc ----
     rename(e, "unpivot_list", "array")
+    // byte length (ClickBench q28/q29 spell STRLEN)
+    rename(e, "strlen", "octet_length")
     rename(e, "formatReadableSize", "format_bytes")
     register(e, "millennium")(args =>
       Cast(Add(Divide(Subtract(uf("year", args), Literal(1)), Literal(1000)),

@@ -25,4 +25,18 @@ object TableMeta {
     Option(pk.get(table.toLowerCase))
 
   def clear(table: String): Unit = pk.remove(table.toLowerCase)
+
+  // ---- secondary-index records (sources/Indexing) ----
+  private val indexes = new ConcurrentHashMap[String, (String, Seq[String])]()
+
+  def recordIndex(table: String, name: String, cols: Seq[String]): Unit =
+    indexes.put(name.toLowerCase, (table.toLowerCase, cols))
+
+  def dropIndex(name: String): Unit = indexes.remove(name.toLowerCase)
+
+  def indexOn(table: String): Option[(String, Seq[String])] = {
+    var out: Option[(String, Seq[String])] = None
+    indexes.forEach { (n, v) => if (v._1 == table.toLowerCase) out = Some((n, v._2)) }
+    out
+  }
 }

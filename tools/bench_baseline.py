@@ -53,10 +53,26 @@ def main(sf_dir, out_dir, threads=32):
         best = min(_timed(con, sql) for _ in range(3))
         res[name] = round(best, 4)
     total = round(sum(res.values()), 4)
+    # dataset layout fingerprint: the r4->r5 flat-TPC-H baseline moved
+    # 2-3x on a regenerated dataset; per-query grading needs a stable,
+    # recorded denominator (duckdb version + file counts/bytes)
+    layout = {}
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            files = [os.path.join(p, f) for f in os.listdir(p)
+                     if f.endswith(".parquet")]
+        elif os.path.exists(p):
+            files = [p]
+        else:
+            continue
+        layout[t] = {"files": len(files),
+                     "bytes": sum(os.path.getsize(f) for f in files)}
     print(json.dumps({
         "metric": "duckdb_baseline_total", "value": total, "unit": "sec",
         "queries": res, "skipped_no_oracle": skipped, "sf": sf_dir,
-        "threads": threads,
+        "threads": threads, "duckdb_version": duckdb.__version__,
+        "dataset_layout": layout,
     }))
 
 
