@@ -62,8 +62,16 @@ object Tpch {
           .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01")),
         col("c_custkey") === col("o_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))
+    // join on the orderkey ALONE, with the nation match as a residual
+    // (non-equi-shaped) condition: value-identical for an inner join
+    // (o_orderkey is unique on the co side, so no blowup), and the
+    // single-column equi key is what lets the bucketed variant run
+    // this join exchange-free — spelled `a === b`, Catalyst extracts
+    // BOTH columns as equi keys and re-shuffles both orderkey-bucketed
+    // facts on the composite key; the subtraction form stays a
+    // post-match filter on the orderkey join
     li.join(co, col("l_orderkey") === col("o_orderkey")
-        && col("s_nationkey") === col("c_nationkey"))
+        && (col("s_nationkey") - col("c_nationkey")) === 0)
       .groupBy(col("s_nationkey"))
       .agg(sumFromUnits(col("__rev")).as("revenue"))
       .join(broadcast(euroNations), col("s_nationkey") === col("n_nationkey"))
