@@ -21,6 +21,14 @@ object GraftSql {
     """(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+)\s*\(([^)]*)\)\s*;?\s*$""".r
   private val DropIndex =
     """(?is)^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
+  private val TxnBegin =
+    """(?is)^\s*(?:BEGIN|START)(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val TxnCommit =
+    """(?is)^\s*(?:COMMIT|END)(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val TxnRollback =
+    """(?is)^\s*(?:ROLLBACK|ABORT)(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val PlainInsert =
+    """(?is)^\s*INSERT\s+INTO\s+(\S+).*$""".r
 
   def sql(spark: SparkSession, text0: String): DataFrame = {
     spark.conf.set("spark.graft.current_query", text0)
@@ -48,6 +56,23 @@ object GraftSql {
       // engine-specific by nature (documented; no oracle).
       case Explain(analyze, inner) =>
         return explain(spark, inner, analyze != null)
+      // BEGIN / COMMIT / ROLLBACK (reference
+      // transaction_statement.cpp) → file-level undo over the
+      // copy-on-write DML layer (sources/Txn)
+      case TxnBegin() =>
+        graft.sources.Txn.begin(); return spark.emptyDataFrame
+      case TxnCommit() =>
+        graft.sources.Txn.commit(spark); return spark.emptyDataFrame
+      case TxnRollback() =>
+        graft.sources.Txn.rollback(spark); return spark.emptyDataFrame
+      // a plain INSERT INTO inside an open transaction appends via
+      // Spark's native path — snapshot the table first so ROLLBACK
+      // can drop the appended files
+      case PlainInsert(table) if graft.sources.Txn.isActive &&
+          !graft.sources.DmlSql.matches(text) =>
+        graft.sources.Txn.touch(spark,
+          graft.sources.DmlSql.tablePath(spark, table))
+        return spark.sql(translate(text))
       // CREATE/DROP INDEX → the bucketed-layout analog of the
       // reference's ART index (sources/Indexing)
       case CreateIndex(unique, name, table, cols) =>

@@ -29,11 +29,29 @@ object Dedup {
   private[llm] def lshJoinHint: String =
     sys.props.getOrElse("graft.lsh.joinHint", "shuffle_hash")
 
+  /* Recompute-vs-materialize, measured so nobody retries it: the
+   * self-join sides and the mask pipeline each re-run the
+   * scan→reps→shingle→minhash prefix (the d02 plan shows 12
+   * FileScans, zero ReusedExchange). An eager localCheckpoint of the
+   * sig/payload intermediates LOST badly at sf10 (d04 20→80 s, d03
+   * 4→10 s): the pinned checkpoint blocks pile up across runs and
+   * the KB-wide deserialized rows thrash storage memory, while the
+   * kernels being "saved" cost only ~1.5 s/pass. On this workload
+   * recomputation from the (OS-cached) parquet is the cheaper side
+   * of the trade; a 1000-executor deployment with slow object
+   * storage would flip it — hence the operators stay recompute-
+   * shaped with the checkpoint decision left to the caller's
+   * persist() if their scan cost dominates.
+   */
+
   /** Collapse exact duplicates to (min-id representative, text) —
     * the standard prelude to every near-dup operator: duplicate
     * clusters otherwise make candidate generation quadratic.
     */
   def representatives(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // A/B-measured at sf10: swapping SHA-256 for 128-bit xxhash moves
+    // this stage <2% — the cost is the text scan + full-text shuffle,
+    // not the hash — so the collision-safe spelling stays.
     df.groupBy(sha2(col(textCol).cast("binary"), 256).as("__h"))
       .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
       .select(col("id"), col("__text"))

@@ -299,6 +299,38 @@ object DmlQ {
         .groupBy((col("k") % 7).cast("int").as("grp"))
         .agg(count(lit(1)).as("n"), Exact.dsum(col("v")).as("total"))
         .orderBy(col("grp"))
+    },
+
+    // U12: BEGIN / ROLLBACK / COMMIT as statements (reference
+    // transaction_statement.cpp → sources/Txn file-level undo): the
+    // rolled-back mutations must leave NO trace, the committed one
+    // must be the only change — the oracle states exactly the
+    // committed transform.
+    QDef.sql("u11_transactions",
+      s"""WITH fin AS (
+         |  SELECT c_mktsegment,
+         |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 50.0
+         |         ELSE c_acctbal END AS bal
+         |  FROM customer)
+         |SELECT c_mktsegment, COUNT(*) AS n, ${Exact.dsumSql("bal")} AS total
+         |FROM fin GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val tbl = s"u11fd_${math.abs(dir.hashCode).toHexString}"
+      freshTable(s, tbl)
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .repartition(8, col("c_custkey"))
+        .write.saveAsTable(tbl)
+      graft.GraftSql.runScript(s,
+        s"""BEGIN TRANSACTION;
+           |UPDATE $tbl SET c_acctbal = 0.0 WHERE c_mktsegment = 'BUILDING';
+           |DELETE FROM $tbl WHERE c_acctbal < 0.0;
+           |ROLLBACK;
+           |BEGIN TRANSACTION;
+           |UPDATE $tbl SET c_acctbal = c_acctbal + 50.0 WHERE c_custkey % 3 = 0;
+           |COMMIT""".stripMargin)
+      s.table(tbl)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("c_acctbal")).as("total"))
+        .orderBy(col("c_mktsegment"))
     }
   )
 }

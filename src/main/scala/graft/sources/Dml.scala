@@ -76,8 +76,11 @@ object Dml {
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val st = it.next()
-      val n = st.getPath.getName
-      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) buf += st.getPath.toString
+      // hidden segments ANYWHERE in the path: the txn trash dir
+      // (.graft_trash) nests normal-named part files under a dot-dir
+      val hidden = st.getPath.toString.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (st.isFile && !hidden) buf += st.getPath.toString
     }
     buf.toSeq
   }
@@ -118,9 +121,16 @@ object Dml {
     */
   private def swap(spark: SparkSession, path: String,
                    df: DataFrame, oldFiles: Seq[String]): Unit = {
+    Txn.touch(spark, path)
     df.write.mode(SaveMode.Append).parquet(path)
-    val hfs = fs(spark, path)
-    oldFiles.foreach(f => hfs.delete(new Path(f), false))
+    if (Txn.isActive) {
+      // inside a transaction the delete is DEFERRED: replaced files
+      // move to the hidden trash so ROLLBACK can restore them
+      oldFiles.foreach(f => Txn.trash(spark, path, f))
+    } else {
+      val hfs = fs(spark, path)
+      oldFiles.foreach(f => hfs.delete(new Path(f), false))
+    }
   }
 
   /** UPDATE <path> SET <set> WHERE <cond>. Only hit files are
@@ -218,6 +228,7 @@ object Dml {
         s"INSERT violates PRIMARY KEY (${pk.mkString(", ")}): key already present in table")
     }
     val obs = Observation()
+    Txn.touch(spark, path)
     rows.observe(obs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Append).parquet(path)
     DmlStats(0, 0, obs.get("n").asInstanceOf[Long])
@@ -243,7 +254,9 @@ object Dml {
     while (it.hasNext) {
       val st = it.next()
       val n = st.getPath.getName
-      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+      val hiddenSeg = st.getPath.toString.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".") && !hiddenSeg) {
         // Hive-partitioned layouts are unsupported: reading leaf files
         // without basePath would drop the partition columns and the
         // swap would silently destroy them. Refuse rather than corrupt.
@@ -288,6 +301,7 @@ object Dml {
     rewriteScan(spark, path, hitPaths) match {
       case None =>
         // no key matches anywhere: the whole source inserts
+        Txn.touch(spark, path)
         val inserts = source.select(targetCols.map(col).toIndexedSeq: _*)
           .observe(obsIns, count(lit(1)).as("n"))
         inserts.write.mode(SaveMode.Append).parquet(path)

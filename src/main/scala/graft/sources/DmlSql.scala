@@ -250,7 +250,7 @@ object DmlSql {
   /** Resolve a catalog table's storage path. Temp views have no
     * files to rewrite — refuse with direction.
     */
-  private def tablePath(spark: SparkSession, table: String): String = {
+  private[graft] def tablePath(spark: SparkSession, table: String): String = {
     val cat = spark.sessionState.catalog
     val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
     require(!cat.isTempView(id),

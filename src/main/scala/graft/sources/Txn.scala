@@ -1,0 +1,140 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+
+/** BEGIN / COMMIT / ROLLBACK over the copy-on-write DML layer — the
+  * reference's transaction statements
+  * (src/parser/statement/transaction_statement.cpp; semantics from
+  * src/transaction/duck_transaction_manager.cpp) mapped onto
+  * file-level undo:
+  *
+  *   - BEGIN snapshots nothing up front; the FIRST mutation of each
+  *     table inside the transaction records its data-file list.
+  *   - While a transaction is open, the swap/delete path MOVES
+  *     replaced files into `<table>/.graft_trash/` instead of
+  *     deleting them (hidden dirs are invisible to every reader:
+  *     Spark's file index and [[Dml]]'s listings skip dot-paths).
+  *   - COMMIT purges the trash — the deletes the swap deferred.
+  *   - ROLLBACK deletes files added since the snapshot and moves the
+  *     trashed originals back: the table's file set returns to
+  *     exactly its BEGIN state.
+  *
+  * Honest divergences from the reference's MVCC, documented rather
+  * than implied away: single-writer, NO isolation — a reader
+  * concurrent with an open transaction sees its uncommitted state
+  * (the reference gives snapshot isolation from its version
+  * manager); DDL (CREATE/DROP) autocommits. What IS exact is the
+  * batch-pipeline contract: one writer, BEGIN→mutate→ROLLBACK leaves
+  * no trace, BEGIN→mutate→COMMIT is the plain autocommit end state —
+  * pinned against DuckDB running the identical script
+  * (u11_transactions / TxnSpec).
+  */
+object Txn {
+
+  private case class TableUndo(path: String, snapshot: Set[String])
+
+  @volatile private var open = false
+  private val undo = mutable.LinkedHashMap.empty[String, TableUndo]
+
+  def isActive: Boolean = open
+
+  def begin(): Unit = synchronized {
+    require(!open, "BEGIN: a transaction is already active")
+    open = true
+    undo.clear()
+  }
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val hfs = fs(spark, path)
+    val root = new Path(path)
+    if (!hfs.exists(root)) return Nil
+    val it = hfs.listFiles(root, true)
+    val buf = mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString
+      val hidden = rel.split('/').exists(seg => seg.startsWith(".") || seg.startsWith("_"))
+      if (st.isFile && !hidden) buf += rel
+    }
+    buf.toSeq
+  }
+
+  /** Record the table's pre-mutation file list, once per table per
+    * transaction. No-op outside a transaction.
+    */
+  def touch(spark: SparkSession, path: String): Unit = synchronized {
+    if (open && !undo.contains(key(path))) {
+      undo(key(path)) = TableUndo(path, dataFiles(spark, path).toSet)
+    }
+  }
+
+  private def key(path: String) = path.stripSuffix("/")
+
+  private def trashDir(path: String) = new Path(path, ".graft_trash")
+
+  /** Defer a file's deletion to COMMIT: move it into the table's
+    * hidden trash dir. A file that is NOT in the BEGIN snapshot was
+    * created inside this transaction — replacing it needs no undo, so
+    * it deletes outright (trashing it would make ROLLBACK restore an
+    * intermediate state: the file exists in neither the BEGIN nor the
+    * would-be-committed file set). Caller guarantees [[touch]] ran
+    * first.
+    */
+  def trash(spark: SparkSession, path: String, file: String): Unit = {
+    val hfs = fs(spark, path)
+    val inSnapshot = synchronized {
+      undo.get(key(path)).exists(_.snapshot.contains(file))
+    }
+    if (!inSnapshot) {
+      hfs.delete(new Path(file), false)
+      return
+    }
+    val dir = trashDir(path)
+    if (!hfs.exists(dir)) hfs.mkdirs(dir)
+    val src = new Path(file)
+    require(hfs.rename(src, new Path(dir, src.getName)),
+      s"txn: failed to trash $file")
+  }
+
+  def commit(spark: SparkSession): Unit = synchronized {
+    require(open, "COMMIT: no active transaction")
+    undo.values.foreach { u =>
+      val hfs = fs(spark, u.path)
+      val dir = trashDir(u.path)
+      if (hfs.exists(dir)) hfs.delete(dir, true)
+    }
+    undo.clear()
+    open = false
+  }
+
+  def rollback(spark: SparkSession): Unit = synchronized {
+    require(open, "ROLLBACK: no active transaction")
+    undo.values.foreach { u =>
+      val hfs = fs(spark, u.path)
+      // drop files added after BEGIN
+      dataFiles(spark, u.path).filterNot(u.snapshot)
+        .foreach(f => hfs.delete(new Path(f), false))
+      // restore the trashed originals
+      val dir = trashDir(u.path)
+      if (hfs.exists(dir)) {
+        val it = hfs.listFiles(dir, false)
+        while (it.hasNext) {
+          val st = it.next()
+          require(hfs.rename(st.getPath, new Path(u.path, st.getPath.getName)),
+            s"txn: failed to restore ${st.getPath}")
+        }
+        hfs.delete(dir, true)
+      }
+      spark.catalog.refreshByPath(u.path)
+    }
+    undo.clear()
+    open = false
+  }
+}

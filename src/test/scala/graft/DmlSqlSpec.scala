@@ -88,6 +88,47 @@ class DmlSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("temporary view"))
   }
 
+  test("BEGIN/ROLLBACK restores the exact pre-transaction state; COMMIT keeps it") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS dmlsql")
+    spark.sql("USE dmlsql")
+    spark.sql("DROP TABLE IF EXISTS accts")
+    try {
+      val res = GraftSql.runScript(spark,
+        """CREATE OR REPLACE TABLE accts (id INTEGER PRIMARY KEY, bal DOUBLE);
+          |INSERT INTO accts VALUES (1, 10.0), (2, 20.0), (3, 30.0);
+          |BEGIN TRANSACTION;
+          |UPDATE accts SET bal = bal + 5 WHERE id <= 2;
+          |DELETE FROM accts WHERE id = 3;
+          |INSERT INTO accts VALUES (4, 40.0);
+          |ROLLBACK;
+          |BEGIN TRANSACTION;
+          |UPDATE accts SET bal = bal * 2 WHERE id = 1;
+          |INSERT INTO accts VALUES (5, 50.0);
+          |COMMIT;
+          |SELECT id, bal FROM accts ORDER BY id""".stripMargin)
+      // end state pinned by running the identical script in DuckDB
+      val fin = res.last.collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+      assert(fin === Seq((1, 20.0), (2, 20.0), (3, 30.0), (5, 50.0)))
+      // COMMIT purged the trash — no hidden litter under the table
+      val loc = new java.io.File(spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("accts"))
+        .location)
+      assert(!new java.io.File(loc, ".graft_trash").exists)
+    } finally {
+      if (graft.sources.Txn.isActive) graft.sources.Txn.rollback(spark)
+      spark.sql("DROP TABLE IF EXISTS accts")
+      spark.sql("USE default")
+    }
+  }
+
+  test("transaction misuse errors: double BEGIN, COMMIT without BEGIN") {
+    intercept[Exception] { GraftSql.sql(spark, "COMMIT") }
+    GraftSql.sql(spark, "BEGIN")
+    intercept[Exception] { GraftSql.sql(spark, "BEGIN TRANSACTION") }
+    GraftSql.sql(spark, "ROLLBACK")
+    intercept[Exception] { GraftSql.sql(spark, "ROLLBACK") }
+  }
+
   test("EXPLAIN and EXPLAIN ANALYZE return the reference's result shape") {
     graft.sources.Catalog.registerAll(spark, sfDir)
     val ex = GraftSql.sql(spark, "EXPLAIN SELECT n_regionkey, count(*) FROM nation GROUP BY 1")
