@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.plans.DuckDialect
+import graft.plans.{StatementSurface => S}
 
 /** The DuckDB-dialect front door: run the reference engine's query
   * text verbatim. `sql` translates the dialect-specific spellings
@@ -56,6 +57,59 @@ object GraftSql {
       // engine-specific by nature (documented; no oracle).
       case Explain(analyze, inner) =>
         return explain(spark, inner, analyze != null)
+      // SET / RESET / PRAGMA / CALL / VACUUM / PREPARE / EXECUTE /
+      // COPY / ATTACH / DETACH (reference statement verbs) → engine
+      // analogs in plans/StatementSurface
+      case S.SetRe(key, value) =>
+        spark.conf.set(S.confKey(key), S.stripQuotes(value))
+        return S.emptyDf(spark)
+      case S.ResetRe(key) =>
+        spark.conf.unset(S.confKey(key)); return S.emptyDf(spark)
+      case S.PragmaCall(name, arg) =>
+        return S.pragmaReport(spark, name, arg).getOrElse(
+          throw new IllegalArgumentException(s"PRAGMA $name: not supported"))
+      case S.PragmaAssign(name, value) =>
+        spark.conf.set(S.confKey(name), S.stripQuotes(value))
+        return S.emptyDf(spark)
+      case S.PragmaBare(name) =>
+        return S.pragmaReport(spark, name, "").getOrElse {
+          spark.conf.set(S.confKey(name), "true"); S.emptyDf(spark)
+        }
+      case S.CallRe(name, arg) =>
+        return S.pragmaReport(spark, name, arg).getOrElse(
+          throw new IllegalArgumentException(s"CALL $name: not supported"))
+      case S.VacuumRe(table) =>
+        // the engine's space-reclaim analog is small-files compaction
+        if (table.nonEmpty && !table.equalsIgnoreCase("ANALYZE")) {
+          val st = graft.sources.Dml.compact(spark,
+            graft.sources.DmlSql.tablePath(spark, table))
+          spark.catalog.refreshTable(table)
+          return S.countDf(spark, st.rowsRewritten)
+        }
+        return S.emptyDf(spark)
+      case S.PrepareRe(name, stmt) =>
+        S.prepare(name, stmt); return S.emptyDf(spark)
+      case S.ExecuteRe(name, args) =>
+        return sql(spark, S.executeText(name, Option(args)))
+      case S.DeallocRe(name) =>
+        S.deallocate(name); return S.emptyDf(spark)
+      case S.AttachRe(path, name) =>
+        require(!path.endsWith(".db") && !path.endsWith(".duckdb"),
+          s"ATTACH: '$path' is a native DuckDB database file; attach a " +
+            "directory of parquet tables (sources/Attach)")
+        graft.sources.Attach.attach(spark, name, path)
+        return S.emptyDf(spark)
+      case S.DetachRe(name) =>
+        graft.sources.Attach.detach(spark, name); return S.emptyDf(spark)
+      case S.CopyFromRe(table, source, opts1, opts2) =>
+        return S.copyFrom(spark, table, source,
+          Seq(opts1, opts2).filter(_ != null).mkString(" "))
+      case S.CopyToRe(what, target, opts1, opts2) =>
+        val df =
+          if (what.trim.startsWith("(")) sql(spark, what.trim.stripPrefix("(").stripSuffix(")"))
+          else spark.table(what.trim)
+        return S.copyTo(spark, df, target,
+          Seq(opts1, opts2).filter(_ != null).mkString(" "))
       // BEGIN / COMMIT / ROLLBACK (reference
       // transaction_statement.cpp) → file-level undo over the
       // copy-on-write DML layer (sources/Txn)

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The remaining reference statement verbs through the front door
+  * (plans/StatementSurface): SET/RESET, PRAGMA, CALL, VACUUM,
+  * PREPARE/EXECUTE/DEALLOCATE, COPY TO/FROM, ATTACH/DETACH.
+  */
+class StatementSurfaceSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("SET / current_setting round-trip, RESET clears") {
+    GraftSql.sql(spark, "SET memory_limit = '2GB'")
+    assert(spark.sql("SELECT current_setting('memory_limit')")
+      .collect()(0).getString(0) === "2GB")
+    GraftSql.sql(spark, "RESET memory_limit")
+    // timezone maps to the real Spark session conf
+    GraftSql.sql(spark, "SET timezone = 'UTC'")
+    assert(spark.conf.get("spark.sql.session.timeZone") === "UTC")
+  }
+
+  test("PRAGMA table_info / show_tables / version; CALL form") {
+    graft.sources.Catalog.registerAll(spark, sfDir)
+    val ti = GraftSql.sql(spark, "PRAGMA table_info('nation')").collect()
+    assert(ti.map(_.getString(0)).toSeq === Seq("n_nationkey", "n_name", "n_regionkey"))
+    val ti2 = GraftSql.sql(spark, "CALL pragma_table_info('nation')").collect()
+    assert(ti2.length === 3)
+    assert(GraftSql.sql(spark, "PRAGMA show_tables").collect()
+      .map(_.getString(0)).contains("nation"))
+    assert(GraftSql.sql(spark, "PRAGMA version").columns.toSeq ===
+      Seq("library_version", "source_id"))
+    GraftSql.sql(spark, "PRAGMA memory_limit='1GB'") // assign form
+    intercept[Exception] { GraftSql.sql(spark, "PRAGMA no_such_report('x')") }
+  }
+
+  test("PREPARE / EXECUTE with $n and ? placeholders; DEALLOCATE") {
+    graft.sources.Catalog.registerAll(spark, sfDir)
+    GraftSql.sql(spark,
+      "PREPARE topn AS SELECT n_name FROM nation WHERE n_regionkey = $1 ORDER BY n_name LIMIT $2")
+    val r = GraftSql.sql(spark, "EXECUTE topn(1, 2)").collect().map(_.getString(0))
+    assert(r.length === 2)
+    GraftSql.sql(spark, "PREPARE q2 AS SELECT COUNT(*) AS n FROM nation WHERE n_regionkey = ?")
+    assert(GraftSql.sql(spark, "EXECUTE q2(1)").collect()(0).getLong(0) === 5L)
+    GraftSql.sql(spark, "DEALLOCATE topn")
+    intercept[Exception] { GraftSql.sql(spark, "EXECUTE topn(1, 2)") }
+  }
+
+  test("COPY TO writes one file; COPY FROM appends into a table") {
+    graft.sources.Catalog.registerAll(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_copy").toString
+    val out = s"$dir/nation.csv"
+    val c = GraftSql.sql(spark, s"COPY nation TO '$out' (HEADER)").collect()(0).getLong(0)
+    assert(c === 25L)
+    assert(new java.io.File(out).isFile) // ONE file, reference-style
+    // round-trip into a managed table
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmtspec")
+    spark.sql("USE stmtspec")
+    spark.sql("DROP TABLE IF EXISTS nat2")
+    try {
+      GraftSql.sql(spark,
+        "CREATE TABLE nat2 (n_nationkey INTEGER, n_name VARCHAR, n_regionkey INTEGER)")
+      val in = GraftSql.sql(spark, s"COPY nat2 FROM '$out' (HEADER)").collect()(0).getLong(0)
+      assert(in === 25L)
+      assert(spark.table("nat2").count() === 25L)
+      // COPY (SELECT ...) TO
+      val out2 = s"$dir/small.parquet"
+      GraftSql.sql(spark,
+        s"COPY (SELECT n_name FROM nat2 WHERE n_regionkey = 0) TO '$out2' (FORMAT PARQUET)")
+      assert(spark.read.parquet(out2).count() === 5L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS nat2")
+      spark.sql("USE default")
+    }
+  }
+
+  test("ATTACH a parquet directory as a database; DETACH removes it") {
+    GraftSql.sql(spark, s"ATTACH '$sfDir' AS att9")
+    assert(spark.sql("SELECT COUNT(*) FROM att9.nation").collect()(0).getLong(0) === 25L)
+    GraftSql.sql(spark, "DETACH att9")
+    assert(!spark.catalog.databaseExists("att9"))
+    intercept[Exception] { GraftSql.sql(spark, "ATTACH 'x.duckdb' AS nope") }
+  }
+
+  test("VACUUM compacts a fragmented managed table") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmtspec")
+    spark.sql("USE stmtspec")
+    spark.sql("DROP TABLE IF EXISTS frag")
+    try {
+      spark.range(1000).selectExpr("id").repartition(20).write.saveAsTable("frag")
+      GraftSql.sql(spark, "VACUUM frag")
+      assert(spark.table("frag").count() === 1000L)
+      val loc = new java.io.File(spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("frag"))
+        .location)
+      val parts = loc.listFiles.count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(parts < 20, s"expected compaction, still $parts files")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS frag")
+      spark.sql("USE default")
+    }
+  }
+}
