@@ -61,15 +61,21 @@ object Imdb {
 
   /** (table, column) → literal pool across all 113 queries. LIKE
     * patterns contribute a value that MATCHES them: outer %s
-    * stripped, inner % → '0', _ → 'x'.
+    * stripped, inner % → '0', _ → 'x'. Columns with several
+    * POSITIVE LIKE patterns also get one "mega" value concatenating
+    * them (minus any NOT-LIKE literals), so conjunctions of LIKEs on
+    * the same column — the 05a/22a JOB shape — can match one row.
     */
   private lazy val pools: Map[(String, String), Seq[String]] = {
     val acc = mutable.Map.empty[(String, String), mutable.LinkedHashSet[String]]
+    val likes = mutable.Map.empty[(String, String), mutable.LinkedHashSet[String]]
+    val notLikes = mutable.Map.empty[(String, String), mutable.LinkedHashSet[String]]
     def add(table: String, col: String, v: String): Unit =
       acc.getOrElseUpdate((table, col), mutable.LinkedHashSet.empty) += v
     val Eq = """(?i)(\w+)\.(\w+)\s*(?:=|!=|<>|>=|<=|>|<)\s*'((?:[^']|'')*)'""".r
     val In = """(?i)(\w+)\.(\w+)\s+(?:NOT\s+)?IN\s*\(([^)]*)\)""".r
-    val Like = """(?i)(\w+)\.(\w+)\s+(?:NOT\s+)?LIKE\s+'((?:[^']|'')*)'""".r
+    val Like = """(?i)(\w+)\.(\w+)\s+(NOT\s+)?LIKE\s+'((?:[^']|'')*)'""".r
+    val Between = """(?i)(\w+)\.(\w+)\s+BETWEEN\s+'((?:[^']|'')*)'\s+AND\s+'((?:[^']|'')*)'""".r
     val Item = """'((?:[^']|'')*)'""".r
     for ((_, q) <- queries) {
       val am = aliasMap(q)
@@ -79,30 +85,56 @@ object Imdb {
            item <- Item.findAllMatchIn(m.group(3)))
         add(t, m.group(2), item.group(1).replace("''", "'"))
       for (m <- Like.findAllMatchIn(q); t <- am.get(m.group(1))) {
-        val pat = m.group(3).replace("''", "'")
+        val pat = m.group(4).replace("''", "'")
         val v = pat.stripPrefix("%").stripSuffix("%").replace("%", "0").replace("_", "x")
-        if (v.nonEmpty) add(t, m.group(2), v)
+        if (v.nonEmpty) {
+          add(t, m.group(2), v)
+          val bucket = if (m.group(3) != null) notLikes else likes
+          bucket.getOrElseUpdate((t, m.group(2)), mutable.LinkedHashSet.empty) += v
+        }
       }
+      // string BETWEEN 'a' AND 'b': the lower bound itself satisfies it
+      for (m <- Between.findAllMatchIn(q); t <- am.get(m.group(1))) {
+        add(t, m.group(2), m.group(3).replace("''", "'"))
+        add(t, m.group(2), m.group(4).replace("''", "'"))
+      }
+    }
+    for ((k, ls) <- likes) {
+      val nl = notLikes.getOrElse(k, mutable.LinkedHashSet.empty)
+      val mega = (ls -- nl).toSeq.sorted.mkString(" ")
+      if (mega.nonEmpty) acc(k) += mega
     }
     acc.map { case (k, v) => k -> v.toSeq.sorted }.toMap
   }
 
-  /** CASE expression cycling a column's mined pool by `idExpr`,
-    * with one NULL slot and a synthetic tail value.
+  /** Per-table cycler with PAIRWISE-COPRIME cycle lengths: column j
+    * cycles on id % m_j where m_j is the smallest modulus ≥ pool+2
+    * coprime to every earlier column's modulus in the same table. By
+    * CRT every cross-COLUMN pair of pool values then co-occurs on
+    * some residue (the 18a `gender = 'm' AND name LIKE '%Tim%'` JOB
+    * shape; equal or factor-sharing moduli would pin misaligned
+    * residue pairs to never co-occur). Indices past the pool fall to
+    * the synthetic `'x'||id` branch, so padding a modulus only adds
+    * filler values.
     */
-  private def poolCase(table: String, col: String, idExpr: String): String =
-    pools.get((table, col)) match {
+  private final class Cyc(table: String, idExpr: String) {
+    private val used = mutable.ArrayBuffer.empty[Long]
+    private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    def pc(col: String): String = pools.get((table, col)) match {
       case Some(p) =>
-        val n = p.length + 2
+        var m = (p.length + 2).toLong
+        while (used.exists(u => gcd(u, m) != 1)) m += 1
+        used += m
         val whens = p.zipWithIndex.map { case (v, i) =>
           s"WHEN $i THEN '${v.replace("'", "''")}'"
         }.mkString(" ")
-        s"(CASE CAST($idExpr AS BIGINT) % $n $whens " +
+        s"(CASE CAST($idExpr AS BIGINT) % $m $whens " +
           s"WHEN ${p.length} THEN CAST(NULL AS VARCHAR) " +
           s"ELSE 'x' || CAST($idExpr AS VARCHAR) END)"
       case None =>
         s"('x' || CAST($idExpr AS VARCHAR))"
     }
+  }
 
   // -------------------------------------------------- synthesized schema
 
@@ -112,7 +144,32 @@ object Imdb {
     * custkeys (cast_info reaches them modulo 1200).
     */
   private lazy val viewDefs: Seq[(String, String)] = {
-    def pc(t: String, c: String, id: String) = poolCase(t, c, id)
+    val cycTitle = new Cyc("title", "o_orderkey")
+    val cycMc = new Cyc("movie_companies", "l_orderkey * 10 + l_linenumber")
+    val cycMi = new Cyc("movie_info", "l_orderkey * 10 + l_linenumber")
+    val cycMix = new Cyc("movie_info_idx", "l_orderkey * 10 + l_linenumber")
+    val cycCi = new Cyc("cast_info", "l_orderkey * 10 + l_linenumber")
+    val cycKw = new Cyc("keyword", "p_partkey")
+    val cycCn = new Cyc("company_name", "p_partkey")
+    val cycName = new Cyc("name", "c_custkey")
+    val cycChn = new Cyc("char_name", "c_custkey")
+    val cycAn = new Cyc("aka_name", "c_custkey")
+    val cycAt = new Cyc("aka_title", "o_orderkey")
+    val cycPi = new Cyc("person_info", "c_custkey")
+    val cycIt = new Cyc("info_type", "p_partkey % 113 + 1")
+    val cycCt = new Cyc("company_type", "n_nationkey + 1")
+    val cycKt = new Cyc("kind_type", "n_nationkey + 1")
+    val cycLt = new Cyc("link_type", "n_nationkey + 1")
+    val cycRt = new Cyc("role_type", "n_nationkey + 1")
+    val cycCct = new Cyc("comp_cast_type", "r_regionkey + 1")
+    val cyc: Map[String, Cyc] = Map(
+      "title" -> cycTitle, "movie_companies" -> cycMc, "movie_info" -> cycMi,
+      "movie_info_idx" -> cycMix, "cast_info" -> cycCi, "keyword" -> cycKw,
+      "company_name" -> cycCn, "name" -> cycName, "char_name" -> cycChn,
+      "aka_name" -> cycAn, "aka_title" -> cycAt, "person_info" -> cycPi,
+      "info_type" -> cycIt, "company_type" -> cycCt, "kind_type" -> cycKt,
+      "link_type" -> cycLt, "role_type" -> cycRt, "comp_cast_type" -> cycCct)
+    def pc(t: String, c: String, id: String) = cyc(t).pc(c)
     Seq(
       s"""title AS (
          |  SELECT o_orderkey AS id, ${pc("title", "title", "o_orderkey")} AS title,
