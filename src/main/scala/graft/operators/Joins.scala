@@ -72,8 +72,21 @@ object Joins {
       .withColumn("__m", lit(null).cast(mType))
       .select(Seq(col("__k"), col("__t"), col("__isl"), col("__m")) ++
         leftCols.map(col): _*)
+    // Prune the build side to keys the probe actually holds BEFORE
+    // anything sorts: right rows whose key never appears on the left
+    // can't match, yet they'd flow through the union's partition sort
+    // — a major cost when the probe's key set is much smaller than
+    // the build's (q31: ~1.5k event users vs millions of custkeys;
+    // measured 5.1–15 s → 4.4–4.8 s at sf10 — the residual is the
+    // build side's own pre-aggregation, which no join-side prune can
+    // touch). The distinct key set is
+    // an aggregate of the (narrow) probe keys; AQE broadcasts it when
+    // small, so the semi join adds no shuffle of the build side in
+    // exactly the case it helps most.
+    val probeKeys = l.select(col("__k")).distinct()
     val r = right
       .withColumn("__k", rightKey)
+      .join(probeKeys, Seq("__k"), "left_semi")
       .withColumn("__t", rightTime.cast("timestamp"))
       .withColumn("__isl", lit(0))
       // non-null struct on EVERY right row (fields may be null) → the
