@@ -127,6 +127,23 @@ object GraftSql {
         graft.sources.Txn.touch(spark,
           graft.sources.DmlSql.tablePath(spark, table))
         return spark.sql(translate(text))
+      // ALTER TABLE column surgery (reference alter_statement.cpp):
+      // v1 parquet can't mutate schemas in place — staged rewrite +
+      // rename swap, DuckDB type names mapped through the dialect
+      case S.AlterAdd(table, colName, ty, dflt) if !ty.trim.toUpperCase.startsWith("TO") =>
+        val sparkTy = S.mapType(ty.trim)
+        return S.alterRewrite(spark, table, df =>
+          df.withColumn(colName,
+            org.apache.spark.sql.functions.expr(
+              Option(dflt).map(d => translate(s"SELECT $d").stripPrefix("SELECT").trim)
+                .getOrElse("NULL")).cast(sparkTy)))
+      case S.AlterDrop(table, colName) =>
+        return S.alterRewrite(spark, table, _.drop(colName))
+      case S.AlterRenameCol(table, from, to)
+          if !from.equalsIgnoreCase("TO") && !spark.sessionState.catalog
+            .isTempView(spark.sessionState.sqlParser.parseTableIdentifier(table)) &&
+            spark.table(table).columns.exists(_.equalsIgnoreCase(from)) =>
+        return S.alterRewrite(spark, table, _.withColumnRenamed(from, to))
       // CREATE/DROP INDEX → the bucketed-layout analog of the
       // reference's ART index (sources/Indexing)
       case CreateIndex(unique, name, table, cols) =>

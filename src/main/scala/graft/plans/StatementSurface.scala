@@ -7,6 +7,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
+import graft.plans.{DuckDialect => DuckDialectRef}
+
 /** The reference's remaining top-level statement verbs
   * (src/parser/statement/{set,pragma,call,vacuum,prepare,execute,
   * copy,attach,detach}_statement.cpp) routed to their engine
@@ -165,6 +167,39 @@ object StatementSurface {
     aligned.write.mode("append").insertInto(table)
     spark.catalog.refreshTable(table)
     countDf(spark, n)
+  }
+
+  // ------------------------------------------------- ALTER TABLE
+
+  val AlterAdd =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.+?)(?:\s+DEFAULT\s+(.+?))?\s*;?\s*$""".r
+  val AlterDrop =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
+  val AlterRenameCol =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
+
+  /** Map a DuckDB type spelling through the dialect's type table. */
+  def mapType(ty: String): String = {
+    val out = DuckDialectRef.translate(s"SELECT CAST(NULL AS $ty)")
+    out.stripPrefix("SELECT CAST(NULL AS ").stripSuffix(")")
+  }
+
+  /** ALTER TABLE column surgery (reference alter_statement.cpp) on a
+    * v1 parquet table, which Spark cannot mutate in place: the table
+    * is rewritten through a staging table and swapped by rename —
+    * the same one-full-rewrite cost the reference's ALTER pays when
+    * it can't do it as a metadata change. ADD COLUMN fills the
+    * DEFAULT (NULL when absent) for existing rows.
+    */
+  def alterRewrite(spark: SparkSession, table: String,
+                   f: DataFrame => DataFrame): DataFrame = {
+    val tmp = s"${table}__alter_build"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    f(spark.table(table)).write.format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.catalog.refreshTable(table)
+    emptyDf(spark)
   }
 
   /** PRAGMA / CALL report surfaces. */

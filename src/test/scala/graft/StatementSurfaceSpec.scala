@@ -81,6 +81,29 @@ class StatementSurfaceSpec extends AnyFunSuite {
     intercept[Exception] { GraftSql.sql(spark, "ATTACH 'x.duckdb' AS nope") }
   }
 
+  test("ALTER TABLE ADD/DROP/RENAME COLUMN rewrite the table; RENAME TO stays native") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmtspec")
+    spark.sql("USE stmtspec")
+    Seq("alt", "alt2", "alt__alter_build").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      GraftSql.sql(spark, "CREATE TABLE alt (k INTEGER, v VARCHAR)")
+      GraftSql.sql(spark, "INSERT INTO alt VALUES (1, 'a'), (2, 'b')")
+      GraftSql.sql(spark, "ALTER TABLE alt ADD COLUMN score UBIGINT DEFAULT 7")
+      assert(spark.table("alt").columns.toSeq === Seq("k", "v", "score"))
+      assert(spark.table("alt").selectExpr("CAST(score AS INT)")
+        .collect().map(_.getInt(0)).toSeq === Seq(7, 7))
+      GraftSql.sql(spark, "ALTER TABLE alt RENAME COLUMN v TO label")
+      assert(spark.table("alt").columns.toSeq === Seq("k", "label", "score"))
+      GraftSql.sql(spark, "ALTER TABLE alt DROP COLUMN score")
+      assert(spark.table("alt").columns.toSeq === Seq("k", "label"))
+      GraftSql.sql(spark, "ALTER TABLE alt RENAME TO alt2") // native path
+      assert(spark.table("alt2").count() === 2L)
+    } finally {
+      Seq("alt", "alt2", "alt__alter_build").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.sql("USE default")
+    }
+  }
+
   test("VACUUM compacts a fragmented managed table") {
     spark.sql("CREATE DATABASE IF NOT EXISTS stmtspec")
     spark.sql("USE stmtspec")
