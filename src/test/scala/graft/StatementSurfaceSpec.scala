@@ -104,6 +104,37 @@ class StatementSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("statement INTERACTIONS: macro inside prepared DML, ALTER mid-script, txn, upsert — end state pinned vs DuckDB") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmtspec")
+    spark.sql("USE stmtspec")
+    Seq("kit", "kit__alter_build").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      GraftSql.runScript(spark,
+        """CREATE OR REPLACE TABLE kit (id INTEGER PRIMARY KEY, amt DOUBLE);
+          |INSERT INTO kit VALUES (1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0);
+          |CREATE OR REPLACE MACRO bump(x) AS x + 0.5;
+          |ALTER TABLE kit ADD COLUMN tag VARCHAR DEFAULT 'base';
+          |PREPARE pay AS UPDATE kit SET amt = bump(amt) WHERE id = $1;
+          |EXECUTE pay(2);
+          |EXECUTE pay(4);
+          |BEGIN TRANSACTION;
+          |DELETE FROM kit WHERE id = 1;
+          |ROLLBACK;
+          |INSERT INTO kit VALUES (2, 99.0, 'dup'), (5, 50.0, 'new') ON CONFLICT (id) DO UPDATE SET tag = excluded.tag;
+          |ALTER TABLE kit RENAME COLUMN amt TO amount""".stripMargin)
+      val got = spark.sql("SELECT id, amount, tag FROM kit ORDER BY id").collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSeq
+      // the identical script's end state in DuckDB 1.0.0
+      assert(got === Seq(
+        (1, 10.0, "base"), (2, 20.5, "dup"), (3, 30.0, "base"),
+        (4, 40.5, "base"), (5, 50.0, "new")))
+    } finally {
+      if (graft.sources.Txn.isActive) graft.sources.Txn.rollback(spark)
+      Seq("kit", "kit__alter_build").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.sql("USE default")
+    }
+  }
+
   test("VACUUM compacts a fragmented managed table") {
     spark.sql("CREATE DATABASE IF NOT EXISTS stmtspec")
     spark.sql("USE stmtspec")
