@@ -39,7 +39,13 @@ object GraftSql {
       graft.plans.MacroReg.register(text0)
       return spark.emptyDataFrame
     }
-    val text = graft.plans.MacroReg.expand(text0)
+    val text1 = graft.plans.MacroReg.expand(text0)
+    // getvariable()/duckdb_variables() fold at bind time — except in
+    // PREPARE bodies, which store raw text and bind at EXECUTE
+    val text = text1 match {
+      case S.PrepareRe(_, _) => text1
+      case _ => graft.plans.Variables.substitute(spark, text1)
+    }
     // schema-aware dialect rewrites that need the session
     unionByNamePass(spark, text) match {
       case Some(v) => return sql(spark, v)
@@ -60,6 +66,16 @@ object GraftSql {
       // SET / RESET / PRAGMA / CALL / VACUUM / PREPARE / EXECUTE /
       // COPY / ATTACH / DETACH (reference statement verbs) → engine
       // analogs in plans/StatementSurface
+      // SQL session variables (reference set_statement.cpp VARIABLE
+      // scope + getvariable.cpp) — must match before the conf SET
+      case graft.plans.Variables.SetVarRe(name, ex) =>
+        graft.plans.Variables.set(spark, name, ex)
+        return S.emptyDf(spark)
+      case graft.plans.Variables.ResetVarRe(name) =>
+        graft.plans.Variables.reset(name)
+        return S.emptyDf(spark)
+      case graft.plans.Variables.ShowVarRe() =>
+        return graft.plans.Variables.listDf(spark)
       case S.SetRe(key, value) =>
         spark.conf.set(S.confKey(key), S.stripQuotes(value))
         return S.emptyDf(spark)
@@ -101,6 +117,21 @@ object GraftSql {
         return S.emptyDf(spark)
       case S.DetachRe(name) =>
         graft.sources.Attach.detach(spark, name); return S.emptyDf(spark)
+      // COPY FROM DATABASE a TO b (copy_database_statement.cpp) —
+      // before the file COPY forms, whose regexes would not match the
+      // unquoted database operand anyway
+      case S.CopyDbRe(from, to, mode) =>
+        return S.copyDatabase(spark, from, to,
+          Option(mode).getOrElse("DATA"))
+      // CREATE/DROP SECRET (reference secret manager; plans/Secrets)
+      case graft.plans.Secrets.CreateRe(orRepl, persist, ifNot, name, body) =>
+        graft.plans.Secrets.create(spark,
+          orRepl != null, persist != null && persist.equalsIgnoreCase("PERSISTENT"),
+          ifNot != null, Option(name).map(_.trim).filter(_.nonEmpty), body)
+        return S.emptyDf(spark)
+      case graft.plans.Secrets.DropRe(ifEx, name) =>
+        graft.plans.Secrets.drop(name, ifEx != null)
+        return S.emptyDf(spark)
       case S.CopyFromRe(table, source, opts1, opts2) =>
         return S.copyFrom(spark, table, source,
           Seq(opts1, opts2).filter(_ != null).mkString(" "))
@@ -191,15 +222,31 @@ object GraftSql {
           // Spark's v1 session catalog has no REPLACE TABLE — the
           // reference's CREATE OR REPLACE is a drop-then-create there
           case CreateOrReplace(name, rest) =>
+            // Stage-then-swap (like alterRewrite/Indexing.createIndex):
+            // `CREATE OR REPLACE TABLE t AS SELECT ... FROM t` is valid
+            // in the reference, so the new contents must be fully
+            // materialized BEFORE the old table is dropped — a naive
+            // drop-then-create would destroy the input mid-statement.
+            val staging = s"${name}__replace_build"
+            spark.sql(s"DROP TABLE IF EXISTS $staging")
+            spark.sql(s"CREATE TABLE $staging $rest")
             spark.sql(s"DROP TABLE IF EXISTS $name")
-            spark.sql(s"CREATE TABLE $name $rest")
+            spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+            spark.catalog.refreshTable(name)
+            applyGenerated(spark, name)
+            spark.emptyDataFrame
           case t =>
             // post-translate passes: star REPLACE + COLUMNS('re')
             // (schema-aware), then window EXCLUDE / named-window
             // inlining, then nested-generator extraction (SqlPasses)
-            spark.sql(graft.plans.SqlPasses.generatorPass(
+            val out = spark.sql(graft.plans.SqlPasses.generatorPass(
               graft.plans.SqlPasses.windowExcludePass(
                 columnsPass(spark, starReplacePass(spark, t)))))
+            t match {
+              case CreateTableName(nm) => applyGenerated(spark, nm)
+              case _ =>
+            }
+            out
         }
     }
   }
@@ -228,15 +275,42 @@ object GraftSql {
       }
       val close = if (open >= 0) graft.plans.SqlPasses.matchParen(text, open) else text.length
       val scopeStart = if (open >= 0) open + 1 else 0
-      val left = text.substring(scopeStart, m.start).trim
-      val right = text.substring(m.end, close).trim
+      val left0 = text.substring(scopeStart, m.start)
+      // The scope may carry a statement prefix (CREATE TABLE t AS …,
+      // INSERT INTO t …, EXPLAIN …): only the SELECT/WITH query text
+      // belongs to the left arm — everything before it must stay in
+      // the spliced statement, not be executed as part of the arm.
+      val selIdx = graft.sources.DmlSql.topIndexOf(left0, "SELECT")
+      val withIdx = graft.sources.DmlSql.topIndexOf(left0, "WITH")
+      val qStart = (selIdx, withIdx) match {
+        case (-1, -1) => return None
+        case (-1, w) => w
+        case (s, -1) => s
+        case (s, w) => math.min(s, w)
+      }
+      val prefix = left0.substring(0, qStart)
+      val left = left0.substring(qStart).trim
+      val right0 = text.substring(m.end, close)
+      // A trailing ORDER BY / LIMIT / OFFSET binds to the WHOLE set
+      // operation (reference setop semantics), not to the right arm —
+      // cut the arm at the first top-level tail clause and re-apply
+      // the tail to the spliced view.
+      val tailStart = Seq("ORDER BY", "LIMIT", "OFFSET")
+        .map(graft.sources.DmlSql.topIndexOf(right0, _))
+        .filter(_ >= 0) match {
+          case Nil => right0.length
+          case idxs => idxs.min
+        }
+      val right = right0.substring(0, tailStart).trim
+      val tail = right0.substring(tailStart)
       val l = sql(spark, left)
       val r = sql(spark, right)
       val u0 = l.unionByName(r, allowMissingColumns = true)
       val u = if (all) u0 else u0.distinct()
       val view = s"__setop_${asofViewId.incrementAndGet()}"
       u.createOrReplaceTempView(view)
-      text.substring(0, scopeStart) + s" SELECT * FROM $view " + text.substring(close)
+      text.substring(0, scopeStart) + prefix + s" SELECT * FROM $view $tail " +
+        text.substring(close)
     }
   }
 
@@ -358,6 +432,34 @@ object GraftSql {
 
   private val CreateOrReplace =
     """(?is)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+(`[^`]+`|\S+)\s+(.*)$""".r
+
+  private val CreateTableName =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.]+)\s*\(.*""".r
+
+  /** Materialize recorded generated columns onto a just-created table
+    * (reference test/sql/generated_columns): append each `AS (expr)`
+    * column — the expression text is already dialect-translated — and
+    * reorder to the DDL's declared column order. Runs on the (empty)
+    * CREATE result, so the cost is a schema write; inserts recompute
+    * through sources/DmlSql.
+    */
+  private def applyGenerated(spark: SparkSession, table: String): Unit = {
+    val bare = table.stripPrefix("`").stripSuffix("`")
+    val g = graft.plans.TableMeta.generated(bare)
+    if (g.nonEmpty) {
+      graft.plans.StatementSurface.alterRewrite(spark, bare, df => {
+        val withG = g.foldLeft(df)((d, gc) =>
+          d.withColumn(gc.name, org.apache.spark.sql.functions.expr(gc.expr)))
+        graft.plans.TableMeta.declaredOrder(bare) match {
+          case Some(order) =>
+            withG.select(order.map(c =>
+              org.apache.spark.sql.functions.col(s"`$c`")): _*)
+          case None => withG
+        }
+      })
+      ()
+    }
+  }
 
   /** Run a multi-statement DuckDB-dialect script (e.g. the reference
     * fork's own sql_files scripts): statements split on `;` outside

@@ -331,6 +331,13 @@ object DuckDialect {
       expectOp("(")
       val cols = ArrayBuffer.empty[String]
       val pkCols = ArrayBuffer.empty[String]
+      val defaults = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      // generated columns (reference test/sql/generated_columns):
+      // recorded with their declared ordinal so reads keep the
+      // declared column order; materialized at write time (TableMeta
+      // scaladoc documents the VIRTUAL divergence)
+      val gcols = ArrayBuffer.empty[TableMeta.GenCol]
+      val declared = ArrayBuffer.empty[String] // full declared column order
       val TableConstraint = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
       // `PRIMARY KEY (a, b)` column list at the current position
       def pkList(): Unit = {
@@ -367,29 +374,69 @@ object DuckDialect {
               case TQuoted(s) => (s, quoteIdent(s))
               case t => (t.text, t.text)
             }
-            val ty = parseType()
-            // strip inline constraints up to the next ',' or ')',
-            // recording `PRIMARY KEY` on the way past
-            var depth = 0
-            var stop = false
-            while (more && !stop) peek match {
-              case TOp("(") => depth += 1; next()
-              case TOp(")") if depth > 0 => depth -= 1; next()
-              case TOp(")") => stop = true
-              case TOp(",") if depth == 0 => stop = true
-              case TWord(w) if depth == 0 && w.equalsIgnoreCase("PRIMARY") =>
+            // `name [TYPE] [GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED]`
+            // — a generated column (create_statement.cpp generated
+            // column constraint). The expression goes through the
+            // full dialect expression parser.
+            def genTail(declaredTy: Option[String]): Unit = {
+              if (peekWord("GENERATED")) {
                 next()
-                if (peekWord("KEY")) { next(); pkCols += cname0 }
-              case _ => next()
+                require(peekWord("ALWAYS"), "generated column: expected ALWAYS")
+                next()
+              }
+              require(peekWord("AS"), "generated column: expected AS")
+              next()
+              expectOp("(")
+              val ex = expr(0)
+              expectOp(")")
+              val virtualKind =
+                if (peekWord("VIRTUAL")) { next(); true }
+                else if (peekWord("STORED")) { next(); false }
+                else true // reference default is VIRTUAL
+              val fullEx = declaredTy.map(t => s"CAST(($ex) AS $t)").getOrElse(ex)
+              gcols += TableMeta.GenCol(cname0, fullEx, virtualKind)
             }
-            cols += s"$cname $ty"
+            if (peekWord("AS") || peekWord("GENERATED")) genTail(None)
+            else {
+              val ty = parseType()
+              if (peekWord("AS") || peekWord("GENERATED")) genTail(Some(ty))
+              else {
+                // strip inline constraints up to the next ',' or ')',
+                // recording PRIMARY KEY and DEFAULT on the way past
+                var depth = 0
+                var stop = false
+                var dflt: Option[String] = None
+                while (more && !stop) peek match {
+                  case TOp("(") => depth += 1; next()
+                  case TOp(")") if depth > 0 => depth -= 1; next()
+                  case TOp(")") => stop = true
+                  case TOp(",") if depth == 0 => stop = true
+                  case TWord(w) if depth == 0 && w.equalsIgnoreCase("PRIMARY") =>
+                    next()
+                    if (peekWord("KEY")) { next(); pkCols += cname0 }
+                  case TWord(w) if depth == 0 && w.equalsIgnoreCase("DEFAULT") =>
+                    next()
+                    dflt = Some(expr(0))
+                  case _ => next()
+                }
+                dflt.foreach(d => defaults(cname0) = d)
+                // DEFAULT survives into the Spark DDL — Spark ≥3.4
+                // fills it on native INSERT paths, exactly like the
+                // reference binds the default expression
+                cols += s"$cname $ty" + dflt.map(d => s" DEFAULT $d").getOrElse("")
+              }
+            }
+            declared += cname0
         }
         if (peekOp(",")) next()
       }
       expectOp(")")
       val bare = name.stripPrefix("`").stripSuffix("`")
+      TableMeta.clear(bare)
       if (pkCols.nonEmpty) TableMeta.recordPk(bare, pkCols.toSeq)
-      else TableMeta.clear(bare)
+      TableMeta.recordDefaults(bare, defaults.toMap)
+      TableMeta.recordGenerated(bare, gcols.toSeq)
+      if (gcols.nonEmpty) TableMeta.recordDeclaredOrder(bare, declared.toSeq)
       Some(s"CREATE $orReplace" + s"TABLE $ifNotExists$name (${cols.mkString(", ")}) USING parquet")
     }
 

@@ -204,7 +204,11 @@ object RefAliases {
           Slice(args(0), Literal(2), Subtract(Size(args(0)), Literal(1))),
           ElementAt(args(0), Literal(1)), args(1), ident)
       }
-    for (n <- Seq("list_pack", "array_value", "list")) rename(e, n, "array")
+    for (n <- Seq("list_pack", "array_value")) rename(e, n, "array")
+    // `list(x)` is the reference's AGGREGATE (alias of array_agg —
+    // list_aggregates.cpp), NOT a constructor (that's list_value/
+    // list_pack). Same NULL-dropping divergence as array_agg itself.
+    rename(e, "list", "collect_list")
     rename(e, "row", "struct")
     for (n <- Seq("list_has_any", "array_has_any")) rename(e, n, "arrays_overlap")
     for (n <- Seq("list_has_all", "array_has_all"))

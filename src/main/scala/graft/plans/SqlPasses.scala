@@ -260,6 +260,41 @@ object SqlPasses {
     val po = frame.substring(0, frameUnitIdx).trim
     val peers = s"$po RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
 
+    // The algebraic rewrites below subtract an aggregate over the
+    // current row (or its peer group) from the framed aggregate —
+    // valid only when the frame actually CONTAINS what is subtracted.
+    // Parse the frame bounds and gate each kind on that, rather than
+    // silently diverging from the reference's frame-intersected
+    // exclusion on frames that cut the peer group or skip the row.
+    val frameTail = frame.substring(frameUnitIdx).trim
+    val unit = frameTail.takeWhile(!_.isWhitespace).toUpperCase
+    val (loTxt, hiTxt) =
+      if (frameTail.isEmpty) ("UNBOUNDED PRECEDING", "CURRENT ROW")
+      else {
+        val body = frameTail.drop(unit.length).trim
+        val BetweenRe = "(?is)^BETWEEN\\s+(.+?)\\s+AND\\s+(.+)$".r
+        body match {
+          case BetweenRe(lo, hi) => (lo.trim.toUpperCase, hi.trim.toUpperCase)
+          case single => (single.trim.toUpperCase, "CURRENT ROW")
+        }
+      }
+    // frame contains the current row: start not after it, end not before
+    val containsCurrent =
+      (loTxt.endsWith("PRECEDING") || loTxt == "CURRENT ROW") &&
+        (hiTxt.endsWith("FOLLOWING") || hiTxt == "CURRENT ROW")
+    // frame contains the FULL peer group: RANGE/GROUPS frames that
+    // contain the current row always do (peers sit at distance 0);
+    // a ROWS frame can cut the group unless it spans the partition
+    val containsGroup =
+      if (frameTail.isEmpty || unit == "RANGE" || unit == "GROUPS") containsCurrent
+      else loTxt == "UNBOUNDED PRECEDING" && hiTxt == "UNBOUNDED FOLLOWING"
+    if (kind == "CURRENT")
+      require(containsCurrent, s"window EXCLUDE CURRENT ROW: frame ($frame) " +
+        "does not contain the current row — algebraic rewrite unsupported")
+    if (kind == "GROUP" || kind == "TIES")
+      require(containsGroup, s"window EXCLUDE $kind: frame ($frame) may cut " +
+        "the peer group (bounded ROWS frame) — algebraic rewrite unsupported")
+
     val full = s"$fn($arg) OVER ($frame)"
     val replacement = (fn, kind) match {
       case (_, "NONE") => full

@@ -32,6 +32,11 @@ object StatementSurface {
   val DeallocRe = """(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*;?\s*$""".r
   val AttachRe = """(?is)^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'\s+AS\s+(\w+)\s*(?:\([^)]*\))?\s*;?\s*$""".r
   val DetachRe = """(?is)^\s*DETACH\s+(?:DATABASE\s+)?(\w+)\s*;?\s*$""".r
+  // COPY FROM DATABASE a TO b [(DATA|SCHEMA)] — reference
+  // copy_database_statement.cpp. Must match before CopyTo/CopyFrom.
+  val CopyDbRe =
+    """(?is)^\s*COPY\s+FROM\s+DATABASE\s+(\w+)\s+TO\s+(\w+)\s*(?:\(\s*(DATA|SCHEMA)\s*\))?\s*;?\s*$""".r
+
   val CopyToRe = """(?is)^\s*COPY\s+(.+?)\s+TO\s+'([^']+)'\s*(?:\(([^)]*)\)|WITH\s*\(([^)]*)\))?\s*;?\s*$""".r
   val CopyFromRe = """(?is)^\s*COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\(([^)]*)\)|WITH\s*\(([^)]*)\))?\s*;?\s*$""".r
 
@@ -51,9 +56,28 @@ object StatementSurface {
       throw new IllegalArgumentException(s"EXECUTE: no prepared statement '$name'"))
     val args = argsRaw.map(a =>
       graft.sources.DmlSql.topSplit(a, ',')).getOrElse(Nil)
-    var out = text
-    args.zipWithIndex.foreach { case (v, i) =>
-      out = out.replace("$" + (i + 1), v)
+    // $n placeholders: single left-to-right scan, longest number wins
+    // (sequential String.replace of "$1" would corrupt "$10" into
+    // arg1 followed by '0'), and string-literal spans are skipped —
+    // same discipline as the '?' branch below.
+    var out = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (c == '\'') {
+          sb += c; i += 1
+          while (i < text.length && text.charAt(i) != '\'') { sb += text.charAt(i); i += 1 }
+          if (i < text.length) { sb += '\''; i += 1 }
+        } else if (c == '$' && i + 1 < text.length && text.charAt(i + 1).isDigit) {
+          var j = i + 1
+          while (j < text.length && text.charAt(j).isDigit) j += 1
+          val idx = text.substring(i + 1, j).toInt
+          if (idx >= 1 && idx <= args.length) { sb ++= args(idx - 1); i = j }
+          else { sb += c; i += 1 }
+        } else { sb += c; i += 1 }
+      }
+      sb.toString
     }
     // positional `?` placeholders, outside string literals
     if (args.nonEmpty && out.contains("?")) {
@@ -200,6 +224,34 @@ object StatementSurface {
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     spark.catalog.refreshTable(table)
     emptyDf(spark)
+  }
+
+  /** COPY FROM DATABASE a TO b: every table of `a` copies into `b`
+    * (reference copy_database_statement.cpp; test/sql/copy_database).
+    * DATA (the default) is a per-table CTAS; SCHEMA creates the
+    * tables empty. Views in the source database materialize as
+    * tables in the target (a copied database has no reference to the
+    * source's base tables — the reference copies view DEFINITIONS,
+    * which Spark's catalog cannot retarget; documented divergence).
+    * Returns a one-row Count of copied tables.
+    */
+  def copyDatabase(spark: SparkSession, from: String, to: String,
+                   mode: String): DataFrame = {
+    require(spark.catalog.databaseExists(from),
+      s"COPY FROM DATABASE: no database '$from'")
+    if (!spark.catalog.databaseExists(to))
+      spark.sql(s"CREATE DATABASE `$to`")
+    // listTables mixes session TEMP views into every database listing
+    // — only the database's own tables/views copy
+    val tables = spark.catalog.listTables(from).collect()
+      .filterNot(_.tableType == "TEMPORARY")
+    tables.foreach { t =>
+      val where = if (mode.equalsIgnoreCase("SCHEMA")) " WHERE 1=0" else ""
+      spark.sql(s"DROP TABLE IF EXISTS `$to`.`${t.name}`")
+      spark.sql(
+        s"CREATE TABLE `$to`.`${t.name}` AS SELECT * FROM `$from`.`${t.name}`$where")
+    }
+    countDf(spark, tables.length.toLong)
   }
 
   /** PRAGMA / CALL report surfaces. */

@@ -35,7 +35,12 @@ object Imdb {
   lazy val queries: Seq[(String, String)] = {
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(hppPath)))
-    val Entry = """(?s)/\* (\w+)\.sql \*/\s*"((?:[^"\\]|\\.)*)"""".r
+    // Unrolled-loop form: the naive ((?:[^"\]|\\.)*) alternation
+    // recurses one Java-regex stack frame per character and overflows
+    // on the ~2000-char literals in this 120 KB header under
+    // parallel-suite stack pressure. Possessive chunks keep the
+    // stack depth constant.
+    val Entry = """(?s)/\* (\w+)\.sql \*/\s*"([^"\\]*+(?:\\.[^"\\]*+)*+)"""".r
     Entry.findAllMatchIn(src).map { m =>
       val text = m.group(2)
         .replace("\\n", "\n").replace("\\t", "\t")
@@ -343,7 +348,21 @@ object Imdb {
     s"WITH $viewsSql\nSELECT * FROM (\n${rows.mkString("\nUNION ALL\n")}\n) ORDER BY qid"
   }
 
-  val defs: Seq[QDef] = Seq(
+  /** Fail-soft: a failure while parsing the vendored header must not
+    * poison this object's static init — an object-initializer throw
+    * becomes a permanent NoClassDefFoundError for every later toucher
+    * of SparkEntry.allDefs, cascading one bad init into unrelated
+    * suites. Degrade to an empty def list with a logged error instead.
+    */
+  val defs: Seq[QDef] =
+    try defsImpl
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[graft] Imdb defs init failed (degrading to empty): $e")
+        Seq.empty
+    }
+
+  private def defsImpl: Seq[QDef] = Seq(
     QDef.sql("imdb_job_sweep", oracleSqlText) { (s, dir) =>
       Catalog.registerAll(s, dir)
       // register the views once, then run each query's fingerprint

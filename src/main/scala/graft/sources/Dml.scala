@@ -72,17 +72,34 @@ object Dml {
     */
   private def tableFiles(spark: SparkSession, path: String): Seq[String] = {
     val hfs = fs(spark, path)
-    val it = hfs.listFiles(new Path(path), true)
+    val root = hfs.makeQualified(new Path(path))
+    val it = hfs.listFiles(root, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val st = it.next()
-      // hidden segments ANYWHERE in the path: the txn trash dir
-      // (.graft_trash) nests normal-named part files under a dot-dir
-      val hidden = st.getPath.toString.split('/')
-        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
-      if (st.isFile && !hidden) buf += st.getPath.toString
+      // hidden segments anywhere BELOW the table root: the txn trash
+      // dir (.graft_trash) nests normal-named part files under a
+      // dot-dir. Segments ABOVE the root (a warehouse under a dot-dir
+      // home or _work CI checkout) must not count — Spark's readers
+      // only skip hidden names below the listing root, and counting
+      // ancestors would make reads see rows while DML lists zero files.
+      if (st.isFile && !hiddenBelow(root, st.getPath))
+        buf += st.getPath.toString
     }
     buf.toSeq
+  }
+
+  /** True iff any path segment strictly below `root` is hidden
+    * (starts with '_' or '.'), mirroring Spark's own listing filter.
+    */
+  private[sources] def hiddenBelow(root: Path, p: Path): Boolean = {
+    var cur = p
+    while (cur != null && cur != root) {
+      val n = cur.getName
+      if (n.startsWith("_") || n.startsWith(".")) return true
+      cur = cur.getParent
+    }
+    false
   }
 
   /** The rewrite scan + the files it will replace. Selective DML gets
@@ -220,12 +237,16 @@ object Dml {
       val selfDup = pkViolations(rows, pk).limit(1).count()
       require(selfDup == 0,
         s"INSERT batch violates PRIMARY KEY (${pk.mkString(", ")}): duplicate keys within the batch")
-      val existing = spark.read.parquet(path)
-        .select(pk.map(col).toIndexedSeq: _*)
-      val clash = rows.select(pk.map(col).toIndexedSeq: _*)
-        .join(existing, pk, "left_semi").limit(1).count()
-      require(clash == 0,
-        s"INSERT violates PRIMARY KEY (${pk.mkString(", ")}): key already present in table")
+      // a freshly-created table has no data files — nothing to clash
+      // with, and parquet can't infer a schema from an empty dir
+      if (tableFiles(spark, path).nonEmpty) {
+        val existing = spark.read.parquet(path)
+          .select(pk.map(col).toIndexedSeq: _*)
+        val clash = rows.select(pk.map(col).toIndexedSeq: _*)
+          .join(existing, pk, "left_semi").limit(1).count()
+        require(clash == 0,
+          s"INSERT violates PRIMARY KEY (${pk.mkString(", ")}): key already present in table")
+      }
     }
     val obs = Observation()
     Txn.touch(spark, path)
@@ -253,10 +274,7 @@ object Dml {
     val root = hfs.makeQualified(new Path(path))
     while (it.hasNext) {
       val st = it.next()
-      val n = st.getPath.getName
-      val hiddenSeg = st.getPath.toString.split('/')
-        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
-      if (st.isFile && !n.startsWith("_") && !n.startsWith(".") && !hiddenSeg) {
+      if (st.isFile && !hiddenBelow(root, st.getPath)) {
         // Hive-partitioned layouts are unsupported: reading leaf files
         // without basePath would drop the partition columns and the
         // swap would silently destroy them. Refuse rather than corrupt.

@@ -36,19 +36,40 @@ object DmlSql {
     * (OR REPLACE / OR IGNORE / ON CONFLICT). Plain INSERT stays on
     * Spark's native path.
     */
+  private val InsertTarget =
+    """(?is)^\s*INSERT\s+(?:OR\s+\w+\s+)?INTO\s+"?([\w.]+)"?.*""".r
+
   def matches(text: String): Boolean = text match {
     case UpdateRe() | DeleteRe() => true
     case InsertRe() =>
       val up = text.toUpperCase
       up.matches("(?s)^\\s*INSERT\\s+OR\\s+(REPLACE|IGNORE)\\b.*") ||
-        topIndexOf(text, "ON CONFLICT") >= 0
+        topIndexOf(text, "ON CONFLICT") >= 0 ||
+        topIndexOf(text, "RETURNING") >= 0 ||
+        // tables with generated columns must insert through here so
+        // the generated values are recomputed on every write
+        (text match {
+          case InsertTarget(t) => TableMeta.generated(t).nonEmpty
+          case _ => false
+        })
     case _ => false
   }
 
-  def run(spark: SparkSession, text: String): DataFrame = text match {
-    case UpdateRe() => update(spark, text)
-    case DeleteRe() => delete(spark, text)
-    case _          => insertOnConflict(spark, text)
+  def run(spark: SparkSession, text0: String): DataFrame = {
+    // `… RETURNING <projection>` (reference insert_statement.cpp
+    // returning_list; test/sql/returning/): the statement returns the
+    // affected rows' projection instead of the Count row
+    val retIdx = topIndexOf(text0, "RETURNING")
+    val (text, returning) =
+      if (retIdx >= 0)
+        (text0.substring(0, retIdx),
+          Some(text0.substring(retIdx + "RETURNING".length).trim.stripSuffix(";")))
+      else (text0, None)
+    text match {
+      case UpdateRe() => update(spark, text, returning)
+      case DeleteRe() => delete(spark, text, returning)
+      case _          => insertOnConflict(spark, text, returning)
+    }
   }
 
   // ------------------------------------------------------------ UPDATE
@@ -57,7 +78,8 @@ object DmlSql {
     * update) is not supported through the front door — use MERGE
     * semantics via INSERT … ON CONFLICT or the Dml API.
     */
-  private def update(spark: SparkSession, text: String): DataFrame = {
+  private def update(spark: SparkSession, text: String,
+                     returning: Option[String]): DataFrame = {
     val afterVerb = text.trim.drop("UPDATE".length).trim
     val setIdx = topIndexOf(afterVerb, "SET")
     require(setIdx > 0, "UPDATE: missing SET clause")
@@ -73,15 +95,36 @@ object DmlSql {
     val sets = topSplit(setPart, ',').map(parseAssign)
     val cond = wherePart.map(w => expr(frag(w))).getOrElse(lit(true))
     val path = tablePath(spark, table)
-    val stats = Dml.update(spark, path, cond,
-      sets.map { case (c, e) => c -> expr(frag(e)) }.toMap)
+    // generated columns recompute from the POST-update base values:
+    // every set expression evaluates against the old row, so splicing
+    // the set text in for each updated base reference computes the
+    // post-image exactly (reference generated_columns/virtual/update)
+    val gens = TableMeta.generated(table)
+    val setTexts = sets.map { case (c, e) => c.toLowerCase -> frag(e) }.toMap
+    gens.foreach { g =>
+      require(!setTexts.contains(g.name.toLowerCase),
+        s"UPDATE: cannot SET generated column ${g.name}")
+    }
+    val genSets = gens.map(g => g.name -> substituteRefs(g.expr, setTexts))
+    val setMap = sets.map { case (c, e) => c -> expr(frag(e)) }.toMap ++
+      genSets.map { case (c, e) => c -> expr(e) }.toMap
+    val ret = returning.map { _ =>
+      val t = spark.table(table)
+      materialize(spark, t.where(cond).select(t.columns.map(c =>
+        setMap.getOrElse(c, col(quote(c))).as(c)).toIndexedSeq: _*))
+    }
+    val stats = Dml.update(spark, path, cond, setMap)
     spark.catalog.refreshTable(table)
-    countDf(spark, stats.rowsRewritten)
+    (ret, returning) match {
+      case (Some(rows), Some(proj)) => projectReturning(spark, rows, proj)
+      case _ => countDf(spark, stats.rowsRewritten)
+    }
   }
 
   // ------------------------------------------------------------ DELETE
 
-  private def delete(spark: SparkSession, text: String): DataFrame = {
+  private def delete(spark: SparkSession, text: String,
+                     returning: Option[String]): DataFrame = {
     val afterFrom = text.trim.drop("DELETE".length).trim.drop("FROM".length).trim
     val whereIdx = topIndexOf(afterFrom, "WHERE")
     val (tablePart, wherePart) =
@@ -89,12 +132,15 @@ object DmlSql {
       else (afterFrom, None)
     val table = stripAlias(tablePart)
     val path = tablePath(spark, table)
-    val stats = wherePart match {
-      case Some(w) => Dml.delete(spark, path, expr(frag(w)))
-      case None    => Dml.delete(spark, path, lit(true))
-    }
+    val cond = wherePart.map(w => expr(frag(w))).getOrElse(lit(true))
+    // RETURNING on DELETE is the deleted rows' pre-image
+    val ret = returning.map(_ => materialize(spark, spark.table(table).where(cond)))
+    val stats = Dml.delete(spark, path, cond)
     spark.catalog.refreshTable(table)
-    countDf(spark, stats.rowsRewritten)
+    (ret, returning) match {
+      case (Some(rows), Some(proj)) => projectReturning(spark, rows, proj)
+      case _ => countDf(spark, stats.rowsRewritten)
+    }
   }
 
   // ----------------------------------------------- INSERT … ON CONFLICT
@@ -105,7 +151,8 @@ object DmlSql {
     * table's dialect DDL (TableMeta), exactly like the reference
     * binds the table's unique index when no target is spelled.
     */
-  private def insertOnConflict(spark: SparkSession, text: String): DataFrame = {
+  private def insertOnConflict(spark: SparkSession, text: String,
+                               returning: Option[String]): DataFrame = {
     var rest = text.trim.drop("INSERT".length).trim
     var mode: String = null // "replace" | "ignore" | null
     if (rest.toUpperCase.startsWith("OR ")) {
@@ -139,10 +186,20 @@ object DmlSql {
     val path = tablePath(spark, table)
     val target = spark.table(table)
     val targetCols = target.columns.toSeq
-    val cols = if (insertCols.nonEmpty) insertCols else targetCols
+    // generated columns are never insert targets — positional VALUES
+    // map onto the physical columns only, and the generated values
+    // recompute below (reference generated_columns semantics)
+    val genNames = TableMeta.generated(table).map(_.name.toLowerCase).toSet
+    val physCols = targetCols.filterNot(c => genNames(c.toLowerCase))
+    insertCols.foreach(c => require(!genNames(c.toLowerCase),
+      s"INSERT: cannot insert into generated column $c"))
+    val cols = if (insertCols.nonEmpty) insertCols else physCols
 
     // source rows: VALUES list or a query, positional-renamed and
-    // cast to the target schema like any INSERT
+    // cast to the target schema like any INSERT; unnamed columns fill
+    // their recorded DEFAULT (create_statement.cpp DefaultValue), or
+    // NULL when none
+    val defaults = TableMeta.columnDefaults(table)
     val raw =
       if (srcPart.trim.toUpperCase.startsWith("VALUES"))
         spark.sql(DuckDialect.translate(s"SELECT * FROM (${srcPart.trim}) AS __v(${cols.map(quote).mkString(", ")})"))
@@ -150,10 +207,33 @@ object DmlSql {
     require(raw.columns.length == cols.length,
       s"INSERT: ${cols.length} target columns but ${raw.columns.length} in source")
     val renamed = raw.toDF(cols: _*)
-    val source = renamed.select(targetCols.map { c =>
-      if (cols.contains(c)) col(quote(c)).cast(target.schema(c).dataType).as(c)
-      else lit(null).cast(target.schema(c).dataType).as(c)
+    val source0 = renamed.select(physCols.map { c =>
+      if (cols.exists(_.equalsIgnoreCase(c)))
+        col(quote(c)).cast(target.schema(c).dataType).as(c)
+      else defaults.find(_._1.equalsIgnoreCase(c)) match {
+        case Some((_, d)) => expr(frag(d)).cast(target.schema(c).dataType).as(c)
+        case None => lit(null).cast(target.schema(c).dataType).as(c)
+      }
     }: _*)
+    // recompute generated columns and restore declared column order
+    val source =
+      if (genNames.isEmpty) source0
+      else TableMeta.generated(table).foldLeft(source0) { (d, g) =>
+        d.withColumn(g.name, expr(g.expr).cast(target.schema(g.name).dataType))
+      }.select(targetCols.map(c => col(quote(c))): _*)
+
+    // plain INSERT (no conflict clause, no OR mode): engine-layer
+    // append with PK enforcement — reached when RETURNING or a
+    // generated-column table routed it here
+    if (conflictPart.isEmpty && mode == null) {
+      val stats = Dml.insert(spark, path, source,
+        TableMeta.primaryKey(table).getOrElse(Nil))
+      spark.catalog.refreshTable(table)
+      return returning match {
+        case Some(proj) => projectReturning(spark, source, proj)
+        case None => countDf(spark, stats.rowsInserted)
+      }
+    }
 
     // conflict action
     val (keys, action, assigns) = conflictPart match {
@@ -195,16 +275,85 @@ object DmlSql {
         val set = targetCols.filterNot(keys.contains).map(c => c -> source(c)).toMap
         Dml.merge(spark, path, source.dropDuplicates(keys), keys, set)
       case "update" =>
+        require(genNames.isEmpty,
+          "ON CONFLICT DO UPDATE on a table with generated columns is not supported")
         val set = assigns.map { case (c, e) =>
           c -> expr(qualifyBare(frag(e), targetCols, keys, "t"))
         }.toMap
         Dml.merge(spark, path, source, keys, set, targetAlias = "t")
     }
     spark.catalog.refreshTable(table)
-    countDf(spark, stats.rowsRewritten + stats.rowsInserted)
+    returning match {
+      case Some(proj) if action == "replace" =>
+        // OR REPLACE: every source row is an affected row post-action
+        projectReturning(spark, source.dropDuplicates(keys), proj)
+      case Some(_) =>
+        throw new IllegalArgumentException(
+          s"RETURNING with ON CONFLICT DO ${action.toUpperCase} is not supported")
+      case None => countDf(spark, stats.rowsRewritten + stats.rowsInserted)
+    }
   }
 
   // ------------------------------------------------------------ helpers
+
+  private val retViewId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Snapshot a DataFrame before the table's files are swapped out —
+    * RETURNING materializes the affected rows to a temp location so
+    * the projection never re-reads deleted files. RETURNING is a
+    * result SET the client consumes; the snapshot is bounded by the
+    * statement's own hit size, same as any engine's returned chunk
+    * stream.
+    */
+  private def materialize(spark: SparkSession, df: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_returning").toString
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  /** Apply the RETURNING projection through the front door — so `*`,
+    * expressions, aliases and COLUMNS('re') all work (the reference
+    * binds the returning list like a SELECT list).
+    */
+  private def projectReturning(spark: SparkSession, rows: DataFrame,
+                               proj: String): DataFrame = {
+    val v = s"__returning_${retViewId.incrementAndGet()}"
+    rows.createOrReplaceTempView(v)
+    graft.GraftSql.sql(spark, s"SELECT ${proj.trim} FROM $v")
+  }
+
+  /** Replace bare references to the given columns with their
+    * replacement text (parenthesized), skipping string literals,
+    * qualified names and call positions — used to recompute generated
+    * columns from post-update base values.
+    */
+  private[graft] def substituteRefs(e: String, repl: Map[String, String]): String = {
+    if (repl.isEmpty) return e
+    val sb = new StringBuilder
+    var i = 0
+    val n = e.length
+    while (i < n) {
+      val c = e.charAt(i)
+      if (c == '\'') {
+        sb += c; i += 1
+        while (i < n && e.charAt(i) != '\'') { sb += e.charAt(i); i += 1 }
+        if (i < n) { sb += '\''; i += 1 }
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (e.charAt(i).isLetterOrDigit || e.charAt(i) == '_')) i += 1
+        val word = e.substring(start, i)
+        val prevDot = start > 0 && e.charAt(start - 1) == '.'
+        var j = i
+        while (j < n && e.charAt(j).isWhitespace) j += 1
+        val isCall = j < n && e.charAt(j) == '('
+        val isQualifier = j < n && e.charAt(j) == '.'
+        if (!prevDot && !isCall && !isQualifier && repl.contains(word.toLowerCase))
+          sb.append('(').append(repl(word.toLowerCase)).append(')')
+        else sb.append(word)
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
 
   /** Translate an expression fragment through the full dialect. */
   private def frag(e: String): String = {

@@ -53,15 +53,17 @@ object Txn {
 
   private def dataFiles(spark: SparkSession, path: String): Seq[String] = {
     val hfs = fs(spark, path)
-    val root = new Path(path)
+    val root = hfs.makeQualified(new Path(path))
     if (!hfs.exists(root)) return Nil
     val it = hfs.listFiles(root, true)
     val buf = mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val st = it.next()
-      val rel = st.getPath.toString
-      val hidden = rel.split('/').exists(seg => seg.startsWith(".") || seg.startsWith("_"))
-      if (st.isFile && !hidden) buf += rel
+      // hidden-ness is judged relative to the table root, matching
+      // Spark's listing filter — ancestors above the root (dot-dir
+      // homes, _work CI checkouts) must not hide the whole table
+      if (st.isFile && !Dml.hiddenBelow(root, st.getPath))
+        buf += st.getPath.toString
     }
     buf.toSeq
   }

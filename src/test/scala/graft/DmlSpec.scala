@@ -229,4 +229,24 @@ class DmlSpec extends AnyFunSuite {
     def toMap2: Map[Long, (String, Double)] =
       rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
+
+  test("hidden-dir check is relative to the table root, not the full path") {
+    // a warehouse under a dot-dir or _work CI checkout must not hide
+    // the whole table from the DML listing (reads would see rows while
+    // UPDATE/DELETE silently report 0 files)
+    val base = Files.createTempDirectory("dmlhidden")
+    val path = base.resolve("_work").resolve(".ci").resolve("tbl").toString
+    (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "amt")
+      .repartition(2).write.mode(SaveMode.Overwrite).parquet(path)
+    val stats = Dml.update(spark, path,
+      cond = col("k") === 3L, set = Map("amt" -> lit(99.0)))
+    assert(stats.rowsRewritten == 1, s"update under hidden ancestors: $stats")
+    val got = spark.read.parquet(path).where(col("k") === 3L)
+      .select("amt").collect()(0).getDouble(0)
+    assert(got == 99.0)
+    // .graft_trash UNDER the root must still be invisible
+    val del = Dml.delete(spark, path, cond = col("k") === 4L)
+    assert(del.rowsRewritten == 1, s"delete under hidden ancestors: $del")
+    assert(spark.read.parquet(path).count() === 9L)
+  }
 }

@@ -141,4 +141,41 @@ class DmlSqlSpec extends AnyFunSuite {
     assert(an.getString(1).contains("Rows Returned: 1"))
     assert(an.getString(1).contains("numOutputRows"))
   }
+
+  test("INSERT/UPDATE/DELETE ... RETURNING (reference test/sql/returning)") {
+    inScratchDb {
+      GraftSql.runScript(spark,
+        """CREATE OR REPLACE TABLE accounts (id INTEGER PRIMARY KEY, owner VARCHAR, bal DOUBLE, seg VARCHAR)""")
+      // INSERT ... RETURNING *: the inserted rows
+      val ins = GraftSql.sql(spark,
+        "INSERT INTO accounts VALUES (1, 'ann', 100.0, 'A'), (2, 'bo', 50.0, 'B') RETURNING *")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+      assert(ins === Seq((1, "ann", 100.0), (2, "bo", 50.0)))
+      // named columns, out of order, aliased, expressions
+      val ins2 = GraftSql.sql(spark,
+        "INSERT INTO accounts VALUES (3, 'cy', 70.0, 'A') RETURNING bal, id AS alias1, bal * 2 AS dbl")
+        .collect()(0)
+      assert((ins2.getDouble(0), ins2.getInt(1), ins2.getDouble(2)) === ((70.0, 3, 140.0)))
+      // UPDATE ... RETURNING returns the POST-update rows
+      val upd = GraftSql.sql(spark,
+        "UPDATE accounts SET bal = bal + 10 WHERE seg = 'A' RETURNING id, bal")
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(upd === Seq((1, 110.0), (3, 80.0)))
+      // DELETE ... RETURNING returns the deleted rows' pre-image
+      val del = GraftSql.sql(spark,
+        "DELETE FROM accounts WHERE id = 2 RETURNING owner, bal")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(del === Seq(("bo", 50.0)))
+      assert(spark.table("accounts").count() === 2L)
+      // empty affected set returns an empty result, not a Count row
+      val none = GraftSql.sql(spark,
+        "DELETE FROM accounts WHERE id = 999 RETURNING *").collect()
+      assert(none.isEmpty)
+      // INSERT with a column subset fills defaults/NULLs and RETURNING * sees them
+      val sub = GraftSql.sql(spark,
+        "INSERT INTO accounts (id, bal) VALUES (9, 1.5) RETURNING id, owner, bal")
+        .collect()(0)
+      assert(sub.getInt(0) === 9 && sub.isNullAt(1) && sub.getDouble(2) === 1.5)
+    }
+  }
 }

@@ -153,4 +153,43 @@ class StatementSurfaceSpec extends AnyFunSuite {
       spark.sql("USE default")
     }
   }
+
+  test("EXECUTE $n substitution: 10+ params, $n in string literals untouched") {
+    GraftSql.sql(spark,
+      "PREPARE p10 AS SELECT $10 AS a, $1 AS b, 'costs $2 exactly' AS c")
+    val r = GraftSql.sql(spark, "EXECUTE p10(1,2,3,4,5,6,7,8,9,42)").collect()(0)
+    // $10 must bind arg 10 (not arg1 followed by '0'), and the $2
+    // inside the string literal must survive verbatim
+    assert(r.get(0).toString === "42")
+    assert(r.get(1).toString === "1")
+    assert(r.getString(2) === "costs $2 exactly")
+    GraftSql.sql(spark, "DEALLOCATE p10")
+  }
+
+  test("CREATE OR REPLACE TABLE t AS SELECT ... FROM t stages before dropping") {
+    try {
+      GraftSql.sql(spark, "CREATE OR REPLACE TABLE corself AS SELECT 1 AS x")
+      // self-referencing replace: the old contents must survive until
+      // the new table is fully materialized
+      GraftSql.sql(spark,
+        "CREATE OR REPLACE TABLE corself AS SELECT x + 1 AS x FROM corself")
+      assert(spark.table("corself").collect()(0).get(0).toString === "2")
+    } finally spark.sql("DROP TABLE IF EXISTS corself")
+  }
+
+  test("UNION BY NAME: CTAS prefix and trailing ORDER BY/LIMIT bind to the whole setop") {
+    try {
+      GraftSql.sql(spark,
+        "CREATE OR REPLACE TABLE ubn_t AS SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS b")
+      // both arms must land in the table (a CTAS prefix must not be
+      // executed as part of the left arm alone)
+      assert(spark.table("ubn_t").count() === 2L)
+      assert(spark.table("ubn_t").columns.toSeq === Seq("a", "b"))
+    } finally spark.sql("DROP TABLE IF EXISTS ubn_t")
+    // ORDER BY + LIMIT after the right arm applies to the UNION result
+    val r = GraftSql.sql(spark,
+      "SELECT 3 AS v UNION ALL BY NAME SELECT 1 AS v UNION ALL BY NAME SELECT 2 AS v ORDER BY v DESC LIMIT 2")
+      .collect().map(_.get(0).toString).toSeq
+    assert(r === Seq("3", "2"))
+  }
 }

@@ -113,4 +113,21 @@ class WindowExcludeSpec extends AnyFunSuite {
     // leaves the other value (the NULL contributes nothing)
     assert(r == Seq(Some(30L), Some(40L), Some(10L)))
   }
+
+  test("SQL pass rejects EXCLUDE GROUP/TIES on a bounded ROWS frame") {
+    // a bounded ROWS frame can cut the peer group — the algebraic
+    // rewrite would subtract rows never in the frame; must throw
+    intercept[IllegalArgumentException] {
+      graft.plans.SqlPasses.windowExcludePass(
+        "SELECT SUM(x) OVER (ORDER BY o ROWS BETWEEN 5 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t")
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.SqlPasses.windowExcludePass(
+        "SELECT SUM(x) OVER (ORDER BY o ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING EXCLUDE CURRENT ROW) FROM t")
+    }
+    // unbounded RANGE frames still rewrite
+    val ok = graft.plans.SqlPasses.windowExcludePass(
+      "SELECT SUM(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) FROM t")
+    assert(ok.contains("RANGE BETWEEN CURRENT ROW AND CURRENT ROW"))
+  }
 }
