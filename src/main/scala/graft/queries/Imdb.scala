@@ -143,6 +143,54 @@ object Imdb {
 
   // -------------------------------------------------- synthesized schema
 
+  /** Column order + kind (N numeric / S string) of each synthesized
+    * view — must match viewDefs exactly; ImdbWitness renders its
+    * VALUES arms from this.
+    */
+  val tableSchema: Map[String, Seq[(String, String)]] = Map(
+    "title" -> Seq("id" -> "N", "title" -> "S", "imdb_index" -> "S",
+      "kind_id" -> "N", "production_year" -> "N", "imdb_id" -> "N",
+      "phonetic_code" -> "S", "episode_of_id" -> "N", "season_nr" -> "N",
+      "episode_nr" -> "N", "series_years" -> "S", "md5sum" -> "S"),
+    "movie_companies" -> Seq("id" -> "N", "movie_id" -> "N",
+      "company_id" -> "N", "company_type_id" -> "N", "note" -> "S"),
+    "movie_info" -> Seq("id" -> "N", "movie_id" -> "N",
+      "info_type_id" -> "N", "info" -> "S", "note" -> "S"),
+    "movie_info_idx" -> Seq("id" -> "N", "movie_id" -> "N",
+      "info_type_id" -> "N", "info" -> "S", "note" -> "S"),
+    "cast_info" -> Seq("id" -> "N", "person_id" -> "N", "movie_id" -> "N",
+      "person_role_id" -> "N", "note" -> "S", "nr_order" -> "N", "role_id" -> "N"),
+    "movie_keyword" -> Seq("id" -> "N", "movie_id" -> "N", "keyword_id" -> "N"),
+    "keyword" -> Seq("id" -> "N", "keyword" -> "S", "phonetic_code" -> "S"),
+    "company_name" -> Seq("id" -> "N", "name" -> "S", "country_code" -> "S",
+      "imdb_id" -> "N", "name_pcode_nf" -> "S", "name_pcode_sf" -> "S",
+      "md5sum" -> "S"),
+    "name" -> Seq("id" -> "N", "name" -> "S", "imdb_index" -> "S",
+      "imdb_id" -> "N", "gender" -> "S", "name_pcode_cf" -> "S",
+      "name_pcode_nf" -> "S", "surname_pcode" -> "S", "md5sum" -> "S"),
+    "char_name" -> Seq("id" -> "N", "name" -> "S", "imdb_index" -> "S",
+      "imdb_id" -> "N", "name_pcode_nf" -> "S", "surname_pcode" -> "S",
+      "md5sum" -> "S"),
+    "aka_name" -> Seq("id" -> "N", "person_id" -> "N", "name" -> "S",
+      "imdb_index" -> "S", "name_pcode_cf" -> "S", "name_pcode_nf" -> "S",
+      "surname_pcode" -> "S", "md5sum" -> "S"),
+    "aka_title" -> Seq("id" -> "N", "movie_id" -> "N", "title" -> "S",
+      "imdb_index" -> "S", "kind_id" -> "N", "production_year" -> "N",
+      "phonetic_code" -> "S", "episode_of_id" -> "N", "season_nr" -> "N",
+      "episode_nr" -> "N", "note" -> "S", "md5sum" -> "S"),
+    "person_info" -> Seq("id" -> "N", "person_id" -> "N",
+      "info_type_id" -> "N", "info" -> "S", "note" -> "S"),
+    "movie_link" -> Seq("id" -> "N", "movie_id" -> "N",
+      "linked_movie_id" -> "N", "link_type_id" -> "N"),
+    "complete_cast" -> Seq("id" -> "N", "movie_id" -> "N",
+      "subject_id" -> "N", "status_id" -> "N"),
+    "info_type" -> Seq("id" -> "N", "info" -> "S"),
+    "company_type" -> Seq("id" -> "N", "kind" -> "S"),
+    "kind_type" -> Seq("id" -> "N", "kind" -> "S"),
+    "link_type" -> Seq("id" -> "N", "link" -> "S"),
+    "role_type" -> Seq("id" -> "N", "role" -> "S"),
+    "comp_cast_type" -> Seq("id" -> "N", "kind" -> "S"))
+
   /** The JOB schema (public: the join-order-benchmark's schema.sql)
     * as WITH-views over testdata. Keys chain naturally: movies =
     * orderkeys, fact rows = lineitems (FK by construction), people =
@@ -315,7 +363,9 @@ object Imdb {
     ).map(_.stripMargin).map { v =>
       val name = v.takeWhile(_ != ' ')
       val open = v.indexOf('(')
-      (name, v.substring(open + 1, v.length - 1).trim)
+      // append the planted witness rows (ImdbWitness): per-query
+      // solved rows that make the multi-table conjunctions satisfiable
+      (name, v.substring(open + 1, v.length - 1).trim + ImdbWitness.valuesArm(name))
     }
   }
 
@@ -346,6 +396,23 @@ object Imdb {
       s"SELECT '$qid' AS qid, (SELECT md5(${outputAliases(q).map(c => s"COALESCE(CAST($c AS VARCHAR), '<null>')").mkString(" || '|' || ")}) FROM (\n$q\n) __q) AS fp"
     }
     s"WITH $viewsSql\nSELECT * FROM (\n${rows.mkString("\nUNION ALL\n")}\n) ORDER BY qid"
+  }
+
+  /** Diagnostic (tools/Probe imdbnulls): per-query, does it produce
+    * any non-NULL output value at this sf? A JOB query is a single
+    * row of MINs, so all-NULL means the join pipeline ran but no
+    * tuple survived the filters — the domain-alignment signal.
+    */
+  def nullReport(s: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, Boolean)] = {
+    Catalog.registerAll(s, dir)
+    viewDefs.foreach { case (n, b) =>
+      GraftSql.sql(s, b).createOrReplaceTempView(n)
+    }
+    queries.map { case (qid, q) =>
+      val rows = GraftSql.sql(s, q).collect()
+      val nonNull = rows.exists(r => (0 until r.length).exists(i => !r.isNullAt(i)))
+      (qid, nonNull)
+    }
   }
 
   /** Fail-soft: a failure while parsing the vendored header must not

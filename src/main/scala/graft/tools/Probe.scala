@@ -25,6 +25,16 @@ object Probe {
     })
 
     args.drop(1).toList match {
+      case "imdbnulls" :: _ =>
+        // JOB domain-alignment diagnostic: which of the 113 produce
+        // only NULL MINs (joins ran, no tuple survived the filters)
+        val rep = time("imdbnulls") {
+          graft.queries.Imdb.nullReport(spark, sfDir)
+        }
+        val empty = rep.filter(!_._2).map(_._1)
+        println(s"[probe] non-null ${rep.count(_._2)}/${rep.length}")
+        println(s"[probe] empty: ${empty.mkString(" ")}")
+        spark.stop(); return
       case "sql" :: stmts =>
         // ad-hoc SQL through the registered surface (tables mounted)
         graft.sources.Catalog.registerAll(spark, sfDir)
