@@ -29,32 +29,57 @@ object Dedup {
   private[llm] def lshJoinHint: String =
     sys.props.getOrElse("graft.lsh.joinHint", "shuffle_hash")
 
-  /* Recompute-vs-materialize, measured so nobody retries it: the
-   * self-join sides and the mask pipeline each re-run the
-   * scan→reps→shingle→minhash prefix (the d02 plan shows 12
-   * FileScans, zero ReusedExchange). An eager localCheckpoint of the
-   * sig/payload intermediates LOST badly at sf10 (d04 20→80 s, d03
-   * 4→10 s): the pinned checkpoint blocks pile up across runs and
-   * the KB-wide deserialized rows thrash storage memory, while the
-   * kernels being "saved" cost only ~1.5 s/pass. On this workload
-   * recomputation from the (OS-cached) parquet is the cheaper side
-   * of the trade; a 1000-executor deployment with slow object
-   * storage would flip it — hence the operators stay recompute-
-   * shaped with the checkpoint decision left to the caller's
-   * persist() if their scan cost dominates.
+  /* Recompute-vs-materialize, measured twice so nobody retries the
+   * losing side: the stop-band pass and the payload pass each re-run
+   * the scan→reps→shingle→minhash prefix (zero ReusedExchange — the
+   * two consumers exchange on different keys). An eager
+   * localCheckpoint of the sig/payload intermediates LOST badly at
+   * sf10 (d04 20→80 s, d03 4→10 s): the pinned checkpoint blocks
+   * pile up across runs and the KB-wide deserialized rows thrash
+   * storage memory. The OBVIOUS alternative — a lazy
+   * `.persist(MEMORY_AND_DISK)` of the narrow (id, sig[, grams])
+   * projection — was ALSO measured at sf10 (r7): d07 15→24–35 s,
+   * d04 15.6→17 s median, d02 flat. InMemoryRelation breaks the
+   * whole-stage pipeline at the cache boundary and the columnar
+   * round-trip costs more than the ~1.5 s/pass kernel it saves. On
+   * this workload recomputation from the (OS-cached) parquet wins;
+   * a 1000-executor deployment with slow object storage would flip
+   * it — hence the operators stay recompute-shaped with the
+   * materialization decision left to the caller's persist() if
+   * their scan cost dominates.
    */
 
   /** Collapse exact duplicates to (min-id representative, text) —
     * the standard prelude to every near-dup operator: duplicate
     * clusters otherwise make candidate generation quadratic.
     */
-  def representatives(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def representatives(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // A/B-measured at sf10: swapping SHA-256 for 128-bit xxhash moves
-    // this stage <2% — the cost is the text scan + full-text shuffle,
-    // not the hash — so the collision-safe spelling stays.
-    df.groupBy(sha2(col(textCol).cast("binary"), 256).as("__h"))
-      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("__text"))
-      .select(col("id"), col("__text"))
+    // this stage <2% — the cost is the text movement, not the hash —
+    // so the collision-safe spelling stays.
+    //
+    // Shape matters more than the hash: carrying the text through the
+    // aggregate (`first(text)`) puts a string in the aggregation
+    // buffer, which HashAggregate can't hold — Spark silently compiles
+    // it to a SortAggregate keyed on the 64-char sha2 string, and this
+    // subtree is the recomputed prefix of EVERY near-dup operator
+    // (profiled: the double sort-on-hex dominated d02/d04/d07's
+    // repeated prefix cost). Winner ids go through a narrow
+    // HashAggregate instead, and the text is re-attached by semi-join:
+    // AQE broadcasts the id set at small scale; at 100 TB it is a hash
+    // shuffle on the id — still strictly cheaper than sorting the
+    // corpus by hash string.
+    val winners = df
+      .groupBy(sha2(col(textCol).cast("binary"), 256).as("__h"))
+      .agg(min(col(idCol)).as("id"))
+      .select(col("id"))
+    // shuffle_hash on the narrow id set: sort-merge would SORT the
+    // full text side; hashing the winner ids (8 B/row per partition)
+    // streams the corpus through unsorted. AQE upgrades to broadcast
+    // when the id set is small enough.
+    df.join(winners.hint("shuffle_hash"), df(idCol) === winners("id"), "left_semi")
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+  }
 
   /** Exact dedup: keep the min-id representative per content hash.
     * One shuffle on the (256-bit) hash; collision-safe in practice.
@@ -66,12 +91,14 @@ object Dedup {
   /** MinHash+LSH near-dup candidate pairs with estimated jaccard.
     *
     * shingle → minhash(numHashes) → band(bands × rowsPerBand) →
-    * explode band keys → self-equi-join on (band, bandHash) →
-    * estimate jaccard from signature agreement → threshold.
+    * explode band keys → group each surviving bucket → bucket-local
+    * pair generation ([[graft.plans.LshBucketPairs]]) with the
+    * emit-once band test and the signature-agreement estimate fused.
     *
-    * The only shuffle is the band-key join; at 100 TB band buckets are
-    * the unit of parallelism and AQE splits skewed buckets (boilerplate
-    * docs). Signature agreement is an O(numHashes) zip per candidate.
+    * The only payload shuffle is the bucket groupBy (docs × bands,
+    * linear); at 100 TB band buckets are the unit of parallelism,
+    * bounded at maxBucket members by the stop-band cap. Signature
+    * agreement is an O(numHashes) primitive loop per candidate.
     */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -132,36 +159,40 @@ object Dedup {
     // proportional to the PAIR count, quadratic in near-dup cluster
     // size (the same disease lshJaccardPairs documents for the gram
     // arrays).
-    val capped = sig.join(masked, Seq("id"))
+    // shuffle_hash with the NARROW masked side as build: sort-merge
+    // would sort the KB-wide sig side (measured +4–5 s at sf10)
+    val capped = sig.join(masked.hint(lshJoinHint), Seq("id"))
       .select(col("id"), col("sig"), col("m"),
         explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
       .filter(element_at(col("m"), col("bk.band") + 1) === col("bk.bh"))
 
-    // Estimate jaccard IN the bucket join's streamed output (fused
-    // ArrayAgreeCount — one primitive loop, stays in codegen): the
-    // (sig_a, sig_b) pair row exists only inside whole-stage codegen,
-    // never in a shuffle file.
-    def agree(a: Column, b: Column): Column =
-      graft.plans.HashExpressions.columnOf(
-        graft.plans.ArrayAgreeCount(
-          graft.plans.HashExpressions.exprOf(a),
-          graft.plans.HashExpressions.exprOf(b)))
-    def firstEq(a: Column, b: Column): Column =
-      graft.plans.HashExpressions.columnOf(
-        graft.plans.FirstEqualIndex(
-          graft.plans.HashExpressions.exprOf(a),
-          graft.plans.HashExpressions.exprOf(b)))
-    capped.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"),
-        col("m").as("m_a"))
-      .join(capped.select(col("bk"), col("id").as("id_b"),
-        col("sig").as("sig_b"), col("m").as("m_b"))
-        .hint(lshJoinHint), Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
-      // emit-once: this bucket is the pair's first shared surviving band
-      .filter(firstEq(col("m_a"), col("m_b")) === col("bk.band").cast("long"))
-      .select(col("id_a"), col("id_b"),
-        (agree(col("sig_a"), col("sig_b")).cast("double") / numHashes).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+    // Bucket-local pair generation instead of a self-equi-join on bk:
+    // ONE exchange (groupBy bk, payload crosses the wire once instead
+    // of build+probe twice), groups bounded by maxBucket because
+    // `capped` already dropped non-surviving buckets, and the
+    // emit-once + agreement filters run fused in the generator — a
+    // below-threshold pair never materializes as a row anywhere.
+    bucketPairs(capped, numHashes, threshold, withGrams = false)
+  }
+
+  /** groupBy(bk) → collect_list(members) → [[graft.plans.LshBucketPairs]].
+    * `capped` rows are (id, sig[, grams], m, bk) already filtered to
+    * surviving buckets, so every group is ≤ maxBucket members.
+    */
+  private def bucketPairs(
+      capped: DataFrame, numHashes: Int, threshold: Double,
+      withGrams: Boolean, minJaccard: Double = 0.0): DataFrame = {
+    import graft.plans.HashExpressions.{columnOf, exprOf}
+    val member =
+      if (withGrams) struct(col("id"), col("sig"), col("m"), col("grams"))
+      else struct(col("id"), col("sig"), col("m"))
+    val outCols = Seq("id_a", "id_b", if (withGrams) "jaccard" else "est_jaccard")
+    capped
+      .groupBy(col("bk"))
+      .agg(collect_list(member).as("ms"))
+      .select(columnOf(graft.plans.LshBucketPairs(
+        exprOf(col("ms")), exprOf(col("bk").getField("band")),
+        numHashes, threshold, withGrams, minJaccard)).as(outCols))
   }
 
   /** LSH-candidate + exact-jaccard pairs with BUCKET-LOCAL
@@ -178,8 +209,8 @@ object Dedup {
     * once per band (docs × bands, LINEAR in corpus size), pairs form
     * inside the bucket join's streamed output, the signature
     * est-filter runs before any gram work, and the exact jaccard is
-    * projected immediately — the wide pair row exists only inside
-    * whole-stage codegen, never in a shuffle file. The emit-once band
+    * computed inside the bucket-local generator — the wide pair row
+    * never exists anywhere. The emit-once band
     * selector (FirstEqualIndex over the masked band arrays — see
     * minhashPairs) verifies each pair at exactly one shared bucket, so
     * the pair set is unique by construction and no pair-space dedup
@@ -195,7 +226,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 5, estThreshold: Double = 0.35,
-      gramN: Int = 3, maxBucket: Int = 256): DataFrame = {
+      gramN: Int = 3, maxBucket: Int = 256,
+      minJaccard: Double = 0.0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val reps = representatives(df, idCol, textCol)
@@ -223,45 +255,19 @@ object Dedup {
           .otherwise(xxhash64(col("id"), col("bk.band"), lit("__capped")))
           .as("mh")))).as("__ms"))
       .select(col("id"), transform(col("__ms"), s => s.getField("mh")).as("m"))
-    val capped = payload.join(masked, Seq("id"))
+    // shuffle_hash with the NARROW masked side as build: sort-merge
+    // would sort the KB-wide payload side (measured +4–5 s at sf10)
+    val capped = payload.join(masked.hint(lshJoinHint), Seq("id"))
       .select(col("id"), col("sig"), col("grams"), col("m"),
         explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
       .filter(element_at(col("m"), col("bk.band") + 1) === col("bk.bh"))
 
-    def agree(a: Column, b: Column): Column =
-      graft.plans.HashExpressions.columnOf(
-        graft.plans.ArrayAgreeCount(
-          graft.plans.HashExpressions.exprOf(a),
-          graft.plans.HashExpressions.exprOf(b)))
-    def inter(a: Column, b: Column): Column =
-      graft.plans.HashExpressions.columnOf(
-        graft.plans.SortedIntersectCount(
-          graft.plans.HashExpressions.exprOf(a),
-          graft.plans.HashExpressions.exprOf(b)))
-
-    def firstEq(a: Column, b: Column): Column =
-      graft.plans.HashExpressions.columnOf(
-        graft.plans.FirstEqualIndex(
-          graft.plans.HashExpressions.exprOf(a),
-          graft.plans.HashExpressions.exprOf(b)))
-
-    // merge join: the payload rows are KBs — a hashed build side would
-    // hold a bucket's arrays in a per-partition map (see jaccardVerify)
-    val a = capped.select(col("bk"), col("id").as("id_a"),
-      col("sig").as("sig_a"), col("grams").as("grams_a"), col("m").as("m_a"))
-    val b = capped.select(col("bk"), col("id").as("id_b"),
-      col("sig").as("sig_b"), col("grams").as("grams_b"), col("m").as("m_b"))
-      .hint(lshJoinHint)
-    a.join(b, Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
-      // emit-once: this bucket is the pair's first shared surviving band
-      .filter(firstEq(col("m_a"), col("m_b")) === col("bk.band").cast("long"))
-      .filter((agree(col("sig_a"), col("sig_b")).cast("double") / numHashes)
-        >= estThreshold)
-      .withColumn("inter", inter(col("grams_a"), col("grams_b")).cast("int"))
-      .withColumn("uni", size(col("grams_a")) + size(col("grams_b")) - col("inter"))
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / greatest(col("uni"), lit(1))).as("jaccard"))
+    // Bucket-local pair generation (see minhashPairs): one exchange of
+    // the (sig, grams) payload instead of build+probe twice, with the
+    // est-filter and the sorted-merge gram intersection fused in the
+    // generator's primitive loop — the wide pair row never exists.
+    bucketPairs(capped, numHashes, estThreshold, withGrams = true,
+      minJaccard = minJaccard)
   }
 
   /** Star-edge LSH candidates: each bucket member pairs ONLY with the

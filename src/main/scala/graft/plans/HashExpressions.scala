@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the hashing/vector hot paths.
@@ -123,7 +123,10 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
 }
 
 /** sig[i] = min over shingle-hashes h of ((a(i)*h + b(i)) mod p).
-  * Input: array<long> of 31-bit shingle hashes. Output: array<long>.
+  * Input: array<long> of 31-bit shingle hashes. Output: array<int> —
+  * every value is < 2^31-1 by construction, and the signature is the
+  * dominant payload of the LSH shuffles, so the packed form halves
+  * the dedup pipelines' wire bytes.
   * The permutation arrays ride into the generated class as reference
   * objects; all locals live inside the kernel (no generated-name
   * collisions when the expression appears twice in one stage).
@@ -132,7 +135,7 @@ case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long])
     extends UnaryExpression {
   import HashExpressions.kernels
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any =
@@ -167,9 +170,9 @@ case class SimHashBlocks(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
-/** Count of positions where two long arrays agree — minhash signature
-  * agreement for estimated jaccard (one loop vs. an interpreted
-  * zip_with + aggregate pair).
+/** Count of positions where two packed int signatures agree — minhash
+  * signature agreement for estimated jaccard (one loop vs. an
+  * interpreted zip_with + aggregate pair).
   */
 case class ArrayAgreeCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -180,10 +183,10 @@ case class ArrayAgreeCount(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.valueOf(
-      HashKernels.agreeCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+      HashKernels.agreeCountInt(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"$kernels.agreeCount($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"$kernels.agreeCountInt($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayAgreeCount =
     copy(left = l, right = r)

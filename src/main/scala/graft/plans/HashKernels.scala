@@ -203,7 +203,32 @@ object HashKernels {
       }
       j += 1
     }
-    new GenericArrayData(mins)
+    // every value is mod 2^31-1 → fits an int; the signature is the
+    // single biggest payload in the LSH shuffles (numHashes × width per
+    // doc × bands), so packing halves the dedup pipelines' wire bytes
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) { out(i) = mins(i).toInt; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Signature agreement over the packed int signatures. */
+  def agreeCountInt(a: ArrayData, b: ArrayData): Long = {
+    val x = a.toIntArray()
+    val y = b.toIntArray()
+    val n = math.min(x.length, y.length)
+    var c = 0L
+    var i = 0
+    while (i < n) { if (x(i) == y(i)) c += 1; i += 1 }
+    c
+  }
+
+  def agreeCountInts(x: Array[Int], y: Array[Int]): Long = {
+    val n = math.min(x.length, y.length)
+    var c = 0L
+    var i = 0
+    while (i < n) { if (x(i) == y(i)) c += 1; i += 1 }
+    c
   }
 
   /** SimHash fingerprint over token hashes as 4×16-bit blocks (the
@@ -269,6 +294,44 @@ object HashKernels {
       i += 1
     }
     -1L
+  }
+
+  /** Primitive-array twins of agreeCount/firstEqualIndex/
+    * sortedIntersectCount for the bucket-local pair generator
+    * ([[LshBucketPairs]]), which unpacks each member's arrays once and
+    * compares them O(m²/2) times — re-wrapping in ArrayData per pair
+    * would allocate in the innermost loop.
+    */
+  def agreeCountLong(x: Array[Long], y: Array[Long]): Long = {
+    val n = math.min(x.length, y.length)
+    var c = 0L
+    var i = 0
+    while (i < n) { if (x(i) == y(i)) c += 1; i += 1 }
+    c
+  }
+
+  def firstEqualLong(x: Array[Long], y: Array[Long]): Long = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      if (x(i) == y(i)) return i
+      i += 1
+    }
+    -1L
+  }
+
+  def sortedIntersectLong(x: Array[Long], y: Array[Long]): Long = {
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < x.length && j < y.length) {
+      val xi = x(i)
+      val yj = y(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    c
   }
 
   /** Intersection size of two SORTED distinct long arrays — a merge

@@ -65,11 +65,12 @@ object Pipeline {
     // an independent Python union-find over the d04 pair dump
     // (tools/check_dedup.py).
     QDef.rowsOnly("d06_dedup_clusters") { (s, dir) =>
+      // the ≥0.5 verify threshold is pushed INTO the bucket-local
+      // generator: a rejected pair never materializes as a row
       val verified = Dedup.lshJaccardPairs(t(s, dir, "documents"),
           "doc_id", "text",
           numHashes = 64, bands = 16, shingleSize = 5, estThreshold = 0.35,
-          gramN = 3)
-        .filter(col("jaccard") >= 0.5)
+          gramN = 3, minJaccard = 0.5)
       Dedup.connectedComponents(verified, "id_a", "id_b")
         .orderBy(col("id"))
     },

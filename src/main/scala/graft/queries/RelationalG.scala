@@ -100,6 +100,53 @@ object RelationalG {
         .limit(120)
     },
 
+    // R64 locale matrix (both engines delegate to ICU, so each
+    // locale's tailoring decides the LIMIT set; orderings were
+    // cross-checked against the oracle's ICU build for all three):
+    // Turkish — dotless ı collates BEFORE i (and far from its U+0131
+    // code point, which binary order puts after all ASCII).
+    QDef.sql("q63b_icu_tr",
+      """SELECT p_partkey, translate(p_name, 'i', 'ı') AS t
+        |FROM part
+        |ORDER BY translate(p_name, 'i', 'ı') COLLATE "tr", p_partkey
+        |LIMIT 120""".stripMargin) { (s, dir) =>
+      val tcol = translate(col("p_name"), "i", "ı")
+      t(s, dir, "part")
+        .select(col("p_partkey"), tcol.as("t"))
+        .orderBy(collate(tcol, "tr"), col("p_partkey"))
+        .limit(120)
+    },
+
+    // Swedish — å/ö are distinct letters AFTER z (under "de" they
+    // collate with a/o, so the locale itself changes the cut).
+    QDef.sql("q63c_icu_sv",
+      """SELECT p_partkey, translate(p_name, 'ao', 'åö') AS t
+        |FROM part
+        |ORDER BY translate(p_name, 'ao', 'åö') COLLATE "sv", p_partkey
+        |LIMIT 120""".stripMargin) { (s, dir) =>
+      val tcol = translate(col("p_name"), "ao", "åö")
+      t(s, dir, "part")
+        .select(col("p_partkey"), tcol.as("t"))
+        .orderBy(collate(tcol, "sv"), col("p_partkey"))
+        .limit(120)
+    },
+
+    // Chinese — pinyin ordering (大 dà < 国 guó < 人 rén < 文 wén <
+    // 中 zhōng), which disagrees with code-point order (中 U+4E2D <
+    // 人 < 大 < 国 < 文) on this very alphabet, so a binary-collating
+    // engine would pick a different LIMIT set.
+    QDef.sql("q63d_icu_zh",
+      """SELECT p_partkey, translate(p_name, 'aeiou', '中文国人大') AS t
+        |FROM part
+        |ORDER BY translate(p_name, 'aeiou', '中文国人大') COLLATE "zh", p_partkey
+        |LIMIT 120""".stripMargin) { (s, dir) =>
+      val tcol = translate(col("p_name"), "aeiou", "中文国人大")
+      t(s, dir, "part")
+        .select(col("p_partkey"), tcol.as("t"))
+        .orderBy(collate(tcol, "zh"), col("p_partkey"))
+        .limit(120)
+    },
+
     // R65: EXACT quantile as a WINDOW function — the reference's
     // holistic aggregates run over window frames natively (quantile
     // .cpp via WindowAggregator); Spark allows any aggregate in a
