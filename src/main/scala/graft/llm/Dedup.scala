@@ -320,6 +320,72 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Star-edge candidates with the est-filter AND the exact gram
+    * verify fused into ONE pair of payload-attach joins — the
+    * cluster-dedup endgame ([[minhashStarPairs]] → [[jaccardVerify]]
+    * as separate passes recomputes the reps/shingle prefix twice more
+    * and re-joins the pairs a second time; fused at sf10 this was the
+    * remaining prefix cost of the d07 pipeline).
+    *
+    * Star buckets stay UNCAPPED (the huge boilerplate bucket is the
+    * cluster this variant exists to collapse), which is exactly why
+    * this path keeps the attach-join shape instead of the bucket-local
+    * generator d02/d04 use: an uncapped bucket's collect_list row
+    * would be unbounded, while the star edge set stays linear and the
+    * attach joins stream row-by-row at any bucket size.
+    *
+    * Emits (id_a, id_b, jaccard) with est ≥ estThreshold and exact
+    * word-n-gram jaccard ≥ minJaccard.
+    */
+  def minhashStarVerifiedPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 5, estThreshold: Double = 0.35,
+      gramN: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val reps = representatives(df, idCol, textCol)
+    // one text pass computes both verify payloads
+    val payload = reps.select(
+      col("id"),
+      TextOps.minhashFromHashes(
+        TextOps.charShingleHashes(col("__text"), shingleSize), numHashes).as("sig"),
+      TextOps.wordNgramHashes(col("__text"), gramN).as("grams"))
+    val banded = payload.select(
+      col("id"), explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
+    val bucketRep = banded.groupBy(col("bk"))
+      .agg(min(col("id")).as("rep"))
+      .select(col("bk"), col("rep"))
+    val pairs = banded.join(bucketRep, Seq("bk"))
+      .filter(col("rep") < col("id"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    def agree(a: Column, b: Column): Column =
+      graft.plans.HashExpressions.columnOf(
+        graft.plans.ArrayAgreeCount(
+          graft.plans.HashExpressions.exprOf(a),
+          graft.plans.HashExpressions.exprOf(b)))
+    def inter(a: Column, b: Column): Column =
+      graft.plans.HashExpressions.columnOf(
+        graft.plans.SortedIntersectCount(
+          graft.plans.HashExpressions.exprOf(a),
+          graft.plans.HashExpressions.exprOf(b)))
+    pairs
+      .join(payload.select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("grams").as("grams_a")).hint(lshJoinHint), Seq("id_a"))
+      .join(payload.select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("grams").as("grams_b")).hint(lshJoinHint), Seq("id_b"))
+      // est gate first: the O(numHashes) int compare rejects before
+      // any gram work, exactly like the bucket-local generator
+      .filter((agree(col("sig_a"), col("sig_b")).cast("double") / numHashes)
+        >= estThreshold)
+      .withColumn("inter", inter(col("grams_a"), col("grams_b")).cast("int"))
+      .withColumn("uni", size(col("grams_a")) + size(col("grams_b")) - col("inter"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / greatest(col("uni"), lit(1))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** SimHash near-dup pairs: fingerprint → 4×16-bit blocks → join on
     * any equal block (pigeonhole guarantees recall for hamming ≤ 3) →
     * verify exact hamming.

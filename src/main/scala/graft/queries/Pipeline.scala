@@ -82,12 +82,12 @@ object Pipeline {
     // clusters as the all-pairs path on planted near-dup data.
     QDef.rowsOnly("d07_dedup_star_clusters") { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val stars = Dedup.minhashStarPairs(docs, "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.35)
-      val reps = Dedup.representatives(docs, "doc_id", "text")
-      val verified = Dedup.jaccardVerify(
-          stars.select(col("id_a"), col("id_b")), reps, "id", "__text", n = 3)
-        .filter(col("jaccard") >= 0.5)
+      // est gate + exact gram verify fused into one attach pass
+      // (minhashStarVerifiedPairs) — the two-stage spelling recomputed
+      // the reps/shingle prefix twice more and re-joined the pairs
+      val verified = Dedup.minhashStarVerifiedPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, estThreshold = 0.35,
+        gramN = 3, minJaccard = 0.5)
       Dedup.connectedComponents(verified, "id_a", "id_b")
         .orderBy(col("id"))
     },

@@ -58,6 +58,16 @@ object BucketProf {
     t("q10 join (count)")(j10.count())
     t("q10 complete")(graft.SparkEntry.queries("tpch_q10_bucketed")(s, dir).count())
 
+    // attribution splits for the q3 lineitem stage: filter-only vs
+    // revenue-compute-only vs both
+    t("q3 li filter+count only")(tab("lineitem")
+      .filter(col("l_shipdate") > ts("1997-06-01"))
+      .select(col("l_orderkey")).agg(sum(col("l_orderkey")), count(lit(1)))
+      .collect()(0).getLong(1))
+    t("q3 li rev only (no filter)")(tab("lineitem")
+      .select(graft.functions.Exact.revenueUnits(col("l_extendedprice"), col("l_discount")).as("__rev"))
+      .agg(sum(col("__rev")), count(lit(1))).collect()(0).getLong(1))
+
     // raw decode floors, no filter: how fast can the columns be read at all
     t("lineitem 4col full decode")(tab("lineitem")
       .select(sum(col("l_orderkey")),
