@@ -40,11 +40,14 @@ object GraftSql {
       return spark.emptyDataFrame
     }
     val text1 = graft.plans.MacroReg.expand(text0)
-    // getvariable()/duckdb_variables() fold at bind time — except in
-    // PREPARE bodies, which store raw text and bind at EXECUTE
+    // getvariable()/duckdb_variables() and ENUM machinery fold at
+    // bind time — except in PREPARE bodies, which store raw text and
+    // bind at EXECUTE
     val text = text1 match {
       case S.PrepareRe(_, _) => text1
-      case _ => graft.plans.Variables.substitute(spark, text1)
+      case _ =>
+        graft.plans.EnumTypes.substitute(spark,
+          graft.plans.Variables.substitute(spark, text1))
     }
     // schema-aware dialect rewrites that need the session
     unionByNamePass(spark, text) match {
@@ -68,6 +71,14 @@ object GraftSql {
       // analogs in plans/StatementSurface
       // SQL session variables (reference set_statement.cpp VARIABLE
       // scope + getvariable.cpp) — must match before the conf SET
+      // CREATE TYPE … AS ENUM / DROP TYPE (reference create_type_info;
+      // dictionary mapping in plans/EnumTypes)
+      case graft.plans.EnumTypes.CreateTypeRe(name, vals) =>
+        graft.plans.EnumTypes.register(name, vals)
+        return S.emptyDf(spark)
+      case graft.plans.EnumTypes.DropTypeRe(name) =>
+        graft.plans.EnumTypes.drop(name)
+        return S.emptyDf(spark)
       case graft.plans.Variables.SetVarRe(name, ex) =>
         graft.plans.Variables.set(spark, name, ex)
         return S.emptyDf(spark)

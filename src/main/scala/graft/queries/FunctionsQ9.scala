@@ -85,6 +85,38 @@ object FunctionsQ9 {
         |WHERE o_orderstatus = 'O'
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |    ORDER BY o_totalprice DESC, o_orderkey) <= 2
-        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin),
+
+    // F59: ENUM as a dictionary mapping (plans/EnumTypes — reference
+    // scalar/enum/enum_functions.cpp; EnumSpec pins the function
+    // semantics against DuckDB's own enum build). The Spark side runs
+    // CREATE TYPE + the enum machinery through the front door; the
+    // oracle spells the SAME values with the dictionary expanded
+    // (the driver's one-statement oracle cannot CREATE TYPE first) —
+    // enum_code is the 0-based definition position, enum_first/last
+    // fold from the type.
+    QDef.sql("f59_enum",
+      """SELECT o_orderstatus AS st,
+        |  CAST(CASE WHEN o_orderstatus = 'F' THEN 0
+        |            WHEN o_orderstatus = 'O' THEN 1
+        |            WHEN o_orderstatus = 'P' THEN 2 END AS BIGINT) AS code,
+        |  'F' AS first_v, 'P' AS last_v,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Catalog.registerAll(s, dir)
+      GraftSql.sql(s, "DROP TYPE IF EXISTS ostatus")
+      GraftSql.sql(s, "CREATE TYPE ostatus AS ENUM ('F', 'O', 'P')")
+      GraftSql.sql(s,
+        """SELECT o_orderstatus AS st,
+          |  CAST(enum_code(o_orderstatus::ostatus) AS BIGINT) AS code,
+          |  enum_first(NULL::ostatus) AS first_v,
+          |  enum_last(NULL::ostatus) AS last_v,
+          |  count(*) AS n
+          |FROM orders
+          |GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+    }
   )
 }
