@@ -32,6 +32,21 @@ import org.apache.spark.sql.SparkSession
   * no trace, BEGIN→mutate→COMMIT is the plain autocommit end state —
   * pinned against DuckDB running the identical script
   * (u11_transactions / TxnSpec).
+  *
+  * Why reader snapshots are NOT retrofitted here (reasoned dead end,
+  * r7): deferring the swap's deletes to the trash for every mutation
+  * — not just inside transactions — looks like it would let a reader
+  * whose plan already pinned the old file list keep reading its
+  * snapshot. It would not: the trash move is a RENAME, which removes
+  * the exact path the reader's file index holds, failing the read
+  * the same way the delete does; leaving the file in place under a
+  * hidden name breaks the same way. Snapshot isolation over a
+  * directory-listing table needs readers to resolve files through a
+  * MANIFEST instead of a listing — which is precisely the DeltaLake
+  * source (sources/DeltaLake, S14: snapshots, time travel, atomic
+  * single-file log commits). Swap-in-place tables deliberately stay
+  * listing-based (zero metadata to manage); users who need
+  * concurrent-reader isolation use the Delta path.
   */
 object Txn {
 
