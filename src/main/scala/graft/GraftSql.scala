@@ -18,6 +18,7 @@ object GraftSql {
   private val Describe = """(?is)\s*DESCRIBE\s+([\w.]+)\s*;?\s*""".r
   private val LimitPercent = """(?is)^(.*)\bLIMIT\s+(\d+)\s*(?:%|PERCENT)\s*;?\s*$""".r
   private val Explain = """(?is)^\s*EXPLAIN(\s+ANALYZE)?\s+(.*)$""".r
+  private val CheckpointRe = """(?is)^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$""".r
   private val CreateIndex =
     """(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+)\s*\(([^)]*)\)\s*;?\s*$""".r
   private val DropIndex =
@@ -105,6 +106,12 @@ object GraftSql {
       case S.CallRe(name, arg) =>
         return S.pragmaReport(spark, name, arg).getOrElse(
           throw new IllegalArgumentException(s"CALL $name: not supported"))
+      // CHECKPOINT / FORCE CHECKPOINT (reference checkpoint_statement
+      // — flushes the WAL into the database file). This engine's
+      // writes are durable parquet the moment the swap completes, so
+      // there is nothing to flush: success no-op, like VACUUM on an
+      // empty trash.
+      case CheckpointRe() => return S.emptyDf(spark)
       case S.VacuumRe(table) =>
         // the engine's space-reclaim analog is small-files compaction
         if (table.nonEmpty && !table.equalsIgnoreCase("ANALYZE")) {

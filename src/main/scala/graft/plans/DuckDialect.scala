@@ -205,6 +205,31 @@ object DuckDialect {
       next()
     }
 
+    def skipSemis(): Unit = while (more && peekOp(";")) next()
+
+    /** Dotted object name at the cursor: `a`, `a.b`, `a.b.c` …
+      * Three-part reference names (catalog.schema.table) drop the
+      * catalog — Spark's session catalog resolves two parts at most.
+      */
+    def dottedName(): String = {
+      val parts = ArrayBuffer.empty[String]
+      parts += (next() match {
+        case TQuoted(s) => quoteIdent(s)
+        case t => t.text
+      })
+      while (peekOp(".") && (peekAt(1) match {
+        case Some(TWord(_)) | Some(TQuoted(_)) => true
+        case _ => false
+      })) {
+        next() // '.'
+        parts += (next() match {
+          case TQuoted(s) => quoteIdent(s)
+          case t => t.text
+        })
+      }
+      parts.takeRight(2).mkString(".")
+    }
+
     // -------------------------------------------------- statements
 
     /** Translate until `)` at depth 0 (or end of input). */
@@ -319,14 +344,24 @@ object DuckDialect {
       next()
       var ifNotExists = ""
       if (peekWord("IF")) { next(); next(); next(); ifNotExists = "IF NOT EXISTS " } // IF NOT EXISTS
-      val name = next() match {
-        case TQuoted(s) => quoteIdent(s)
-        case t => t.text
-      }
+      val name = dottedName()
       if (kind == "VIEW" || peekWord("AS")) { // view or CTAS
+        // optional view column-alias list: CREATE VIEW v(a, b) AS …
+        var colList = ""
+        if (kind == "VIEW" && peekOp("(")) {
+          next()
+          val vcols = ArrayBuffer.empty[String]
+          while (more && !peekOp(")")) next() match {
+            case TQuoted(s) => vcols += quoteIdent(s)
+            case TOp(",") =>
+            case t => vcols += t.text
+          }
+          expectOp(")")
+          colList = s" (${vcols.mkString(", ")})"
+        }
         require(peekWord("AS"), "duck-dialect: CREATE VIEW without AS"); next()
         val q = statement()
-        return Some(s"CREATE $orReplace$kind $ifNotExists$name AS $q")
+        return Some(s"CREATE $orReplace$kind $ifNotExists$name$colList AS $q")
       }
       expectOp("(")
       val cols = ArrayBuffer.empty[String]
@@ -674,10 +709,16 @@ object DuckDialect {
               next(); val lo = expr(31)
               require(peekWord("AND"), "duck-dialect: BETWEEN without AND"); next()
               val hi = expr(31); left = s"($left NOT BETWEEN $lo AND $hi)"
-            } else if (t == "IN") { next(); val r = primaryParen(); left = s"($left NOT IN $r)" }
+            } else if (t == "IN") {
+              next()
+              if (peekOp("(")) { val r = primaryParen(); left = s"($left NOT IN $r)" }
+              else left = inCollection(left, negate = true)
+            }
             else { next(); val r = expr(31); left = s"($left NOT $t $r)" }
           case TWord(w) if w.equalsIgnoreCase("IN") && 30 >= min =>
-            next(); val r = primaryParen(); left = s"($left IN $r)"
+            next()
+            if (peekOp("(")) { val r = primaryParen(); left = s"($left IN $r)" }
+            else left = inCollection(left, negate = false)
           case TWord(w) if Set("LIKE", "ILIKE", "RLIKE", "GLOB", "SIMILAR")(w.toUpperCase) && 30 >= min =>
             next(); val kw = w.toUpperCase
             if (kw == "SIMILAR") { // SIMILAR TO p → full-match regex
@@ -710,6 +751,10 @@ object DuckDialect {
         case TOp("+") => expr(90)
         case TOp("~") => s"(~ ${expr(90)})"
         case TOp("@") => s"abs(${expr(90)})"
+        case TWord(w) if w.equalsIgnoreCase("NOT") && peekWord("MATERIALIZED")
+            && peekAt(1).exists { case TOp("(") => true; case _ => false } =>
+          next() // MATERIALIZED — the hint drops, the subquery stays
+          primaryParen()
         case TWord(w) if w.equalsIgnoreCase("NOT") => s"(NOT ${expr(25)})"
         case TOp("(") => i -= 1; primaryParen()
         case TOp("[") => arrayLiteral()
@@ -722,6 +767,22 @@ object DuckDialect {
         case other => other.text
       }
       postfix(base)
+    }
+
+    /** `x IN <collection>` with a non-paren right side (reference
+      * accepts lists and maps as IN targets): list → membership, map
+      * → KEY membership (in_search.cpp's map rule).
+      */
+    private def inCollection(left: String, negate: Boolean): String = {
+      val isMap = peekOp("{") || (peek match {
+        case TWord(x) => x.equalsIgnoreCase("MAP")
+        case _ => false
+      })
+      val coll = expr(31)
+      val test =
+        if (isMap) s"array_contains(map_keys($coll), $left)"
+        else s"array_contains($coll, $left)"
+      if (negate) s"(NOT $test)" else test
     }
 
     /** `*` in prefix position: plain star or star with EXCLUDE. */
@@ -818,12 +879,36 @@ object DuckDialect {
       val up = w.toUpperCase
       up match {
         case "CAST" | "TRY_CAST" if peekOp("(") => castCall(up)
+        // postgres-spelling array constructor `ARRAY[1, 2, 3]` (the
+        // reference accepts both it and the bare `[...]` literal)
+        case "ARRAY" if peekOp("[") => next(); arrayLiteral()
+        // CTE materialization hints: `AS [NOT] MATERIALIZED (query)`
+        // — planner hints the translation drops (Spark decides reuse)
+        case "MATERIALIZED" if peekOp("(") => primaryParen()
+        // ANSI `POSITION(needle IN haystack)` — the inner IN is the
+        // two-argument separator, not containment
+        case "POSITION" if peekOp("(") =>
+          expectOp("(")
+          val a = expr(31)
+          if (peekWord("IN")) {
+            next(); val b = expr(0); expectOp(")")
+            s"position($a, $b)"
+          } else {
+            val parts = ArrayBuffer(a)
+            while (peekOp(",")) { next(); parts += expr(0) }
+            expectOp(")")
+            s"position(${parts.mkString(", ")})"
+          }
         case "CASE" => caseExpr()
         case "INTERVAL" => intervalLiteral()
         case "MAP" if peekOp("{") => mapLiteral()
         case "EXISTS" if peekOp("(") => "EXISTS " + primaryParen()
         case "DATE" | "TIMESTAMP" if more && peek.isInstanceOf[TStr] =>
           s"$w ${next().text}"
+        // TIMESTAMPTZ ≡ the session-zone instant type (Spark TIMESTAMP)
+        case "TIMESTAMPTZ" if more && peek.isInstanceOf[TStr] =>
+          s"TIMESTAMP ${next().text}"
+        case "TIMETZ" if more && peek.isInstanceOf[TStr] => next().text
         // no TIME type in Spark (parses, unsupported): TIME literals
         // carry as their string form, matching the TIME→STRING type map
         case "TIME" if more && peek.isInstanceOf[TStr] => next().text
@@ -1252,13 +1337,18 @@ object DuckDialect {
       "TIMESTAMPTZ" -> "TIMESTAMP", "TIMESTAMP_S" -> "TIMESTAMP",
       "TIMESTAMP_MS" -> "TIMESTAMP", "TIMESTAMP_NS" -> "TIMESTAMP",
       "UUID" -> "STRING", "JSON" -> "STRING", "BIT" -> "STRING",
+      // VARINT is arbitrary-precision; DECIMAL(38,0) is the widest
+      // exact integer Spark has — values beyond 38 digits overflow
+      // (documented bound, same ladder as HUGEINT)
+      "VARINT" -> "DECIMAL(38,0)",
       "BITSTRING" -> "STRING")
 
     def parseType(): String = {
       val head = next().text
       val up = head.toUpperCase
       var base = up match {
-        case "STRUCT" if peekOp("(") =>
+        // ROW(...) is the reference's SQL-standard spelling of STRUCT
+        case "STRUCT" | "ROW" if peekOp("(") =>
           expectOp("(")
           val fields = ArrayBuffer.empty[String]
           while (more && !peekOp(")")) {
@@ -1282,6 +1372,18 @@ object DuckDialect {
           val members = unionMemberList()
           val slots = members.map { case (m, ty) => s"$m: $ty" }
           s"STRUCT<tag: STRING, ${slots.mkString(", ")}>"
+        // inline anonymous enum type `ENUM('a','b')` — the dictionary
+        // string IS the value (named enums validate via EnumTypes;
+        // the anonymous form keeps only the representation)
+        case "ENUM" if peekOp("(") =>
+          expectOp("(")
+          var depth = 1
+          while (more && depth > 0) next() match {
+            case TOp("(") => depth += 1
+            case TOp(")") => depth -= 1
+            case _ =>
+          }
+          "STRING"
         case "TIMESTAMP" | "TIME" if peekWord("WITH") || peekWord("WITHOUT") =>
           // TIMESTAMP WITH TIME ZONE / WITHOUT TIME ZONE
           val withTz = peekWord("WITH")
@@ -1327,6 +1429,9 @@ object DuckDialect {
   def translate(sql: String): String = {
     val p = new P(lex(sql))
     val out = p.statement()
+    // early-return statement paths (DDL, DISTINCT ON, QUALIFY) leave
+    // a trailing ';' unconsumed — every statement form accepts it
+    p.skipSemis()
     require(!p.more, s"duck-dialect: trailing tokens from position ${p.i}")
     out
   }

@@ -1,0 +1,139 @@
+package graft.tools
+
+import scala.collection.mutable
+
+/** Robustness sweep over the reference's OWN sqllogictest corpus
+  * (every .test file under /root/reference/test/sql — read-only spec
+  * input): every
+  * `statement ok` / `query` SQL text is fed through the dialect
+  * front door's translator, and the translation through Spark's
+  * parser (syntax only — the tests' tables don't exist here, so
+  * analysis cannot run). `statement error` blocks are skipped: those
+  * texts are DESIGNED to fail. Statements carrying harness
+  * placeholders (__TEST_DIR__ etc.) or loop variables are skipped as
+  * non-SQL.
+  *
+  * The numbers this prints are a TRANSLATOR robustness metric
+  * ("does the front door crash on real reference inputs"), not a
+  * semantics claim — semantic parity is the oracle gate's job.
+  *
+  * Run: tools/run_main.sh graft.tools.RefTestSweep [subtreeFilter]
+  */
+object RefTestSweep {
+  private val root = new java.io.File("/root/reference/test/sql")
+
+  private def testFiles(dir: java.io.File): Iterator[java.io.File] = {
+    val kids = Option(dir.listFiles()).getOrElse(Array.empty)
+    kids.iterator.filter(_.isFile).filter(_.getName.endsWith(".test")) ++
+      kids.iterator.filter(_.isDirectory).flatMap(testFiles)
+  }
+
+  /** (file, sql) for every statement-ok/query block. */
+  def statements(filter: String): Iterator[(String, String)] =
+    testFiles(root).filter(_.getPath.contains(filter)).flatMap { f =>
+      val lines =
+        try scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
+        catch { case _: Exception => Vector.empty }
+      val out = mutable.ArrayBuffer.empty[(String, String)]
+      var i = 0
+      while (i < lines.length) {
+        val l = lines(i).trim
+        val isStmt = l == "statement ok" || l.startsWith("statement ok ")
+        val isQuery = l.startsWith("query ")
+        if (isStmt || isQuery) {
+          i += 1
+          val sql = new StringBuilder
+          while (i < lines.length && lines(i).trim.nonEmpty &&
+              lines(i).trim != "----") {
+            if (sql.nonEmpty) sql.append('\n')
+            sql.append(lines(i))
+            i += 1
+          }
+          val text = sql.toString
+          if (text.nonEmpty && !text.contains("__TEST_DIR__") &&
+              !text.contains("__WORKING_DIRECTORY__") &&
+              !text.contains("${") && !text.contains("__BUILD_DIRECTORY__"))
+            // a block can hold several ';'-separated statements — the
+            // real front door splits them in runScript; grade each
+            graft.sources.DmlSql.topSplit(text, ';')
+              .map(_.trim).filter(_.nonEmpty)
+              // skip sqllogictest parameter placeholders (bare '?')
+              .filterNot(s => """(^|[\s(,=])\?([\s),;]|$)""".r.findFirstIn(s).isDefined)
+              .foreach(s => out += ((f.getPath, s)))
+        }
+        i += 1
+      }
+      out
+    }
+
+  def main(args: Array[String]): Unit = {
+    val filter = args.headOption.getOrElse("")
+    val spark = graft.GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val parser = spark.sessionState.sqlParser
+
+    // Verbs GraftSql routes at the STATEMENT layer — in real
+    // execution these never reach Spark's parser, so grading their
+    // translation through parsePlan would be a false failure.
+    val routedVerb = ("""(?is)^\s*(PRAGMA|SET|RESET|BEGIN|COMMIT|ROLLBACK|ABORT|""" +
+      """PREPARE|EXECUTE|DEALLOCATE|CALL|VACUUM|COPY|ATTACH|DETACH|EXPORT|IMPORT|""" +
+      """EXPLAIN|SUMMARIZE|DESCRIBE|SHOW|UPDATE|DELETE|MERGE|ALTER|TRUNCATE|""" +
+      """(?:FORCE\s+)?CHECKPOINT|""" +
+      """CREATE\s+(?:OR\s+REPLACE\s+)?MACRO|CREATE\s+TYPE|DROP\s+TYPE|""" +
+      """CREATE\s+SEQUENCE|DROP\s+SEQUENCE|CREATE\s+(?:UNIQUE\s+)?INDEX|DROP\s+INDEX)\b.*""").r
+
+    var total = 0
+    var routed = 0
+    var transOk = 0
+    var parseOk = 0
+    val crashes = mutable.LinkedHashMap.empty[String, (Int, String)]
+    val parseFails = mutable.LinkedHashMap.empty[String, (Int, String)]
+
+    statements(filter).foreach { case (file, sql) =>
+      total += 1
+      if (routedVerb.pattern.matcher(sql).matches()) routed += 1
+      else {
+        val t =
+          try Some(graft.plans.DuckDialect.translate(sql))
+          catch {
+            case e: Throwable =>
+              val key = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.next().take(90)
+              val (n, ex) = crashes.getOrElse(key, (0, ""))
+              crashes(key) = (n + 1, if (ex.isEmpty) sql.take(160) else ex)
+              None
+          }
+        t.foreach { out =>
+          transOk += 1
+          try { parser.parsePlan(out); parseOk += 1 }
+          catch {
+            case e: Throwable =>
+              val key = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.find(_.trim.nonEmpty).getOrElse("").take(90)
+              val (n, ex) = parseFails.getOrElse(key, (0, ""))
+              parseFails(key) = (n + 1, if (ex.isEmpty) sql.take(160) else ex)
+          }
+        }
+      }
+    }
+
+    val graded = total - routed
+    println(s"[sweep] statements: $total  engine-routed verbs: $routed  " +
+      s"graded through translate: $graded")
+    println(s"[sweep] translate-ok: $transOk " +
+      f"(${100.0 * transOk / math.max(graded, 1)}%.1f%%)  spark-parse-ok: $parseOk " +
+      f"(${100.0 * parseOk / math.max(graded, 1)}%.1f%%)  " +
+      f"handled incl. routed: ${100.0 * (routed + parseOk) / math.max(total, 1)}%.1f%%")
+    println("[sweep] top translator crashes:")
+    crashes.toSeq.sortBy(-_._2._1).take(20).foreach { case (msg, (n, ex)) =>
+      println(f"[sweep]  $n%6d  $msg")
+      println(s"[sweep]          e.g. ${ex.replace('\n', ' ')}")
+    }
+    println("[sweep] top spark-parse failures of translated text:")
+    parseFails.toSeq.sortBy(-_._2._1).take(20).foreach { case (msg, (n, ex)) =>
+      println(f"[sweep]  $n%6d  $msg")
+      println(s"[sweep]          e.g. ${ex.replace('\n', ' ')}")
+    }
+    spark.stop()
+  }
+}
