@@ -55,7 +55,7 @@ object GraftSql {
       case Some(v) => return sql(spark, v)
       case None =>
     }
-    pivotPass(spark, text) match {
+    graft.plans.PivotStmt.pass(spark, text, sql) match {
       case Some(v) => return sql(spark, v)
       case None =>
     }
@@ -329,72 +329,6 @@ object GraftSql {
       u.createOrReplaceTempView(view)
       text.substring(0, scopeStart) + prefix + s" SELECT * FROM $view $tail " +
         text.substring(close)
-    }
-  }
-
-  /** Dynamic `PIVOT <source> ON <col> USING <agg> [GROUP BY cols]`
-    * (reference transform_pivot.cpp:100): two passes, exactly like
-    * the reference — distinct values of the pivot column first, then
-    * a grouped pivot over them. The distinct-value collect is
-    * driver-side and guarded (pivot output columns are schema, so
-    * EVERY engine materializes them; the reference does the same
-    * scan). Spliced back as a temp view.
-    */
-  private def pivotPass(spark: SparkSession, text: String): Option[String] = {
-    val Re = "(?i)\\bPIVOT\\s*\\(".r
-    Re.findFirstMatchIn(text).map { m =>
-      import graft.plans.SqlPasses.matchParen
-      val srcOpen = text.indexOf('(', m.start)
-      val srcClose = matchParen(text, srcOpen)
-      val source = text.substring(srcOpen + 1, srcClose)
-      var rest = text.substring(srcClose + 1)
-      val OnRe = "(?i)^\\s*ON\\s+".r
-      val on = OnRe.findFirstMatchIn(rest).getOrElse(
-        throw new IllegalArgumentException("PIVOT: expected ON <column>"))
-      rest = rest.substring(on.end)
-      val usingIdx = graft.sources.DmlSql.topIndexOf(rest, "USING")
-      require(usingIdx >= 0, "PIVOT: expected USING <aggregate>")
-      val onCol = rest.substring(0, usingIdx).trim
-      rest = rest.substring(usingIdx + 5)
-      // the pivot clause ends at the scope's ')' or end of text
-      var depth = 0
-      var end = rest.length
-      var j = 0
-      while (j < end) {
-        val c = rest.charAt(j)
-        if (c == '\'') { j += 1; while (j < end && rest.charAt(j) != '\'') j += 1 }
-        else if (c == '(') depth += 1
-        else if (c == ')') { if (depth == 0) { end = j } else depth -= 1 }
-        j += 1
-      }
-      val clause = rest.substring(0, end)
-      val tail = rest.substring(end)
-      val gIdx = graft.sources.DmlSql.topIndexOf(clause, "GROUP BY")
-      val (aggText, groupCols) =
-        if (gIdx >= 0)
-          (clause.substring(0, gIdx).trim,
-            graft.sources.DmlSql.topSplit(clause.substring(gIdx + 8), ',').map(_.trim))
-        else (clause.trim, Nil)
-      val src = sql(spark, source.trim)
-      val grouped =
-        if (groupCols.nonEmpty) groupCols
-        else {
-          // reference default: implicit GROUP BY every column not
-          // named in ON and not consumed by the aggregate
-          val aggLower = aggText.toLowerCase
-          src.columns.filterNot(_.equalsIgnoreCase(onCol))
-            .filterNot(c => aggLower.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(c.toLowerCase)}\\b.*")).toSeq
-        }
-      val values = src.select(onCol).distinct().limit(10001).collect().map(_.get(0))
-      require(values.length <= 10000,
-        "PIVOT: more than 10000 distinct pivot values — not a pivotable column")
-      val sorted = values.sortBy(v => if (v == null) "" else v.toString).toSeq
-      val out = src.groupBy(grouped.map(org.apache.spark.sql.functions.col): _*)
-        .pivot(onCol, sorted)
-        .agg(org.apache.spark.sql.functions.expr(aggText))
-      val view = s"__pivot_${asofViewId.incrementAndGet()}"
-      out.createOrReplaceTempView(view)
-      text.substring(0, m.start) + view + " " + tail
     }
   }
 

@@ -233,6 +233,47 @@ object DuckDialect {
     // -------------------------------------------------- statements
 
     /** Translate until `)` at depth 0 (or end of input). */
+    /** SQL-standard FROM-clause pivot relation suffix — Spark parses
+      * `t PIVOT (agg FOR col IN (…))` and `t UNPIVOT [INCLUDE|EXCLUDE
+      * NULLS] ((v…) FOR name IN (…))` natively; the group passes
+      * through token-verbatim (FOR/IN are clause keywords here, not
+      * expression operators) with only the ident-quoting convention
+      * mapped. The cursor sits ON the PIVOT/UNPIVOT word.
+      */
+    private def pivotGroup(): String = {
+      val sb = new StringBuilder(next().text.toUpperCase)
+      if (!peekOp("(")) { // INCLUDE/EXCLUDE NULLS
+        sb.append(' ').append(next().text.toUpperCase)
+        sb.append(' ').append(next().text.toUpperCase)
+      }
+      expectOp("(")
+      sb.append(" (")
+      var depth = 1
+      while (more && depth > 0) next() match {
+        case TOp("(") => depth += 1; sb.append(" (")
+        case TOp(")") => depth -= 1; if (depth > 0) sb.append(" )")
+        case TQuoted(s) => sb.append(' ').append(quoteIdent(s))
+        case TOp(o) => sb.append(o)
+        case t => sb.append(' ').append(t.text)
+      }
+      sb.append(" )")
+      sb.toString
+    }
+
+    /** Is the cursor on a FROM-clause-form PIVOT/UNPIVOT keyword? */
+    private def atPivotGroup: Boolean = peek match {
+      case TWord(w) if w.equalsIgnoreCase("PIVOT") || w.equalsIgnoreCase("UNPIVOT") =>
+        peekAt(1).exists {
+          case TOp("(") => true
+          case TWord(x) => (x.equalsIgnoreCase("INCLUDE") ||
+            x.equalsIgnoreCase("EXCLUDE")) && peekAt(2).exists {
+            case TWord(y) => y.equalsIgnoreCase("NULLS"); case _ => false
+          }
+          case _ => false
+        }
+      case _ => false
+    }
+
     def statement(): String = {
       if (peekWord("CREATE")) {
         createStatement() match {
@@ -259,6 +300,7 @@ object DuckDialect {
           case TWord(w) if w.equalsIgnoreCase("USING") && peekAt(1).exists {
             case TWord(x) => x.equalsIgnoreCase("SAMPLE"); case _ => false
           } => out += usingSample()
+          case _ if atPivotGroup => out += pivotGroup()
           case TWord(w) if GLUE(w.toUpperCase) =>
             next(); lastGlue = w.toUpperCase; out += w
           case TOp(",") | TOp(";") => next(); out += t.text
@@ -282,6 +324,7 @@ object DuckDialect {
           case TWord(w) if w.equalsIgnoreCase("USING") && peekAt(1).exists {
             case TWord(x) => x.equalsIgnoreCase("SAMPLE"); case _ => false
           } => out += usingSample()
+          case _ if atPivotGroup => out += pivotGroup()
           case TWord(w) if GLUE(w.toUpperCase) =>
             next(); lastGlue = w.toUpperCase; out += w
           case TOp(",") | TOp(";") => next(); out += t.text
@@ -1248,26 +1291,44 @@ object DuckDialect {
         peek match {
           case TOp("[") =>
             next()
-            if (peekOp(":")) { // x[:b]
+            // slice grammar `[lo?:hi?[:step]]`: a bound is empty when
+            // its position holds nothing — or the reference's literal
+            // `-` default-end marker (`a[1:-:2]`, test_list_slice_step
+            // .test), recognized only when `-` directly precedes the
+            // next ':' or ']' so negative bounds still parse
+            def dashBound: Boolean = peekOp("-") && (peekAt(1) match {
+              case Some(TOp(":")) | Some(TOp("]")) => true
+              case _ => false
+            })
+            def bound(): Option[String] =
+              if (peekOp(":") || peekOp("]")) None
+              else if (dashBound) { next(); None }
+              else Some(expr(0))
+            val lo = bound()
+            if (peekOp(":")) { // slice form
               next()
-              val hi = if (peekOp("]")) "NULL" else expr(0)
+              val hi = bound()
+              val step = if (peekOp(":")) { next(); bound() } else None
               expectOp("]")
-              base = s"duck_slice($base, NULL, $hi)"
-            } else {
-              val a = expr(0)
-              if (peekOp(":")) {
-                next()
-                val hi = if (peekOp("]")) "NULL" else expr(0)
-                expectOp("]")
-                base = s"duck_slice($base, $a, $hi)"
-              } else {
-                expectOp("]")
-                // every subscript routes through the polymorphic
-                // list_extract (DuckNames.ListExtract): 1-based list
-                // index, struct field (by position or name), map key →
-                // single-element LIST like the reference's map_extract
-                base = s"list_extract($base, $a)"
+              val loV = lo.getOrElse("NULL")
+              val hiV = hi.getOrElse("NULL")
+              val loE = lo.isEmpty
+              val hiE = hi.isEmpty
+              base = step match {
+                case Some(st) =>
+                  s"duck_slice($base, $loV, $hiV, $st, $loE, $hiE)"
+                case None =>
+                  s"duck_slice($base, $loV, $hiV, $loE, $hiE)"
               }
+            } else {
+              expectOp("]")
+              // every subscript routes through the polymorphic
+              // list_extract (DuckNames.ListExtract): 1-based list
+              // index, struct field (by position or name), map key →
+              // single-element LIST like the reference's map_extract
+              base = s"list_extract(${base}, ${lo.getOrElse(
+                throw new IllegalArgumentException(
+                  "duck-dialect: empty subscript"))})"
             }
           case TOp("::") =>
             next()

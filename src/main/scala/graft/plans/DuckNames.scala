@@ -139,7 +139,27 @@ object DuckNames {
       RLike(args(0), uf("concat", Seq(Literal("^(?:"), args(1), Literal(")$"))))
     }
 
-    register(e, "duck_slice")(args => DuckSlice(args(0), args(1), args(2)))
+    // duck_slice arities: 3 = legacy `(x, lo, hi)` with literal-NULL
+    // bounds meaning "empty" (old spliced-view texts); 5 = explicit
+    // empty flags; 6 = with a step argument (the `[a:b:c]` spelling)
+    register(e, "duck_slice") { args =>
+      def nullLit(x: Expression): Boolean = x match {
+        case Literal(null, _) => true
+        case _ => false
+      }
+      def boolLit(x: Expression): Boolean =
+        x.eval(null).asInstanceOf[Boolean]
+      args.length match {
+        case 3 => DuckSlice(args(0), args(1), args(2), None,
+          nullLit(args(1)), nullLit(args(2)))
+        case 5 => DuckSlice(args(0), args(1), args(2), None,
+          boolLit(args(3)), boolLit(args(4)))
+        case 6 => DuckSlice(args(0), args(1), args(2), Some(args(3)),
+          boolLit(args(4)), boolLit(args(5)))
+        case other => throw new IllegalArgumentException(
+          s"duck_slice: unsupported arity $other")
+      }
+    }
     for (n <- Seq("list_extract", "list_element", "array_extract"))
       register(e, n)(args => ListExtract(args(0), args(1)))
 
@@ -423,61 +443,115 @@ case class DuckDiv(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** The reference's 1-based inclusive slice `x[lo:hi]` over lists AND
-  * strings (src/function/scalar/list/array_slice.cpp): negative
-  * bounds count from the end (-1 = last element), NULL/missing
-  * bounds default to the ends, out-of-range clamps, lo &gt; hi yields
-  * empty. Type-polymorphic, so it backs the dialect's `[a:b]`
-  * spelling where the operand type is unknown at translate time.
+/** The reference's slice `x[lo:hi[:step]]` over lists AND strings
+  * (src/core_functions/scalar/list/array_slice.cpp — ClampSlice +
+  * CalculateSliceLength, pinned by test/sql/types/nested/list/
+  * test_list_slice_step.test and …_negative_step.test): 1-based
+  * inclusive bounds, negative bounds count from the end, SYNTACTIC
+  * empties (`x[:3]`, `x[1:-:2]` — loEmpty/hiEmpty flags) default to
+  * the ends while a NULL bound VALUE yields NULL, negative step
+  * reverses (begin/end swap, with the empty flags swapping roles),
+  * step 0 raises, out-of-range clamps, lo &gt; hi yields empty.
+  * Type-polymorphic, so it backs the dialect's `[a:b:c]` spelling
+  * where the operand type is unknown at translate time; also backs
+  * list_slice / array_slice (3- and 4-arg forms).
   */
-case class DuckSlice(input: Expression, lo: Expression, hi: Expression)
-    extends TernaryExpression with CodegenFallback {
-  override def first: Expression = input
-  override def second: Expression = lo
-  override def third: Expression = hi
+case class DuckSlice(input: Expression, lo: Expression, hi: Expression,
+    stepOpt: Option[Expression], loEmpty: Boolean, hiEmpty: Boolean)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(input, lo, hi) ++ stepOpt
   override def dataType: DataType = input.dataType
-  override def nullable: Boolean = input.nullable
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     input.dataType match {
-      case _: ArrayType | StringType =>
+      case _: ArrayType | NullType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case StringType if stepOpt.isEmpty =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case StringType =>
+        // the reference errors on stepped string slices (array_slice.cpp
+        // has no string step kernel; test_list_slice_step.test pins it)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "duck_slice: slice steps are not supported on strings")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"duck_slice expects a list or string input, got ${other.sql}")
     }
 
-  private def resolve(v: Any, n: Int, dflt: Int): Int =
-    if (v == null) dflt
-    else {
-      val x = v.asInstanceOf[Number].intValue
-      if (x < 0) n + x + 1 else x
-    }
+  private def asLong(v: Any): Long = v match {
+    case n: java.lang.Number => n.longValue
+    case d: Decimal => d.toLong
+    case s: UTF8String => s.toString.trim.toLong
+    case other => other.asInstanceOf[java.lang.Number].longValue
+  }
 
   override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val in = input.eval(row)
     if (in == null) return null
-    val loV = lo.eval(row)
-    val hiV = hi.eval(row)
+    val n: Long = in match {
+      case s: UTF8String => s.numChars().toLong
+      case arr: ArrayData => arr.numElements().toLong
+    }
+    var begin: Long = if (loEmpty) 0L else {
+      val v = lo.eval(row); if (v == null) return null; asLong(v)
+    }
+    var end: Long = if (hiEmpty) n else {
+      val v = hi.eval(row); if (v == null) return null; asLong(v)
+    }
+    val step: Long = stepOpt match {
+      case Some(se) =>
+        val v = se.eval(row); if (v == null) return null; asLong(v)
+      case None => 1L
+    }
+    if (step < 0) { // reverse: swap bounds; the empty flags swap roles
+      val t = begin; begin = end; end = t
+      if (hiEmpty) begin = 0L
+      if (loEmpty) end = n
+    }
+    // ClampSlice: shift 1-based inclusive → 0-based exclusive-end
+    if (begin != 0L && begin != Long.MinValue) begin -= 1
+    val isMin = begin == Long.MinValue
+    if (isMin) begin += 1
+    if (begin < 0 && -begin > n && end < 0 && end < -n) { begin = 0; end = 0 }
+    else {
+      if (begin < 0 && -begin > n) begin = 0
+      if (begin < 0) { if (!isMin) begin += 1; begin += n }
+      else if (begin > n) begin = n
+      if (end < 0) end = end + 1 + n
+      else if (end > n) end = n
+      end = math.max(begin, end)
+    }
     in match {
       case s: UTF8String =>
-        val n = s.numChars()
-        val a = math.max(1, resolve(loV, n, 1))
-        val b = math.min(n, resolve(hiV, n, n))
-        if (a > b) UTF8String.EMPTY_UTF8 else s.substringSQL(a, b - a + 1)
+        if (end <= begin) UTF8String.EMPTY_UTF8
+        else s.substringSQL(begin.toInt + 1, (end - begin).toInt)
       case arr: ArrayData =>
-        val n = arr.numElements()
-        val a = math.max(1, resolve(loV, n, 1))
-        val b = math.min(n, resolve(hiV, n, n))
-        if (a > b) new GenericArrayData(Array.empty[Any])
+        val et = input.dataType.asInstanceOf[ArrayType].elementType
+        val span = end - begin
+        if (span <= 0) new GenericArrayData(Array.empty[Any])
+        else if (step == 1)
+          new GenericArrayData(
+            (begin until end).map(i => arr.get(i.toInt, et)).toArray)
         else {
-          val et = input.dataType.asInstanceOf[ArrayType].elementType
-          new GenericArrayData((a to b).map(i => arr.get(i - 1, et)).toArray)
+          if (step == 0)
+            throw new IllegalArgumentException("Slice step cannot be zero")
+          val st = math.abs(step)
+          val len =
+            if (st >= span) 1L
+            else if (span % st != 0) span / st + 1
+            else span / st
+          var idx = if (step > 0) begin else end - 1
+          val out = new Array[Any](len.toInt)
+          var i = 0
+          while (i < len) { out(i) = arr.get(idx.toInt, et); idx += step; i += 1 }
+          new GenericArrayData(out)
         }
     }
   }
   override protected def withNewChildrenInternal(
-      f: Expression, s: Expression, t: Expression): DuckSlice =
-    copy(input = f, lo = s, hi = t)
+      newChildren: IndexedSeq[Expression]): DuckSlice =
+    copy(input = newChildren(0), lo = newChildren(1), hi = newChildren(2),
+      stepOpt = if (newChildren.length > 3) Some(newChildren(3)) else None)
 }
 
 /** The reference's 1-based subscript `x[i]` / list_extract

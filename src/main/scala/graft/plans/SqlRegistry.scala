@@ -151,9 +151,12 @@ object SqlRegistry {
       args => { arity("array_to_string", 2, args); ArrayJoin(args(0), args(1), None) })
     for (n <- Seq("array_slice", "list_slice"))
       register(e, n, classOf[Slice], args => {
-      arity(n, 3, args)
-      // reference bounds are INCLUSIVE: length = hi - lo + 1
-      Slice(args(0), args(1), Add(Subtract(args(2), args(1)), Literal(1)))
+      // full reference semantics (1-based INCLUSIVE bounds, negative
+      // indices, clamping, optional 4th step arg) live in DuckSlice
+      require(args.length == 3 || args.length == 4,
+        s"$n expects 3 or 4 arguments, got ${args.length}")
+      DuckSlice(args(0), args(1), args(2), args.lift(3),
+        loEmpty = false, hiEmpty = false)
     })
     for (n <- Seq("list_aggregate", "list_aggr", "array_aggregate", "array_aggr"))
       register(e, n, classOf[ArrayAggregate], args => {

@@ -71,8 +71,10 @@ class DuckDialectSpec extends AnyFunSuite {
     // list_extract: struct field by name, map key → [value] list
     // (reference map_extract.cpp:30)
     assert(t("SELECT x['k']") === "SELECT list_extract(x, 'k')")
-    assert(t("SELECT x[2:3]") === "SELECT duck_slice(x, 2, 3)")
-    assert(t("SELECT x[2:]") === "SELECT duck_slice(x, 2, NULL)")
+    assert(t("SELECT x[2:3]") === "SELECT duck_slice(x, 2, 3, false, false)")
+    assert(t("SELECT x[2:]") === "SELECT duck_slice(x, 2, NULL, false, true)")
+    assert(t("SELECT x[2:5:3]") === "SELECT duck_slice(x, 2, 5, 3, false, false)")
+    assert(t("SELECT x[a:-:s]") === "SELECT duck_slice(x, a, NULL, s, false, true)")
     assert(t("SELECT struct_pack(a := 1, b := c)") === "SELECT named_struct('a', 1, 'b', c)")
     assert(t("SELECT struct_insert(s, v := 9)") === "SELECT struct_insert(s, 'v', 9)")
     assert(t("SELECT x::UBIGINT") === "SELECT CAST(x AS DECIMAL(20,0))")
@@ -138,6 +140,44 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(one("'abcdef'[-3:]") === "def")
     assert(one("'abcdef'[4:2]") === "")
     assert(one("len([1,2,3][2:])") === 2)
+  }
+
+  test("slice steps match the reference (test_list_slice_step.test)") {
+    // positive steps
+    assert(one("([1,2,3,4,5])[1:3:2]") === Seq(1, 3))
+    assert(one("([1,2,3,4,5])[1:3:3]") === Seq(1))
+    assert(one("([1,2,3,4,5,6])[1:5:2]") === Seq(1, 3, 5))
+    assert(one("([1,2,3,4,5])[-4:-1:2]") === Seq(2, 4))
+    assert(one("([1,2,3,4,5])[1:-:2]") === Seq(1, 3, 5))
+    assert(one("([1,2,3,4,5])[:3:2]") === Seq(1, 3))
+    assert(one("([1,2,3,4,5,6])[5:3:2]") === Seq())
+    assert(one("([1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17])[1:17:20]") === Seq(1))
+    assert(one("list_slice([1,2,3,4,5], 1, 3, 1)") === Seq(1, 2, 3))
+    assert(one("list_slice([1,2,3,4,5], 1, 3, 2)") === Seq(1, 3))
+    // negative steps (…_negative_step.test: reverse, flags swap roles)
+    assert(one("list_slice([1,2,3,4,5], 1, 3, -1)") === Seq())
+    assert(one("([1,2,3])[1:-:-1]") === Seq(1))
+    assert(one("([1,2,3])[:3:-1]") === Seq(3))
+    assert(one("([1,2,3,4,5])[:-:-1]") === Seq(5, 4, 3, 2, 1))
+    assert(one("([1,2,3,4,5])[:-:-2]") === Seq(5, 3, 1))
+    assert(one("list_slice([1,4,5,6,7,8], 3, 1, -2)") === Seq(5, 1))
+    // NULL bound VALUES are NULL results (empties are not)
+    assert(one("([1,2,3,4,5])[NULL:3]") === null)
+    assert(one("list_slice(NULL, 1, 3, 2)") === null)
+    // no-step clamping edges retained
+    assert(one("([1,2,3,4,5,6])[-10:-10]") === Seq())
+    assert(one("([1,2,3,4,5])[-1:3]") === Seq())
+    assert(one("([1,2,3,4,5])[1:-3]") === Seq(1, 2, 3))
+    assert(one("([1,2,3,4,5])[6:8]") === Seq())
+    assert(one("([1,2,3,4,5])[1:10]") === Seq(1, 2, 3, 4, 5))
+    assert(one("([1,2,3,4,5,6])[-9223372036854775808:5:2]") === Seq(1, 3, 5))
+    // negative list_slice bounds through the function spelling
+    assert(one("list_slice([1,2,3,4,5], -3, -1)") === Seq(3, 4, 5))
+    // step 0 raises (reference: "Slice step cannot be zero")
+    val e = intercept[Exception](one("([1,2,3,4,5])[1:3:0]"))
+    assert(e.getMessage != null)
+    // stepped string slices are a bind error in both engines
+    intercept[Exception](one("'12345'[1:3:2]"))
   }
 
   test("struct literals and named-argument constructors") {
