@@ -31,6 +31,13 @@ object GraftSql {
     """(?is)^\s*(?:ROLLBACK|ABORT)(?:\s+TRANSACTION)?\s*;?\s*$""".r
   private val PlainInsert =
     """(?is)^\s*INSERT\s+INTO\s+(\S+).*$""".r
+  // COMMENT ON <kind> <target> IS '…'|NULL (reference
+  // parser/statement/comment_on_statement.cpp): table/view comments
+  // map to table properties, column comments to ALTER COLUMN; other
+  // object kinds (SEQUENCE, TYPE, MACRO, …) have no Spark metadata
+  // slot — accepted as a successful no-op (pure catalog annotation)
+  private val CommentOn =
+    """(?is)^\s*COMMENT\s+ON\s+(\w+)\s+([\w.`"]+)\s+IS\s+('(?:[^']|'')*'|NULL)\s*;?\s*$""".r
 
   def sql(spark: SparkSession, text0: String): DataFrame = {
     spark.conf.set("spark.graft.current_query", text0)
@@ -112,6 +119,23 @@ object GraftSql {
       // there is nothing to flush: success no-op, like VACUUM on an
       // empty trash.
       case CheckpointRe() => return S.emptyDf(spark)
+      case graft.plans.MacroReg.DropRe(ifEx, name) =>
+        graft.plans.MacroReg.drop(name, ifEx != null)
+        return S.emptyDf(spark)
+      case CommentOn(kind, target0, value) =>
+        val target = target0.replace("\"", "`")
+        val comment = if (value.equalsIgnoreCase("NULL")) "''" else value
+        kind.toUpperCase match {
+          case "TABLE" | "VIEW" =>
+            spark.sql(s"ALTER $kind $target SET TBLPROPERTIES('comment' = $comment)")
+          case "COLUMN" =>
+            val dot = target.lastIndexOf('.')
+            require(dot > 0, "COMMENT ON COLUMN: expected table.column")
+            spark.sql(s"ALTER TABLE ${target.substring(0, dot)} ALTER COLUMN " +
+              s"${target.substring(dot + 1)} COMMENT $comment")
+          case _ => // SEQUENCE/TYPE/MACRO/INDEX/DATABASE: no metadata slot
+        }
+        return S.emptyDf(spark)
       case S.VacuumRe(table) =>
         // the engine's space-reclaim analog is small-files compaction
         if (table.nonEmpty && !table.equalsIgnoreCase("ANALYZE")) {
@@ -257,9 +281,24 @@ object GraftSql {
             // post-translate passes: star REPLACE + COLUMNS('re')
             // (schema-aware), then window EXCLUDE / named-window
             // inlining, then nested-generator extraction (SqlPasses)
-            val out = spark.sql(graft.plans.SqlPasses.generatorPass(
+            val finalSql = graft.plans.SqlPasses.generatorPass(
               graft.plans.SqlPasses.windowExcludePass(
-                columnsPass(spark, starReplacePass(spark, t)))))
+                columnsPass(spark, starReplacePass(spark, t))))
+            val out =
+              try spark.sql(finalSql)
+              catch {
+                // the reference coerces VALUES rows to the TARGET
+                // column types (insert binder); Spark first unifies
+                // the inline table and rejects mixed rows like
+                // VALUES ('NAN'), (1) into a FLOAT column — retry
+                // with explicit casts from the table's schema
+                case e: Exception
+                    if Option(e.getMessage).exists(_.contains("INVALID_INLINE_TABLE")) =>
+                  insertValuesCast(spark, finalSql) match {
+                    case Some(rewritten) => spark.sql(rewritten)
+                    case None => throw e
+                  }
+              }
             t match {
               case CreateTableName(nm) => applyGenerated(spark, nm)
               case _ =>
@@ -268,6 +307,39 @@ object GraftSql {
         }
     }
   }
+
+  private val InsertValuesRe =
+    """(?is)^\s*INSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
+
+  /** `INSERT INTO t [(cols)] VALUES rows` with every scalar cast to
+    * its target column type (the reference's insert-binder coercion).
+    */
+  private def insertValuesCast(spark: SparkSession, sql: String): Option[String] =
+    sql match {
+      case InsertValuesRe(table, colList, rowsText) =>
+        val schema = spark.table(table).schema
+        val cols: Seq[org.apache.spark.sql.types.StructField] =
+          Option(colList) match {
+            case Some(cl) => graft.sources.DmlSql.topSplit(cl, ',')
+              .map(c => schema(schema.fieldIndex(
+                c.trim.stripPrefix("`").stripSuffix("`"))))
+            case None => schema.fields.toSeq
+          }
+        val rows = graft.sources.DmlSql.topSplit(rowsText, ',').map { row0 =>
+          val row = row0.trim
+          if (!row.startsWith("(") || !row.endsWith(")")) return None
+          val vals = graft.sources.DmlSql.topSplit(
+            row.stripPrefix("(").stripSuffix(")"), ',')
+          if (vals.length != cols.length) return None
+          vals.zip(cols).map { case (v, f) =>
+            if (v.trim.equalsIgnoreCase("DEFAULT")) v
+            else s"CAST(($v) AS ${f.dataType.sql})"
+          }.mkString("(", ", ", ")")
+        }
+        val colsOut = Option(colList).map(cl => s" ($cl)").getOrElse("")
+        Some(s"INSERT INTO $table$colsOut VALUES ${rows.mkString(", ")}")
+      case _ => None
+    }
 
   private val asofViewId = new java.util.concurrent.atomic.AtomicLong(100L)
 

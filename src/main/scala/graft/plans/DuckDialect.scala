@@ -154,7 +154,7 @@ object DuckDialect {
     "ASC", "DESC", "NULLS", "FIRST", "LAST", "THEN", "WHEN", "ELSE",
     "END", "WINDOW", "PARTITION", "ROWS", "RANGE", "GROUPS", "PRECEDING",
     "FOLLOWING", "UNBOUNDED", "CURRENT", "ROW", "FILTER", "OVER",
-    "WITHIN", "PIVOT", "UNPIVOT", "BETWEEN", "TO", "BOTH",
+    "WITHIN", "PIVOT", "UNPIVOT", "BETWEEN", "TO", "BOTH", "NATURAL",
     "INSERT", "INTO", "DROP", "IF", "EXISTS")
 
   /** Keywords that terminate an expression when seen in infix position. */
@@ -303,7 +303,13 @@ object DuckDialect {
           case _ if atPivotGroup => out += pivotGroup()
           case TWord(w) if GLUE(w.toUpperCase) =>
             next(); lastGlue = w.toUpperCase; out += w
-          case TOp(",") | TOp(";") => next(); out += t.text
+          case TOp(",") =>
+            // the reference tolerates trailing commas in clause lists
+            // (VALUES …, / SELECT a, b, FROM): drop one before a
+            // closer or end of input
+            next()
+            if (more && !peekOp(")") && !peekOp(";") && !peekWord("FROM")) out += ","
+          case TOp(";") => next(); out += t.text
           // `(` falls through to expr(): its prefix handles both
           // subquery parens and parenthesized predicates — a special
           // case here would strip an OR-chain's first branch
@@ -327,7 +333,13 @@ object DuckDialect {
           case _ if atPivotGroup => out += pivotGroup()
           case TWord(w) if GLUE(w.toUpperCase) =>
             next(); lastGlue = w.toUpperCase; out += w
-          case TOp(",") | TOp(";") => next(); out += t.text
+          case TOp(",") =>
+            // the reference tolerates trailing commas in clause lists
+            // (VALUES …, / SELECT a, b, FROM): drop one before a
+            // closer or end of input
+            next()
+            if (more && !peekOp(")") && !peekOp(";") && !peekWord("FROM")) out += ","
+          case TOp(";") => next(); out += t.text
           case _ => out += expr(0)
         }
       }
@@ -380,11 +392,28 @@ object DuckDialect {
       val orReplace =
         if (peekWord("OR")) { next(); require(peekWord("REPLACE")); next(); "OR REPLACE " }
         else ""
+      // TEMP/TEMPORARY: views map to Spark temp views natively; a
+      // writable TEMP TABLE has no Spark analog, so it becomes a
+      // regular managed table — same contents, divergent LIFETIME
+      // (warehouse-persistent, not session; reference
+      // test/sql/catalog/test_temporary.test)
+      val temp =
+        if (peekWord("TEMP") || peekWord("TEMPORARY")) { next(); true }
+        else false
+      // CREATE SCHEMA/DATABASE: Spark-native, pass through (the
+      // statement loop would mangle IF NOT EXISTS into a call)
+      if (peekWord("SCHEMA") || peekWord("DATABASE")) {
+        val sk = next().text.toUpperCase
+        var ine = ""
+        if (peekWord("IF")) { next(); next(); next(); ine = "IF NOT EXISTS " }
+        return Some(s"CREATE $sk $ine${dottedName()}")
+      }
       val kind =
         if (peekWord("TABLE")) "TABLE"
         else if (peekWord("VIEW")) "VIEW"
         else { i = save; return None }
       next()
+      val tempPrefix = if (temp && kind == "VIEW") "TEMPORARY " else ""
       var ifNotExists = ""
       if (peekWord("IF")) { next(); next(); next(); ifNotExists = "IF NOT EXISTS " } // IF NOT EXISTS
       val name = dottedName()
@@ -404,7 +433,7 @@ object DuckDialect {
         }
         require(peekWord("AS"), "duck-dialect: CREATE VIEW without AS"); next()
         val q = statement()
-        return Some(s"CREATE $orReplace$kind $ifNotExists$name$colList AS $q")
+        return Some(s"CREATE $orReplace$tempPrefix$kind $ifNotExists$name$colList AS $q")
       }
       expectOp("(")
       val cols = ArrayBuffer.empty[String]
@@ -509,6 +538,9 @@ object DuckDialect {
         if (peekOp(",")) next()
       }
       expectOp(")")
+      // TEMP-table tail `ON COMMIT PRESERVE|DELETE ROWS`: PRESERVE is
+      // the engine's (and the reference's) behavior anyway — consume
+      if (peekWord("ON")) { next(); next(); next(); next() }
       val bare = name.stripPrefix("`").stripSuffix("`")
       TableMeta.clear(bare)
       if (pkCols.nonEmpty) TableMeta.recordPk(bare, pkCols.toSeq)
@@ -828,10 +860,19 @@ object DuckDialect {
       if (negate) s"(NOT $test)" else test
     }
 
-    /** `*` in prefix position: plain star or star with EXCLUDE. */
+    /** `*` in prefix position: plain star or star with EXCLUDE —
+      * the paren-free single-column form (`* EXCLUDE i`) is legal in
+      * the reference (star_expression.cpp exclude_list).
+      */
     private def starPrimary(): String = {
       if (peekWord("EXCLUDE")) {
-        next(); val cols = primaryParen()
+        next()
+        val cols =
+          if (peekOp("(")) primaryParen()
+          else next() match {
+            case TQuoted(s) => s"(${quoteIdent(s)})"
+            case t => s"(${t.text})"
+          }
         s"* EXCEPT $cols"
       } else "*"
     }
@@ -854,6 +895,10 @@ object DuckDialect {
         case TWord(w) => Set("PARTITION", "ORDER", "ROWS", "RANGE", "GROUPS")(w.toUpperCase)
         case _ => false
       }) return clauseParen()
+      // parenthesized JOIN tree as a relation (`FROM (a NATURAL JOIN
+      // b) JOIN …`): a depth-1 JOIN keyword means this is clause
+      // structure, not an expression list
+      if (hasTopLevelJoin) return clauseParen()
       expectOp("(")
       val isQuery = more && (peek match {
         case TWord(w) => Set("SELECT", "WITH", "FROM", "VALUES", "TABLE")(w.toUpperCase)
@@ -973,7 +1018,19 @@ object DuckDialect {
               case other => chain += s".${other.text}"
             }
           }
-          if (!starEnd && peekOp("(")) call(chain) else chain
+          if (starEnd && peekWord("EXCLUDE")) {
+            // qualified star with EXCLUDE: `a.* EXCLUDE (j)` (also
+            // the paren-free single-column form)
+            next()
+            val cols =
+              if (peekOp("(")) primaryParen()
+              else next() match {
+                case TQuoted(s) => s"(${quoteIdent(s)})"
+                case t => s"(${t.text})"
+              }
+            s"$chain EXCEPT $cols"
+          }
+          else if (!starEnd && peekOp("(")) call(chain) else chain
       }
     }
 
@@ -1138,6 +1195,22 @@ object DuckDialect {
     }
 
     /** Window/filter clause: glue words + exprs inside parens. */
+    /** cursor on '(' — is there a JOIN keyword at paren depth 1? */
+    private def hasTopLevelJoin: Boolean = {
+      var j = i + 1
+      var depth = 1
+      while (j < toks.length && depth > 0) {
+        toks(j) match {
+          case TOp("(") => depth += 1
+          case TOp(")") => depth -= 1
+          case TWord(w) if depth == 1 && w.equalsIgnoreCase("JOIN") => return true
+          case _ =>
+        }
+        j += 1
+      }
+      false
+    }
+
     private def clauseParen(): String = {
       expectOp("(")
       val out = ArrayBuffer.empty[String]
@@ -1468,7 +1541,11 @@ object DuckDialect {
             case other => TYPE_MAP.getOrElse(other, other)
           }
           if (mapped == "STRING") "STRING" else s"$mapped(${params.mkString(",")})"
-        case other => TYPE_MAP.getOrElse(other, other)
+        case other => TYPE_MAP.getOrElse(other,
+          // user ENUM types registered via CREATE TYPE … AS ENUM map
+          // to their dictionary-string representation (plans/EnumTypes
+          // — value validation happens at the cast/INSERT layer)
+          if (EnumTypes.get(other).isDefined) "STRING" else other)
       }
       // array suffixes: T[] / T[][] / fixed-size T[3] (Spark has no
       // fixed-size arrays — maps to plain ARRAY, length unchecked)
@@ -1486,8 +1563,18 @@ object DuckDialect {
     }
   }
 
+  // DROP TABLE/VIEW … CASCADE|RESTRICT: the reference accepts the
+  // SQL-standard modifiers on every DROP; Spark only on DROP SCHEMA —
+  // dependency tracking differs by engine, the verb itself is the same
+  private val DropModRe =
+    """(?is)^(\s*DROP\s+(?:TABLE|VIEW|SEQUENCE|TYPE|INDEX|MACRO|FUNCTION)\s+.*?)\s+(?:CASCADE|RESTRICT)(\s*;?\s*)$""".r
+
   /** Translate one DuckDB-dialect statement into Spark SQL. */
-  def translate(sql: String): String = {
+  def translate(sql0: String): String = {
+    val sql = sql0 match {
+      case DropModRe(head, tail) => head + tail
+      case other => other
+    }
     val p = new P(lex(sql))
     val out = p.statement()
     // early-return statement paths (DDL, DISTINCT ON, QUALIFY) leave

@@ -20,6 +20,16 @@ object MacroReg {
 
   def isCreate(text: String): Boolean = Create.findFirstIn(text).isDefined
 
+  /** DROP MACRO [IF EXISTS] name (reference drop_statement.cpp —
+    * macros share the generic DROP verb). */
+  val DropRe =
+    """(?is)^\s*DROP\s+MACRO\s+(?:TABLE\s+)?(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$""".r
+
+  def drop(name: String, ifExists: Boolean): Unit = {
+    val had = macros.remove(name.toLowerCase) != null
+    require(had || ifExists, s"DROP MACRO: no macro named $name")
+  }
+
   def register(text: String): Unit = text match {
     case Create(name, params, body) =>
       macros.put(name.toLowerCase,

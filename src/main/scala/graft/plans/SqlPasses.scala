@@ -116,7 +116,9 @@ object SqlPasses {
     *   the two half-frames. `peers` = RANGE BETWEEN CURRENT ROW AND
     *   CURRENT ROW over the same partition+order.
     */
-  private val ExcludeRe = "(?i)\\bEXCLUDE\\b".r
+  // EXCLUDE as a window-frame modifier — NOT `UNPIVOT EXCLUDE NULLS`
+  // (the SQL-standard unpivot option) or a star-EXCLUDE remnant
+  private val ExcludeRe = "(?i)\\bEXCLUDE\\b(?!\\s+NULLS\\b)".r
 
   def windowExcludePass(sql0: String): String = {
     var sql = sql0

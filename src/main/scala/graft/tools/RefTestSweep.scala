@@ -58,13 +58,17 @@ object RefTestSweep {
             graft.sources.DmlSql.topSplit(text, ';')
               .map(_.trim).filter(_.nonEmpty)
               // skip sqllogictest parameter placeholders (bare '?')
-              .filterNot(s => """(^|[\s(,=])\?([\s),;]|$)""".r.findFirstIn(s).isDefined)
+              .filterNot(s => """(^|[\s(,=<>+\-*/|])\?([\s(),;=<>+\-*/|]|$)""".r
+                .findFirstIn(stripStringLiterals(s)).isDefined)
               .foreach(s => out += ((f.getPath, s)))
         }
         i += 1
       }
       out
     }
+
+  private def stripStringLiterals(s: String): String =
+    s.replaceAll("'[^']*'", "''")
 
   def main(args: Array[String]): Unit = {
     val filter = args.headOption.getOrElse("")
@@ -78,9 +82,17 @@ object RefTestSweep {
     val routedVerb = ("""(?is)^\s*(PRAGMA|SET|RESET|BEGIN|COMMIT|ROLLBACK|ABORT|""" +
       """PREPARE|EXECUTE|DEALLOCATE|CALL|VACUUM|COPY|ATTACH|DETACH|EXPORT|IMPORT|""" +
       """EXPLAIN|SUMMARIZE|DESCRIBE|SHOW|UPDATE|DELETE|MERGE|ALTER|TRUNCATE|""" +
-      """(?:FORCE\s+)?CHECKPOINT|""" +
+      """(?:FORCE\s+)?CHECKPOINT|PIVOT|PIVOT_WIDER|UNPIVOT|PIVOT_LONGER|COMMENT|""" +
+      """DROP\s+MACRO|""" +
+      """CREATE\s+(?:OR\s+REPLACE\s+)?(?:PERSISTENT\s+|TEMPORARY\s+)?SECRET|DROP\s+SECRET|""" +
       """CREATE\s+(?:OR\s+REPLACE\s+)?MACRO|CREATE\s+TYPE|DROP\s+TYPE|""" +
       """CREATE\s+SEQUENCE|DROP\s+SEQUENCE|CREATE\s+(?:UNIQUE\s+)?INDEX|DROP\s+INDEX)\b.*""").r
+
+    // CREATE TYPE … AS ENUM registers session state the translator
+    // consults when the type name later appears in DDL — replay those
+    // registrations so the sweep sees the same state the front door
+    // would (the sweep is otherwise stateless)
+    val enumReg = graft.plans.EnumTypes.CreateTypeRe
 
     var total = 0
     var routed = 0
@@ -91,10 +103,24 @@ object RefTestSweep {
 
     statements(filter).foreach { case (file, sql) =>
       total += 1
-      if (routedVerb.pattern.matcher(sql).matches()) routed += 1
+      sql match {
+        case enumReg(name, vals) =>
+          try graft.plans.EnumTypes.register(name, vals)
+          catch { case _: Exception => }
+        case _ =>
+      }
+      // statement layers the front door routes before Spark's parser:
+      // the regex verbs, DML with upsert/RETURNING (sources/DmlSql),
+      // and ASOF JOIN statement syntax (plans/AsofSql)
+      val layerRouted = routedVerb.pattern.matcher(sql).matches() ||
+        (try graft.sources.DmlSql.matches(sql) catch { case _: Exception => false }) ||
+        (try graft.plans.AsofSql.matches(sql) catch { case _: Exception => false })
+      if (layerRouted) routed += 1
       else {
         val t =
-          try Some(graft.plans.DuckDialect.translate(sql))
+          try Some(graft.plans.SqlPasses.generatorPass(
+            graft.plans.SqlPasses.windowExcludePass(
+              graft.plans.DuckDialect.translate(sql))))
           catch {
             case e: Throwable =>
               val key = Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.DuckDialect
+
+/** Front-door robustness items surfaced by sweeping the reference's
+  * own sqllogictest corpus through the translator
+  * (tools/RefTestSweep): each case here is a reference-test shape
+  * that used to crash or mistranslate.
+  */
+class DialectRobustnessSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def t(sql: String): String = DuckDialect.translate(sql)
+
+  private def fresh(name: String): Unit = {
+    GraftSql.sql(spark, s"DROP TABLE IF EXISTS $name")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete(): Unit
+    }
+    val dir = new java.io.File(wh, name.toLowerCase)
+    if (dir.exists()) del(dir)
+  }
+
+  test("INSERT VALUES coerces rows to the target column types") {
+    fresh("floats_ins")
+    GraftSql.sql(spark, "CREATE TABLE floats_ins(f FLOAT)")
+    // the reference's insert binder coerces 'NAN' to the FLOAT column;
+    // Spark's inline table alone cannot unify ('NAN') with (1)
+    GraftSql.sql(spark, "INSERT INTO floats_ins VALUES ('NAN'), (1)")
+    val vals = spark.table("floats_ins").collect().map(_.getFloat(0))
+    assert(vals.exists(_.isNaN) && vals.contains(1.0f))
+    GraftSql.sql(spark, "DROP TABLE floats_ins")
+  }
+
+  test("CREATE TEMP TABLE maps to a managed table; TEMP VIEW stays temp") {
+    fresh("temp_tbl_x")
+    GraftSql.sql(spark, "CREATE TEMPORARY TABLE temp_tbl_x(i INTEGER) ON COMMIT PRESERVE ROWS")
+    GraftSql.sql(spark, "INSERT INTO temp_tbl_x VALUES (7)")
+    assert(spark.table("temp_tbl_x").count() === 1)
+    GraftSql.sql(spark, "DROP TABLE temp_tbl_x")
+    GraftSql.sql(spark, "CREATE TEMP VIEW temp_view_x AS SELECT 42 AS x")
+    assert(spark.catalog.tableExists("temp_view_x"))
+    spark.catalog.dropTempView("temp_view_x")
+  }
+
+  test("CREATE SCHEMA / DROP with CASCADE modifiers") {
+    GraftSql.sql(spark, "CREATE SCHEMA IF NOT EXISTS robustness_test")
+    GraftSql.sql(spark, "DROP SCHEMA robustness_test")
+    assert(t("DROP TABLE integers CASCADE") === "DROP TABLE integers")
+    assert(t("DROP VIEW v1 RESTRICT;").replaceAll("\\s+", " ") === "DROP VIEW v1 ;")
+  }
+
+  test("COMMENT ON table and column") {
+    fresh("commented")
+    GraftSql.sql(spark, "CREATE TABLE commented(k INTEGER, v VARCHAR)")
+    GraftSql.sql(spark, "COMMENT ON TABLE commented IS 'very gezellige table'")
+    GraftSql.sql(spark, "COMMENT ON COLUMN commented.v IS 'very gezellige column'")
+    val props = spark.sql("DESCRIBE TABLE EXTENDED commented").collect()
+      .map(_.toSeq.mkString("|")).mkString("\n")
+    assert(props.contains("very gezellige table"))
+    assert(spark.table("commented").schema("v").getComment().contains("very gezellige column"))
+    // other object kinds: successful no-op
+    GraftSql.sql(spark, "COMMENT ON SEQUENCE seq1 IS 'x'")
+    GraftSql.sql(spark, "DROP TABLE commented")
+  }
+
+  test("DROP MACRO removes a registered macro") {
+    GraftSql.sql(spark, "CREATE MACRO rob_add(a, b) AS a + b")
+    assert(GraftSql.sql(spark, "SELECT rob_add(2, 3) AS s").collect()(0).get(0) === 5)
+    GraftSql.sql(spark, "DROP MACRO rob_add")
+    intercept[Exception](GraftSql.sql(spark, "DROP MACRO rob_add"))
+    GraftSql.sql(spark, "DROP MACRO IF EXISTS rob_add") // no-throw
+  }
+
+  test("trailing commas in VALUES and select lists are tolerated") {
+    assert(GraftSql.sql(spark, "SELECT * FROM (VALUES (1), (2),) t(i)").count() === 2)
+    assert(GraftSql.sql(spark, "SELECT 1 AS a, 2 AS b, FROM range(1)")
+      .columns.toSeq === Seq("a", "b"))
+  }
+
+  test("user ENUM type names work in DDL after CREATE TYPE") {
+    GraftSql.sql(spark, "CREATE TYPE rob_mood AS ENUM ('sad', 'ok', 'happy')")
+    try {
+      assert(t("CREATE TABLE a (a string, b rob_mood)") ===
+        "CREATE TABLE a (a STRING, b STRING) USING parquet")
+    } finally GraftSql.sql(spark, "DROP TYPE rob_mood")
+  }
+
+  test("star EXCLUDE: paren-free and qualified forms") {
+    assert(t("SELECT * EXCLUDE i FROM integers") === "SELECT * EXCEPT (i) FROM integers")
+    assert(t("SELECT a.* EXCLUDE(j) FROM test a") === "SELECT a.* EXCEPT (j) FROM test a")
+  }
+
+  test("parenthesized JOIN trees pass through as clause structure") {
+    assert(t("SELECT * FROM (a NATURAL JOIN b NATURAL JOIN c) NATURAL JOIN (d NATURAL JOIN e)")
+      === "SELECT * FROM (a NATURAL JOIN b NATURAL JOIN c) NATURAL JOIN (d NATURAL JOIN e)")
+    // real execution over data
+    GraftSql.sql(spark, "CREATE OR REPLACE TEMP VIEW nj_a AS SELECT 1 AS k, 'x' AS va")
+    GraftSql.sql(spark, "CREATE OR REPLACE TEMP VIEW nj_b AS SELECT 1 AS k, 'y' AS vb")
+    GraftSql.sql(spark, "CREATE OR REPLACE TEMP VIEW nj_c AS SELECT 1 AS k, 'z' AS vc")
+    assert(GraftSql.sql(spark,
+      "SELECT * FROM (nj_a NATURAL JOIN nj_b) NATURAL JOIN nj_c").count() === 1)
+  }
+
+  test("IN over list and map collections") {
+    assert(GraftSql.sql(spark, "SELECT 2 IN [1, 2, 3] AS t, 5 IN [1, 2] AS f")
+      .collect()(0).toSeq === Seq(true, false))
+    assert(GraftSql.sql(spark, "SELECT 'a' IN MAP {'a': 1} AS t").collect()(0).get(0) === true)
+    assert(GraftSql.sql(spark, "SELECT 2 NOT IN [1, 2, 3] AS f").collect()(0).get(0) === false)
+  }
+}
