@@ -119,6 +119,14 @@ object GraftSql {
       // there is nothing to flush: success no-op, like VACUUM on an
       // empty trash.
       case CheckpointRe() => return S.emptyDf(spark)
+      // CREATE/DROP SEQUENCE (sequence_catalog_entry.cpp) — session
+      // counters behind nextval()/currval() (plans/Sequences)
+      case graft.plans.Sequences.CreateRe(orRepl, ifNot, name, opts) =>
+        graft.plans.Sequences.create(orRepl != null, ifNot != null, name, opts)
+        return S.emptyDf(spark)
+      case graft.plans.Sequences.DropRe(ifEx, name) =>
+        graft.plans.Sequences.drop(name, ifEx != null)
+        return S.emptyDf(spark)
       case graft.plans.MacroReg.DropRe(ifEx, name) =>
         graft.plans.MacroReg.drop(name, ifEx != null)
         return S.emptyDf(spark)

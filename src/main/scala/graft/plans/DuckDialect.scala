@@ -74,7 +74,7 @@ object DuckDialect {
   private val multiOps = Seq(
     "!~~*", "!~~", "~~*", "~~", "!~*", "!~", "~*",
     "::", ":=", "**", "//", "<->", "<=>", "<@", "@>", "&&", "^@",
-    "<<", ">>", "<=", ">=", "<>", "!=", "||", "->")
+    "<<", ">>", "<=", ">=", "<>", "!=", "||", "->", "==")
   private val singleOps = "+-*/%^&|~@!()[]{},.;<>=:".toSet
 
   private def lex(sql: String): IndexedSeq[Tok] = {
@@ -126,10 +126,15 @@ object DuckDialect {
           }
         }
         out += TNum(sql.substring(start, i))
-      } else if (c.isLetter || c == '_') {
+      } else if (c.isLetter || c == '_' || c >= '\u0080') {
+        // the reference lexes ANY non-ASCII codepoint as identifier
+        // material (unquoted unicode/emoji table names are legal);
+        // Spark needs those backtick-quoted, so they lex as TQuoted
         val start = i
-        while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_' || sql.charAt(i) == '$')) i += 1
-        out += TWord(sql.substring(start, i))
+        while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_' ||
+            sql.charAt(i) == '$' || sql.charAt(i) >= '\u0080')) i += 1
+        val w = sql.substring(start, i)
+        if (w.forall(_ < '\u0080')) out += TWord(w) else out += TQuoted(w)
       } else {
         multiOps.find(op => sql.startsWith(op, i)) match {
           case Some(op) => out += TOp(op); i += op.length
@@ -181,7 +186,9 @@ object DuckDialect {
     "**" -> 80, "^" -> 80, "//" -> 70,
     "~" -> 50, "!~" -> 50, "~~" -> 50, "!~~" -> 50, "~~*" -> 50, "!~~*" -> 50,
     "~*" -> 50, "!~*" -> 50,
-    "<->" -> 50, "<=>" -> 50, "&&" -> 50, "@>" -> 50, "<@" -> 50, "^@" -> 50)
+    "<->" -> 50, "<=>" -> 50, "&&" -> 50, "@>" -> 50, "<@" -> 50, "^@" -> 50,
+    // postgres-style `==` equality spelling (accepted by the reference)
+    "==" -> 40)
 
   private val LAMBDA_PREC = 5 // `x -> body`: body absorbs everything
 
@@ -301,6 +308,12 @@ object DuckDialect {
             case TWord(x) => x.equalsIgnoreCase("SAMPLE"); case _ => false
           } => out += usingSample()
           case _ if atPivotGroup => out += pivotGroup()
+          case TWord(w) if Set("FIRST", "LAST")(w.toUpperCase) && peekAt(1)
+              .exists { case TOp("(") => true; case _ => false } =>
+            // first(...)/last(...) calls (the words are glue only for
+            // NULLS FIRST/LAST) — as exprs their inline ORDER BY /
+            // IGNORE NULLS forms get the call() rewrites
+            out += expr(0)
           case TWord(w) if GLUE(w.toUpperCase) =>
             next(); lastGlue = w.toUpperCase; out += w
           case TOp(",") =>
@@ -331,6 +344,12 @@ object DuckDialect {
             case TWord(x) => x.equalsIgnoreCase("SAMPLE"); case _ => false
           } => out += usingSample()
           case _ if atPivotGroup => out += pivotGroup()
+          case TWord(w) if Set("FIRST", "LAST")(w.toUpperCase) && peekAt(1)
+              .exists { case TOp("(") => true; case _ => false } =>
+            // first(...)/last(...) calls (the words are glue only for
+            // NULLS FIRST/LAST) — as exprs their inline ORDER BY /
+            // IGNORE NULLS forms get the call() rewrites
+            out += expr(0)
           case TWord(w) if GLUE(w.toUpperCase) =>
             next(); lastGlue = w.toUpperCase; out += w
           case TOp(",") =>
@@ -726,6 +745,29 @@ object DuckDialect {
             next()
             if (!more || peekOp(")")) { // e.g. `LIMIT 1%`: no right operand
               left = s"$left $o"; loop = false
+            } else if (Set("=", "<", ">", "<=", ">=", "<>", "!=")(o) &&
+                (peek match {
+                  case TWord(q) => Set("ANY", "ALL", "SOME")(q.toUpperCase) &&
+                    peekAt(1).exists { case TOp("(") => true; case _ => false }
+                  case _ => false
+                })) {
+              // quantified comparison `x op ANY|ALL|SOME (subquery)`
+              // (reference subquery/ANY semantics incl. 3-valued logic:
+              // ANY = max over comparisons with NULL-propagation, ALL =
+              // min; empty set -> FALSE / TRUE). Spark has no ANY/ALL,
+              // so both compile to an aggregated scalar subquery.
+              val kw = next().text.toUpperCase
+              val sub = primaryParen()
+              val cmp = s"(($left) $o __qv)"
+              left =
+                if (kw == "ALL")
+                  s"(SELECT CASE WHEN count(*) = 0 THEN TRUE WHEN NOT min(__qc) THEN FALSE " +
+                    s"WHEN count(*) > count(__qc) THEN NULL ELSE TRUE END " +
+                    s"FROM (SELECT $cmp AS __qc FROM $sub AS __q_t(__qv)))"
+                else
+                  s"(SELECT CASE WHEN max(__qc) THEN TRUE WHEN count(*) > count(__qc) THEN NULL " +
+                    s"ELSE FALSE END " +
+                    s"FROM (SELECT $cmp AS __qc FROM $sub AS __q_t(__qv)))"
             } else {
               val r = expr(PASS_INFIX(o) + 1)
               left = s"($left $o $r)"
@@ -757,6 +799,7 @@ object DuckDialect {
               case "@>"       => s"list_has_all($left, $r)"
               case "<@"       => s"list_has_all($r, $left)"
               case "^@"       => s"starts_with($left, $r)"
+              case "=="       => s"($left = $r)"
             }
             }
           case TWord(w) if w.equalsIgnoreCase("AND") && 20 >= min =>
@@ -800,7 +843,10 @@ object DuckDialect {
               require(peekWord("TO"), "duck-dialect: SIMILAR without TO"); next()
               val r = expr(31); left = s"regexp_full_match($left, $r)"
             } else {
-              val r = expr(31); left = s"($left $kw $r)"
+              val r = expr(31)
+              val esc =
+                if (peekWord("ESCAPE")) { next(); s" ESCAPE ${expr(31)}" } else ""
+              left = s"($left $kw $r$esc)"
             }
           case TWord(w) if w.equalsIgnoreCase("IS") && 30 >= min =>
             next()
@@ -835,6 +881,20 @@ object DuckDialect {
         case TOp("[") => arrayLiteral()
         case TOp("{") => structLiteral()
         case TOp("*") => starPrimary()
+        case TStr(s) if Set("FROM", "JOIN", "LATERAL")(lastGlue) &&
+            """(?i).*\.(parquet|csv|csv\.gz|tsv|json|jsonl|ndjson|orc)'$""".r
+              .findFirstIn(s).isDefined =>
+          // file-literal table ref (`FROM 'data.parquet'`): the
+          // reference resolves it via replacement scans; Spark's
+          // datasource-literal form is format.`path`
+          val path = s.stripPrefix("'").stripSuffix("'")
+          val fmt = path.toLowerCase.replaceAll("\\.gz$", "") match {
+            case p if p.endsWith(".parquet") => "parquet"
+            case p if p.endsWith(".orc") => "orc"
+            case p if p.endsWith(".csv") || p.endsWith(".tsv") => "csv"
+            case _ => "json"
+          }
+          s"$fmt.`$path`"
         case TStr(s) => emitStr(s)
         case TNum(s) => s
         case TQuoted(s) => quoteIdent(s)
@@ -1000,6 +1060,9 @@ object DuckDialect {
         // no TIME type in Spark (parses, unsupported): TIME literals
         // carry as their string form, matching the TIME→STRING type map
         case "TIME" if more && peek.isInstanceOf[TStr] => next().text
+        // JSON 'literal' — the JSON type maps to STRING, the literal
+        // is just its text
+        case "JSON" if more && peek.isInstanceOf[TStr] => next().text
         case "NULL" | "TRUE" | "FALSE" => w
         case "STRUCT_PACK" | "STRUCT_INSERT" | "UNION_VALUE" if peekOp("(") =>
           namedArgCall(w.toLowerCase, None)
@@ -1143,10 +1206,46 @@ object DuckDialect {
               parts.filterNot(_ == ",").mkString(", ") == ob)
             // ordered array_agg ≡ sort the collected list — but ONLY
             // when the sort key IS the collected expression; any
-            // other key falls through to the (unsupported) inline
-            // form rather than silently reordering
+            // other key falls through to the general struct-sort form
             s"array_sort($fname(${renderArgs(parts.toSeq)}))"
-          else s"$fname(${renderArgs(parts.toSeq)} ORDER BY $ob)"
+          else {
+            // parse the flat inline-order buffer into (key, desc) pairs
+            val keys = ArrayBuffer.empty[(String, Boolean)]
+            inlineOrder.foreach {
+              case "," =>
+              case d if d.equalsIgnoreCase("DESC") =>
+                val (k, _) = keys.remove(keys.length - 1); keys += ((k, true))
+              case d if d.equalsIgnoreCase("ASC") =>
+              case k => keys += ((k, false))
+            }
+            val single = !parts.contains(",") && !parts.contains("DISTINCT")
+            if ((low == "array_agg" || low == "list") && single && keys.nonEmpty) {
+              // general ordered list aggregate (aggregate ORDER BY,
+              // bind_function_expression order modifier): collect
+              // (keys…, value) structs, sort with a comparator that
+              // honors each key's direction with the reference's
+              // default NULLS LAST, project the value back out
+              val v = renderArgs(parts.toSeq)
+              val fields = keys.zipWithIndex
+                .map { case ((k, _), i) => s"($k) AS __o$i" }.mkString(", ")
+              val cmp = keys.zipWithIndex.map { case ((_, desc), i) =>
+                val (lt, gt) = if (desc) ("1", "-1") else ("-1", "1")
+                s"WHEN l.__o$i IS NULL AND r.__o$i IS NOT NULL THEN 1 " +
+                  s"WHEN r.__o$i IS NULL AND l.__o$i IS NOT NULL THEN -1 " +
+                  s"WHEN l.__o$i < r.__o$i THEN $lt WHEN l.__o$i > r.__o$i THEN $gt"
+              }.mkString(" ")
+              s"transform(array_sort(array_agg(struct($fields, ($v) AS __v)), " +
+                s"(l, r) -> CASE $cmp ELSE 0 END), s -> s.__v)"
+            } else if (Set("first", "last", "arbitrary", "any_value")(low) &&
+                single && keys.length == 1) {
+              // first/last under an ORDER BY modifier ≡ min_by/max_by
+              val v = renderArgs(parts.toSeq)
+              val (k, desc) = keys.head
+              val fn =
+                if ((low == "last") != desc) "max_by" else "min_by"
+              s"$fn($v, $k)"
+            } else s"$fname(${renderArgs(parts.toSeq)} ORDER BY $ob)"
+          }
       }
       if (low == "generate_series" && tableCtx) out = s"explode($out)"
       // trailing call clauses: FILTER (WHERE ...) / OVER (...) /
@@ -1342,6 +1441,26 @@ object DuckDialect {
       "DECADE", "DECADES", "CENTURY", "CENTURIES", "MILLENNIUM", "TO")
 
     private def intervalLiteral(): String = {
+      // `INTERVAL (expr) unit` — expression quantities have no Spark
+      // literal form; they compile to make_*_interval calls
+      if (peekOp("(")) {
+        val q = primaryParen()
+        val unit = next().text.toUpperCase.stripSuffix("S")
+        return unit match {
+          case "YEAR" => s"make_ym_interval($q, 0)"
+          case "QUARTER" => s"make_ym_interval(0, 3 * $q)"
+          case "MONTH" => s"make_ym_interval(0, $q)"
+          case "WEEK" => s"make_dt_interval(7 * $q)"
+          case "DAY" => s"make_dt_interval($q)"
+          case "HOUR" => s"make_dt_interval(0, $q)"
+          case "MINUTE" => s"make_dt_interval(0, 0, $q)"
+          case "SECOND" => s"make_dt_interval(0, 0, 0, $q)"
+          case "MILLISECOND" => s"make_dt_interval(0, 0, 0, ($q) / 1000.0)"
+          case "MICROSECOND" => s"make_dt_interval(0, 0, 0, ($q) / 1000000.0)"
+          case other => throw new IllegalArgumentException(
+            s"INTERVAL $q $other: unsupported unit")
+        }
+      }
       val out = ArrayBuffer.empty[String]
       out += "INTERVAL"
       if (more) peek match {
@@ -1471,6 +1590,10 @@ object DuckDialect {
       "TIMESTAMPTZ" -> "TIMESTAMP", "TIMESTAMP_S" -> "TIMESTAMP",
       "TIMESTAMP_MS" -> "TIMESTAMP", "TIMESTAMP_NS" -> "TIMESTAMP",
       "UUID" -> "STRING", "JSON" -> "STRING", "BIT" -> "STRING",
+      "TIMESTAMP_US" -> "TIMESTAMP", "INT8" -> "BIGINT",
+      "UINT8" -> "SMALLINT", "UINT16" -> "INTEGER", "UINT32" -> "BIGINT",
+      "UINT64" -> "DECIMAL(20,0)", "UINT128" -> "DECIMAL(38,0)",
+      "INT128" -> "DECIMAL(38,0)", "FLOAT4" -> "FLOAT", "FLOAT8" -> "DOUBLE",
       // VARINT is arbitrary-precision; DECIMAL(38,0) is the widest
       // exact integer Spark has — values beyond 38 digits overflow
       // (documented bound, same ladder as HUGEINT)

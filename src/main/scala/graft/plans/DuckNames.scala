@@ -135,6 +135,10 @@ object DuckNames {
 
     // full-match regex (the reference's `~` operator; Spark RLIKE is
     // a partial match, so anchor with a non-capturing group)
+    // sequence functions (nextval.cpp) — session registry in Sequences
+    register(e, "nextval")(args => SequenceVal(args(0), isNext = true))
+    register(e, "currval")(args => SequenceVal(args(0), isNext = false))
+
     register(e, "regexp_full_match") { args =>
       RLike(args(0), uf("concat", Seq(Literal("^(?:"), args(1), Literal(")$"))))
     }
@@ -441,6 +445,28 @@ case class DuckDiv(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DuckDiv =
     copy(left = l, right = r)
+}
+
+/** nextval('seq') / currval('seq') (reference nextval.cpp): reads
+  * and advances the session sequence registry (plans/Sequences).
+  * Nondeterministic so the optimizer never folds, caches, or
+  * reorders calls — one advance per input row, like the reference.
+  */
+case class SequenceVal(nameExpr: Expression, isNext: Boolean)
+    extends UnaryExpression with Nondeterministic with CodegenFallback {
+  override def child: Expression = nameExpr
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def initializeInternal(partitionIndex: Int): Unit = {}
+  override protected def evalInternal(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val n = nameExpr.eval(input)
+    if (n == null) null
+    else if (isNext) Sequences.next(n.toString)
+    else Sequences.curr(n.toString)
+  }
+  override protected def withNewChildInternal(newChild: Expression): SequenceVal =
+    copy(nameExpr = newChild)
 }
 
 /** The reference's slice `x[lo:hi[:step]]` over lists AND strings

@@ -1,23 +1,22 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
-
 /** Disposable experiment runner (kept out of SparkEntry; contents
-  * change per investigation). Current: locale collation orderings vs
-  * the DuckDB ICU build for the q63 locale-matrix work.
+  * change per investigation). Current: front-door statement probes —
+  * each arg runs through GraftSql.sql and prints rows or the error.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val s = graft.GraftSession.builder().getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    import s.implicits._
-    val words = Seq("zebra", "apple", "ångström", "örebro", "ara", "ozon",
-      "ilik", "ırmak", "中文", "国文", "文中").toDF("w")
-    for (loc <- Seq("de", "tr", "sv", "zh")) {
+    args.foreach { q =>
+      println(s"==== $q")
       try {
-        val r = words.orderBy(collate(col("w"), loc)).collect().map(_.getString(0))
-        println(s"$loc ${r.mkString("[", ", ", "]")}")
-      } catch { case e: Exception => println(s"$loc ERR ${e.getMessage.linesIterator.next()}") }
+        val df = graft.GraftSql.sql(s, q)
+        df.show(5, truncate = false)
+      } catch {
+        case e: Exception =>
+          println(s"ERR ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}")
+      }
     }
     s.stop()
   }

@@ -106,6 +106,43 @@ class DialectRobustnessSpec extends AnyFunSuite {
       "SELECT * FROM (nj_a NATURAL JOIN nj_b) NATURAL JOIN nj_c").count() === 1)
   }
 
+  test("quantified comparisons: ANY / ALL / SOME with 3-valued logic") {
+    def one(q: String): Any = GraftSql.sql(spark, q).collect()(0).get(0)
+    GraftSql.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW qset AS SELECT * FROM (VALUES (1), (3)) t(i)")
+    GraftSql.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW qnull AS SELECT * FROM (VALUES (1), (NULL)) t(i)")
+    GraftSql.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW qempty AS SELECT i FROM qset WHERE i > 99")
+    assert(one("SELECT 2 > ANY(SELECT i FROM qset)") === true)
+    assert(one("SELECT 0 > ANY(SELECT i FROM qset)") === false)
+    assert(one("SELECT 2 >= ALL(SELECT i FROM qset)") === false)
+    assert(one("SELECT 4 >= ALL(SELECT i FROM qset)") === true)
+    assert(one("SELECT 2 = SOME(SELECT i FROM qset)") === false)
+    assert(one("SELECT 3 = SOME(SELECT i FROM qset)") === true)
+    // NULLs: unknown comparisons propagate unless decided
+    assert(one("SELECT 4 >= ALL(SELECT i FROM qnull)") === null)
+    assert(one("SELECT 0 >= ALL(SELECT i FROM qnull)") === false)
+    assert(one("SELECT 1 = ANY(SELECT i FROM qnull)") === true)
+    assert(one("SELECT 2 = ANY(SELECT i FROM qnull)") === null)
+    // empty set: ANY is FALSE, ALL is TRUE (reference subquery rules)
+    assert(one("SELECT 1 = ANY(SELECT i FROM qempty)") === false)
+    assert(one("SELECT 1 = ALL(SELECT i FROM qempty)") === true)
+    assert(one("SELECT NULL = ANY(SELECT i FROM qempty)") === false)
+  }
+
+  test("ordered aggregates: list/first/last with inline ORDER BY") {
+    GraftSql.sql(spark, """CREATE OR REPLACE TEMP VIEW oagg AS
+        SELECT * FROM (VALUES (1, 'c'), (3, 'a'), (2, 'b'), (4, NULL)) t(k, v)""")
+    def one(q: String): Any = GraftSql.sql(spark, q).collect()(0).get(0)
+    assert(one("SELECT list(k ORDER BY v) FROM oagg") === Seq(3, 2, 1, 4)) // NULLS LAST
+    assert(one("SELECT list(k ORDER BY v DESC) FROM oagg") === Seq(1, 2, 3, 4))
+    assert(one("SELECT list(v ORDER BY k DESC) FROM oagg") === Seq(null, "a", "b", "c"))
+    assert(one("SELECT first(v ORDER BY k) FROM oagg") === "c")
+    assert(one("SELECT last(v ORDER BY k DESC) FROM oagg") === "c")
+    assert(one("SELECT array_agg(k ORDER BY v, k) FROM oagg") === Seq(3, 2, 1, 4))
+  }
+
   test("IN over list and map collections") {
     assert(GraftSql.sql(spark, "SELECT 2 IN [1, 2, 3] AS t, 5 IN [1, 2] AS f")
       .collect()(0).toSeq === Seq(true, false))
