@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.GraftSql
+import graft.sources.Catalog
+
+/** F81–F85: round-7 dialect/statement coverage, oracle-gated with
+  * ONE verbatim text per entry (the FunctionsQ9 proof shape — the
+  * same text runs in DuckDB and through `GraftSql.sql`):
+  *
+  *   F81 statement-form PIVOT (plans/PivotStmt;
+  *       reference transform_pivot_stmt.cpp / bind_pivot.cpp)
+  *   F82 statement-form UNPIVOT with INTO NAME/VALUE
+  *   F83 list slicing with steps + 4-arg list_slice
+  *       (DuckNames.DuckSlice; reference array_slice.cpp)
+  *   F84 quantified comparisons ANY/ALL/SOME over subqueries
+  *       (translator rewrite to aggregated scalar subqueries)
+  *   F85 ordered aggregates — list(x ORDER BY k), first/last with
+  *       ORDER BY (struct-sort / min_by / max_by rewrites)
+  *
+  * Aggregate outputs stick to count/min/max/list so both engines
+  * produce identical types (DuckDB widens sum(BIGINT) to HUGEINT,
+  * which the driver's pandas hash reads as float64 — the r4/r5
+  * lesson).
+  */
+object FunctionsQ10 {
+
+  private def verbatim(name: String, text: String): QDef =
+    QDef.sql(name, text) { (s, dir) =>
+      Catalog.registerAll(s, dir)
+      GraftSql.sql(s, text)
+    }
+
+  val defs: Seq[QDef] = Seq(
+    verbatim("f81_pivot_stmt",
+      """SELECT * FROM (
+        |  PIVOT (SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+        |  ON l_returnflag USING min(q) AS lo, count(*) AS cnt GROUP BY l_linestatus)
+        |ORDER BY l_linestatus""".stripMargin),
+
+    verbatim("f82_unpivot_stmt",
+      """SELECT o_orderkey, k, v FROM (
+        |  UNPIVOT (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+        |           CAST(floor(o_totalprice) AS BIGINT) AS sp
+        |           FROM orders WHERE o_orderkey < 500)
+        |  ON ck, sp INTO NAME k VALUE v)
+        |ORDER BY o_orderkey, k""".stripMargin),
+
+    verbatim("f83_slice_step",
+      """SELECT n_nationkey,
+        | ([n_nationkey, n_nationkey+1, n_nationkey+2, n_nationkey+3, n_nationkey+4, n_nationkey+5])[2:5:2] AS s1,
+        | ([n_nationkey, n_nationkey+1, n_nationkey+2])[:-:-1] AS s2,
+        | ([n_nationkey, n_nationkey+1, n_nationkey+2, n_nationkey+3])[-3:-1] AS s3,
+        | list_slice([n_nationkey, n_nationkey+1, n_nationkey+2, n_nationkey+3], 1, 3, 2) AS s4,
+        | (n_name)[2:4] AS s5
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    verbatim("f84_quantified",
+      """SELECT n_nationkey, n_name,
+        | n_nationkey > ANY(SELECT r_regionkey FROM region) AS any_gt,
+        | n_nationkey >= ALL(SELECT r_regionkey FROM region) AS all_ge,
+        | n_nationkey = SOME(SELECT r_regionkey FROM region WHERE r_regionkey > 99) AS some_empty
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    verbatim("f85_ordered_agg",
+      """SELECT n_regionkey,
+        | list(n_name ORDER BY n_name DESC) AS names_desc,
+        | list(n_nationkey ORDER BY n_name) AS keys_by_name,
+        | first(n_name ORDER BY n_nationkey) AS first_name,
+        | last(n_name ORDER BY n_nationkey) AS last_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin))
+}
