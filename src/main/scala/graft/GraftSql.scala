@@ -448,17 +448,34 @@ object GraftSql {
     */
   private def columnsPass(spark: SparkSession, sql0: String): String = {
     if (!sql0.toUpperCase.contains("COLUMNS")) return sql0
-    val Re = "(?i)([A-Za-z_]\\w*)\\s*\\(\\s*COLUMNS\\s*\\(\\s*'([^']*)'\\s*\\)\\s*\\)".r
+    // map form fn(COLUMNS('re'|*)) → one fn per matched column;
+    // unpack form fn(*COLUMNS('re'|*)) → ONE call with the columns
+    // spread as its arguments (reference star_expression unpacking)
+    val MapRe =
+      "(?i)([A-Za-z_]\\w*)\\s*\\(\\s*COLUMNS\\s*\\(\\s*(\\*|'[^']*')\\s*\\)\\s*\\)".r
+    val UnpackRe =
+      "(?i)([A-Za-z_]\\w*)\\s*\\(\\s*\\*\\s*COLUMNS\\s*\\(\\s*(\\*|'[^']*')\\s*\\)\\s*\\)".r
     val fromIdx = graft.sources.DmlSql.topIndexOf(sql0, "FROM")
-    if (fromIdx < 0 || Re.findFirstIn(sql0).isEmpty) return sql0
+    if (fromIdx < 0 ||
+      (MapRe.findFirstIn(sql0).isEmpty && UnpackRe.findFirstIn(sql0).isEmpty))
+      return sql0
     val cols = spark.sql("SELECT * " + sql0.substring(fromIdx)).columns.toSeq
-    Re.replaceAllIn(sql0, m => {
-      val fn = m.group(1)
-      val p = java.util.regex.Pattern.compile(m.group(2))
-      val hit = cols.filter(c => p.matcher(c).find())
-      require(hit.nonEmpty, s"COLUMNS('${m.group(2)}') matched no columns")
+    def matched(spec: String): Seq[String] =
+      if (spec == "*") cols
+      else {
+        val p = java.util.regex.Pattern.compile(
+          spec.stripPrefix("'").stripSuffix("'"))
+        val hit = cols.filter(c => p.matcher(c).find())
+        require(hit.nonEmpty, s"COLUMNS($spec) matched no columns")
+        hit
+      }
+    val unpacked = UnpackRe.replaceAllIn(sql0, m =>
       java.util.regex.Matcher.quoteReplacement(
-        hit.map(c => s"$fn(`$c`) AS `$c`").mkString(", "))
+        s"${m.group(1)}(${matched(m.group(2)).map(c => s"`$c`").mkString(", ")})"))
+    MapRe.replaceAllIn(unpacked, m => {
+      val fn = m.group(1)
+      java.util.regex.Matcher.quoteReplacement(
+        matched(m.group(2)).map(c => s"$fn(`$c`) AS `$c`").mkString(", "))
     })
   }
 

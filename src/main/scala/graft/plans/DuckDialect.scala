@@ -74,7 +74,7 @@ object DuckDialect {
   private val multiOps = Seq(
     "!~~*", "!~~", "~~*", "~~", "!~*", "!~", "~*",
     "::", ":=", "**", "//", "<->", "<=>", "<@", "@>", "&&", "^@",
-    "<<", ">>", "<=", ">=", "<>", "!=", "||", "->", "==")
+    "<<", ">>", "<=", ">=", "<>", "!=", "||", "->>", "->", "==")
   private val singleOps = "+-*/%^&|~@!()[]{},.;<>=:".toSet
 
   private def lex(sql: String): IndexedSeq[Tok] = {
@@ -738,6 +738,14 @@ object DuckDialect {
       var loop = true
       while (loop && more) {
         peek match {
+          case TOp("->>") if 50 >= min =>
+            // JSON text extraction (bundled json extension `->>`)
+            next(); left = s"get_json_object($left, ${jsonPath(expr(51))})"
+          case TOp("->") if 50 >= min && (peekAt(1) match {
+            case Some(TStr(_)) => true // 'key' / '$.path' — json operator
+            case _ => false            // anything else: a lambda body
+          }) =>
+            next(); left = s"get_json_object($left, ${jsonPath(expr(51))})"
           case TOp("->") if LAMBDA_PREC >= min =>
             next(); val body = expr(LAMBDA_PREC + 1)
             left = s"$left -> $body" // Spark lambda: never parenthesize
@@ -902,6 +910,21 @@ object DuckDialect {
         case other => other.text
       }
       postfix(base)
+    }
+
+    /** JSON `->`/`->>` path operand → a get_json_object '$'-path:
+      * '$…' passes through, a bare key becomes '$.key', an integer
+      * becomes the '$[n]' array index (json extension operators).
+      */
+    private def jsonPath(r: String): String = {
+      val Lit = "^'(.*)'$".r
+      r match {
+        case Lit(body) if body.startsWith("$") => r
+        case Lit(body) if body.matches("-?\\d+") => s"'$$[$body]'"
+        case Lit(body) => s"'$$.$body'"
+        case n if n.matches("-?\\d+") => s"'$$[$n]'"
+        case other => other // runtime path expression — pass through
+      }
     }
 
     /** `x IN <collection>` with a non-paren right side (reference
@@ -1164,6 +1187,11 @@ object DuckDialect {
             // keyword separators inside call args — emit as glue so a
             // following '(' never reads as a call named FROM
             next(); parts += kw.toUpperCase
+          case TWord(kw) if kw.equalsIgnoreCase("EXPORT_STATE") =>
+            // aggregate-state modifier (export_aggregate_function):
+            // state stays engine-internal; finalize() is identity, so
+            // the modifier drops
+            next()
           case TOp("*") if first => next(); parts += starPrimary()
           case TOp(",") => next(); parts += ","
           case TWord(k) if peekAt(1).contains(TOp(":=")) =>

@@ -135,6 +135,11 @@ object DuckNames {
 
     // full-match regex (the reference's `~` operator; Spark RLIKE is
     // a partial match, so anchor with a non-capturing group)
+    // finalize(agg EXPORT_STATE) ≡ the aggregate itself: exported
+    // state is engine-internal bytes, and within one statement the
+    // reference's finalize(EXPORT_STATE) round-trip is the identity
+    register(e, "finalize")(args => args.head)
+
     // sequence functions (nextval.cpp) — session registry in Sequences
     register(e, "nextval")(args => SequenceVal(args(0), isNext = true))
     register(e, "currval")(args => SequenceVal(args(0), isNext = false))

@@ -143,6 +143,25 @@ class DialectRobustnessSpec extends AnyFunSuite {
     assert(one("SELECT array_agg(k ORDER BY v, k) FROM oagg") === Seq(3, 2, 1, 4))
   }
 
+  test("COLUMNS star forms: unpack fn(*COLUMNS(*)) and map fn(COLUMNS(*))") {
+    GraftSql.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW cstar AS SELECT * FROM (VALUES (NULL, 2, 3), (7, NULL, 9)) t(a, b, c)")
+    val unpack = GraftSql.sql(spark, "SELECT COALESCE(*COLUMNS(*)) AS f FROM cstar")
+      .collect().map(_.get(0)).toSeq
+    assert(unpack === Seq(2, 7))
+    val mapped = GraftSql.sql(spark, "SELECT min(COLUMNS(*)) FROM cstar")
+    assert(mapped.columns.toSeq === Seq("a", "b", "c"))
+    assert(mapped.collect()(0).toSeq === Seq(7, 2, 3))
+  }
+
+  test("JSON -> / ->> operators and finalize(EXPORT_STATE)") {
+    def one(q: String): Any = GraftSql.sql(spark, q).collect()(0).get(0)
+    assert(one("""SELECT '{"a": {"b": 42}, "k": "v"}'->'$.a.b'""") === "42")
+    assert(one("""SELECT '{"k": "v"}'->>'k'""") === "v")
+    assert(one("""SELECT '{"a": [1, 2, 3]}'->'$.a[1]'""") === "2")
+    assert(one("SELECT finalize(count(*) EXPORT_STATE) FROM range(5)") === 5L)
+  }
+
   test("IN over list and map collections") {
     assert(GraftSql.sql(spark, "SELECT 2 IN [1, 2, 3] AS t, 5 IN [1, 2] AS f")
       .collect()(0).toSeq === Seq(true, false))
