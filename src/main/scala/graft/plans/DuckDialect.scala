@@ -1279,13 +1279,30 @@ object DuckDialect {
       // trailing call clauses: FILTER (WHERE ...) / OVER (...) /
       // WITHIN GROUP (ORDER BY ...) / IGNORE NULLS
       var going = true
+      var filterPred = "" // FILTER (WHERE p) text, for the OVER branch
       while (going && more) {
-        if (peekWord("FILTER")) { next(); out += " FILTER " + clauseParen() }
+        if (peekWord("FILTER")) {
+          next()
+          val cl = clauseParen()
+          filterPred = cl.stripPrefix("(").stripSuffix(")").trim
+            .replaceAll("(?is)^WHERE\\s+", "")
+          out += " FILTER " + cl
+        }
         else if (peekWord("OVER")) {
           next()
           val spec = if (peekOp("(")) clauseParen() else next().text // inline / named
           val isDistinct = parts.headOption.contains("DISTINCT")
           val bare = renderArgs(parts.drop(1).toSeq)
+          // Spark rejects FILTER on window aggregates — fold the
+          // predicate into the argument (SUM/AVG/MIN/MAX skip NULLs;
+          // COUNT(*) becomes COUNT of a guarded constant)
+          if (filterPred.nonEmpty) {
+            val args0 = renderArgs(parts.toSeq)
+            val folded =
+              if (args0.trim == "*") s"(CASE WHEN $filterPred THEN 1 END)"
+              else s"(CASE WHEN $filterPred THEN ($args0) END)"
+            out = s"$fname($folded)"
+          }
           // Spark has no DISTINCT window aggregates; the reference
           // does. count → exact via the frame's value set; sum →
           // fold of the set in DOUBLE (documented: exact only within

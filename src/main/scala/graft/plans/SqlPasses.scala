@@ -250,10 +250,46 @@ object SqlPasses {
       k -= 1
     }
     var fnStart = cOpen - 1
+    while (fnStart >= 0 && sql.charAt(fnStart).isWhitespace) fnStart -= 1
+    val fnEnd = fnStart + 1
     while (fnStart >= 0 && (sql.charAt(fnStart).isLetterOrDigit || sql.charAt(fnStart) == '_')) fnStart -= 1
     fnStart += 1
-    val fn = sql.substring(fnStart, cOpen).toUpperCase
-    val arg = sql.substring(cOpen + 1, e).trim
+    var fn = sql.substring(fnStart, fnEnd).toUpperCase
+    var arg = sql.substring(cOpen + 1, e).trim
+    // `agg(x) FILTER (WHERE p) OVER (… EXCLUDE …)`: the parens before
+    // OVER are the FILTER clause — step back to the aggregate call and
+    // carry the predicate into the subtracted terms
+    var filterPred = ""
+    if (fn == "FILTER") {
+      filterPred = arg.replaceAll("(?is)^WHERE\\s+", "")
+      var e2 = fnStart - 1
+      while (e2 >= 0 && sql.charAt(e2).isWhitespace) e2 -= 1
+      require(e2 >= 0 && sql.charAt(e2) == ')', "EXCLUDE: FILTER without a call")
+      var d3 = 0
+      var cOpen2 = -1
+      var k2 = e2
+      while (k2 >= 0 && cOpen2 < 0) {
+        val c = sql.charAt(k2)
+        if (c == ')') d3 += 1
+        else if (c == '(') { d3 -= 1; if (d3 == 0) cOpen2 = k2 }
+        k2 -= 1
+      }
+      var fnStart2 = cOpen2 - 1
+      while (fnStart2 >= 0 && sql.charAt(fnStart2).isWhitespace) fnStart2 -= 1
+      val fnEnd2 = fnStart2 + 1
+      while (fnStart2 >= 0 && (sql.charAt(fnStart2).isLetterOrDigit || sql.charAt(fnStart2) == '_')) fnStart2 -= 1
+      fnStart2 += 1
+      fn = sql.substring(fnStart2, fnEnd2).toUpperCase
+      arg = sql.substring(cOpen2 + 1, e2).trim
+      fnStart = fnStart2
+      // Spark rejects FILTER on window aggregates outright — fold the
+      // predicate into the argument (NULLs don't aggregate), exactly
+      // like the dialect translator's own FILTER+OVER handling
+      arg =
+        if (arg == "*") s"(CASE WHEN $filterPred THEN 1 END)"
+        else s"(CASE WHEN $filterPred THEN ($arg) END)"
+      filterPred = ""
+    }
 
     // partition+order prefix of the frame (everything before the
     // frame-unit keyword) → the peers frame
@@ -297,20 +333,54 @@ object SqlPasses {
       require(containsGroup, s"window EXCLUDE $kind: frame ($frame) may cut " +
         "the peer group (bounded ROWS frame) — algebraic rewrite unsupported")
 
-    val full = s"$fn($arg) OVER ($frame)"
+    val filterSuffix = if (filterPred.isEmpty) "" else s" FILTER (WHERE $filterPred)"
+    // current row's contribution under a FILTER: zero when p is false
+    def argIf(zero: String): String =
+      if (filterPred.isEmpty) s"($arg)"
+      else s"(CASE WHEN $filterPred THEN ($arg) ELSE $zero END)"
+    val full = s"$fn($arg)$filterSuffix OVER ($frame)"
     val replacement = (fn, kind) match {
       case (_, "NONE") => full
-      case ("SUM", "CURRENT") => s"(($full) - COALESCE($arg, 0))"
-      case ("SUM", "GROUP") => s"(($full) - COALESCE(SUM($arg) OVER ($peers), 0))"
-      case ("SUM", "TIES") =>
-        s"(($full) - COALESCE(SUM($arg) OVER ($peers), 0) + COALESCE($arg, 0))"
+      case ("SUM" | "AVG", _) =>
+        // excluded-frame sum and count from the same algebra; the
+        // count guards the empty-after-exclusion case (SUM of an
+        // empty set is NULL — with a FILTER the frame can be nonempty
+        // while the filtered multiset is not, so `full − current`
+        // alone would wrongly yield 0)
+        val sumFull = s"SUM($arg)$filterSuffix OVER ($frame)"
+        val cntFull = s"COUNT($arg)$filterSuffix OVER ($frame)"
+        val (sumR, cntR) = kind match {
+          case "CURRENT" =>
+            (s"(($sumFull) - COALESCE(${argIf("0")}, 0))",
+              s"(($cntFull) - CASE WHEN ${argIf("NULL")} IS NULL THEN 0 ELSE 1 END)")
+          case "GROUP" =>
+            (s"(($sumFull) - COALESCE(SUM($arg)$filterSuffix OVER ($peers), 0))",
+              s"(($cntFull) - COUNT($arg)$filterSuffix OVER ($peers))")
+          case _ => // TIES
+            (s"(($sumFull) - COALESCE(SUM($arg)$filterSuffix OVER ($peers), 0) + COALESCE(${argIf("0")}, 0))",
+              s"(($cntFull) - COUNT($arg)$filterSuffix OVER ($peers) + CASE WHEN ${argIf("NULL")} IS NULL THEN 0 ELSE 1 END)")
+        }
+        if (fn == "AVG") s"(CAST($sumR AS DOUBLE) / NULLIF($cntR, 0))"
+        else s"(CASE WHEN $cntR = 0 THEN NULL ELSE $sumR END)"
       case ("COUNT", "CURRENT") =>
-        if (arg == "*") s"(($full) - 1)"
-        else s"(($full) - CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END)"
-      case ("COUNT", "GROUP") => s"(($full) - COUNT($arg) OVER ($peers))"
+        if (arg == "*") s"(($full) - ${if (filterPred.isEmpty) "1" else s"(CASE WHEN $filterPred THEN 1 ELSE 0 END)"})"
+        else s"(($full) - CASE WHEN ${argIf("NULL")} IS NULL THEN 0 ELSE 1 END)"
+      case ("COUNT", "GROUP") =>
+        s"(($full) - COUNT($arg)$filterSuffix OVER ($peers))"
       case ("COUNT", "TIES") =>
-        if (arg == "*") s"(($full) - COUNT($arg) OVER ($peers) + 1)"
-        else s"(($full) - COUNT($arg) OVER ($peers) + CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END)"
+        if (arg == "*")
+          s"(($full) - COUNT($arg)$filterSuffix OVER ($peers) + ${if (filterPred.isEmpty) "1" else s"(CASE WHEN $filterPred THEN 1 ELSE 0 END)"})"
+        else s"(($full) - COUNT($arg)$filterSuffix OVER ($peers) + CASE WHEN ${argIf("NULL")} IS NULL THEN 0 ELSE 1 END)"
+      case ("FIRST_VALUE", "CURRENT") =>
+        // excluding the current row moves FIRST_VALUE only when the
+        // frame STARTS at the current row — shift the edge one row in
+        if (loTxt == "CURRENT ROW")
+          s"FIRST_VALUE($arg) OVER ($po ${unit.toUpperCase} BETWEEN 1 FOLLOWING AND $hiTxt)"
+        else full
+      case ("LAST_VALUE", "CURRENT") =>
+        if (hiTxt == "CURRENT ROW")
+          s"LAST_VALUE($arg) OVER ($po ${unit.toUpperCase} BETWEEN $loTxt AND 1 PRECEDING)"
+        else full
       case ("MIN" | "MAX", "CURRENT") =>
         // bounded ROWS frame: combine the two half-frames
         val FrameRe = "(?i)ROWS\\s+BETWEEN\\s+(.+?)\\s+AND\\s+(.+)$".r

@@ -162,6 +162,18 @@ class DialectRobustnessSpec extends AnyFunSuite {
     assert(one("SELECT finalize(count(*) EXPORT_STATE) FROM range(5)") === 5L)
   }
 
+  test("FILTER on window aggregates folds into the argument") {
+    // Spark rejects FILTER on window functions; DuckDB 1.0 pinned:
+    // (1,NULL,1), (2,20,2), (3,50,3), (4,90,3)
+    GraftSql.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW wfagg AS SELECT * FROM (VALUES (1, 10), (2, 20), (3, 30), (4, 40)) v(i, x)")
+    val out = GraftSql.sql(spark,
+      """SELECT i, CAST(sum(x) FILTER (WHERE x > 15) OVER (ORDER BY i) AS BIGINT) s,
+         CAST(count(*) FILTER (WHERE x < 35) OVER (ORDER BY i) AS BIGINT) c
+         FROM wfagg ORDER BY i""").collect().toSeq.map(_.toSeq)
+    assert(out === Seq(Seq(1, null, 1L), Seq(2, 20L, 2L), Seq(3, 50L, 3L), Seq(4, 90L, 3L)))
+  }
+
   test("IN over list and map collections") {
     assert(GraftSql.sql(spark, "SELECT 2 IN [1, 2, 3] AS t, 5 IN [1, 2] AS f")
       .collect()(0).toSeq === Seq(true, false))

@@ -130,4 +130,39 @@ class WindowExcludeSpec extends AnyFunSuite {
       "SELECT SUM(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) FROM t")
     assert(ok.contains("RANGE BETWEEN CURRENT ROW AND CURRENT ROW"))
   }
+
+  test("AVG / FILTER / FIRST_VALUE / LAST_VALUE exclusion — DuckDB-pinned") {
+    // every expectation below is DuckDB 1.0 output for the same text
+    // (captured 2026-08-15); NULL = empty-after-exclusion
+    def rows(q: String): Seq[Seq[Any]] =
+      GraftSql.sql(spark, q).collect().toSeq.map(_.toSeq)
+    GraftSql.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW wet AS SELECT * FROM (VALUES (1, 10), (2, 20), (3, 30), (4, 40)) v(i, x)")
+    GraftSql.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW weties AS SELECT * FROM (VALUES (1, 10), (2, 20), (2, 30), (3, 40)) v(i, x)")
+    assert(rows("""SELECT i, avg(x) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+        AND CURRENT ROW EXCLUDE CURRENT ROW) FROM wet ORDER BY i""") === Seq(
+      Seq(1, null), Seq(2, 10.0), Seq(3, 15.0), Seq(4, 20.0)))
+    assert(rows("""SELECT i, avg(x) OVER (ORDER BY i RANGE BETWEEN UNBOUNDED PRECEDING
+        AND UNBOUNDED FOLLOWING EXCLUDE GROUP) FROM weties ORDER BY i, x""") === Seq(
+      Seq(1, 30.0), Seq(2, 25.0), Seq(2, 25.0), Seq(3, 20.0)))
+    assert(rows("""SELECT i, CAST(sum(x) FILTER (WHERE x > 15) OVER (ORDER BY i ROWS BETWEEN
+        UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS BIGINT)
+        FROM wet ORDER BY i""") === Seq(
+      Seq(1, null), Seq(2, null), Seq(3, 20L), Seq(4, 50L)))
+    assert(rows("""SELECT i, CAST(count(*) FILTER (WHERE x > 15) OVER (ORDER BY i RANGE BETWEEN
+        UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS BIGINT)
+        FROM weties ORDER BY i, x""") === Seq(
+      Seq(1, 3L), Seq(2, 2L), Seq(2, 2L), Seq(3, 3L)))
+    assert(rows("""SELECT i, first_value(x) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW
+        AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) FROM wet ORDER BY i""") === Seq(
+      Seq(1, 20), Seq(2, 30), Seq(3, 40), Seq(4, null)))
+    assert(rows("""SELECT i, last_value(x) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+        AND CURRENT ROW EXCLUDE CURRENT ROW) FROM wet ORDER BY i""") === Seq(
+      Seq(1, null), Seq(2, 10), Seq(3, 20), Seq(4, 30)))
+    // SUM over a fully-excluded peer group is NULL, not 0
+    assert(rows("""SELECT i, CAST(sum(x) OVER (ORDER BY i RANGE BETWEEN UNBOUNDED PRECEDING
+        AND CURRENT ROW EXCLUDE GROUP) AS BIGINT) FROM weties ORDER BY i, x""") === Seq(
+      Seq(1, null), Seq(2, 10L), Seq(2, 10L), Seq(3, 60L)))
+  }
 }
