@@ -16,6 +16,8 @@ object GraftSql {
 
   private val Summarize = """(?is)\s*SUMMARIZE\s+([\w.]+)\s*;?\s*""".r
   private val Describe = """(?is)\s*DESCRIBE\s+([\w.]+)\s*;?\s*""".r
+  private val SummarizeAny = """(?is)\s*SUMMARIZE\s+(.+?);?\s*""".r
+  private val DescribeAny = """(?is)\s*DESCRIBE\s+(.+?);?\s*""".r
   private val LimitPercent = """(?is)^(.*)\bLIMIT\s+(\d+)\s*(?:%|PERCENT)\s*;?\s*$""".r
   private val Explain = """(?is)^\s*EXPLAIN(\s+ANALYZE)?\s+(.*)$""".r
   private val CheckpointRe = """(?is)^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$""".r
@@ -63,6 +65,10 @@ object GraftSql {
       case None =>
     }
     graft.plans.PivotStmt.pass(spark, text, sql) match {
+      case Some(v) => return sql(spark, v)
+      case None =>
+    }
+    subStatementPass(spark, text) match {
       case Some(v) => return sql(spark, v)
       case None =>
     }
@@ -264,9 +270,19 @@ object GraftSql {
       // reference's column set and type spellings come from the s16
       // entry's contract). SUMMARIZE <query> still goes through
       // translate+summarize via the match on the inner text.
+      // the statement surface answers in the REFERENCE's column
+      // layout (min/max/avg/std/q25..q75 as VARCHAR, approx_unique,
+      // null_percentage — summarizeRef); the typed-split exact layout
+      // stays on the operator API + the s10 oracle entry
       case Summarize(table) =>
-        graft.operators.Summarize.summarize(spark.table(table))
+        graft.operators.Summarize.summarizeRef(spark.table(table))
       case Describe(table) => describe(spark, spark.table(table))
+      // general forms: DESCRIBE/SUMMARIZE <any statement> (the
+      // reference's show_select — describe_subquery.test runs
+      // `DESCRIBE SELECT …` and nested `DESCRIBE (DESCRIBE …)`)
+      case DescribeAny(q) => describe(spark, sql(spark, q))
+      case SummarizeAny(q) =>
+        graft.operators.Summarize.summarizeRef(sql(spark, q))
       case _ =>
         translate(text) match {
           // Spark's v1 session catalog has no REPLACE TABLE — the
@@ -350,6 +366,23 @@ object GraftSql {
     }
 
   private val asofViewId = new java.util.concurrent.atomic.AtomicLong(100L)
+
+  /** `(DESCRIBE …)` / `(SUMMARIZE …)` as a RELATION (reference
+    * show_select: describe_subquery.test, summarize_subquery.test):
+    * run the inner statement through the front door and splice the
+    * result back as a subselect, so FROM items, aliases, and setop
+    * arms compose.
+    */
+  private val SubStmtRe = "(?i)\\(\\s*(DESCRIBE|SUMMARIZE)\\b".r
+  private def subStatementPass(spark: SparkSession, text: String): Option[String] =
+    SubStmtRe.findFirstMatchIn(text).map { m =>
+      val close = graft.plans.SqlPasses.matchParen(text, m.start)
+      val inner = text.substring(m.start + 1, close).trim
+      val df = sql(spark, inner)
+      val view = s"__sub_${asofViewId.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      text.substring(0, m.start) + s"(SELECT * FROM $view)" + text.substring(close + 1)
+    }
 
   /** `… UNION [ALL] BY NAME …` (reference setop syntax): execute the
     * two sides, `unionByName(allowMissingColumns = true)`, splice a

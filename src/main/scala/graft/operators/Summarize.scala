@@ -91,4 +91,51 @@ object Summarize {
           "min_num, max_num, avg_num, min_str, max_str)")
       .orderBy(col("column_name"))
   }
+
+  /** The reference's OWN column layout (bind_summarize.cpp):
+    * (column_name, column_type, min, max, approx_unique, avg, std,
+    * q25, q50, q75, count, null_percentage) — min/max/avg/std/q25..q75
+    * rendered as VARCHAR like the reference, approx_unique via HLL,
+    * quantiles approximate (both engines'are; values engine-specific,
+    * so this layout is spec-gated while [[summarize]]'s typed split
+    * stays the oracle-exact surface). Same single-pass plan: one wide
+    * aggregate, a one-row stack unpivot, rows in SCHEMA order like the
+    * reference (not sorted).
+    */
+  def summarizeRef(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields
+    def s(c: Column): Column = c.cast("string")
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      val x = col(f.name)
+      val isNum = f.dataType match {
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+             _: FloatType | _: DoubleType | _: DecimalType => true
+        case _ => false
+      }
+      val nullStr = lit(null).cast("string")
+      def q(p: Double): Column =
+        if (isNum) s(expr(s"approx_percentile(`${f.name}`, $p)")) else nullStr
+      Seq(
+        s(min(x)).as(s"__mn$i"),
+        s(max(x)).as(s"__mx$i"),
+        approx_count_distinct(x).as(s"__au$i"),
+        (if (isNum) s(avg(x.cast("double"))) else nullStr).as(s"__av$i"),
+        (if (isNum) s(stddev_samp(x.cast("double"))) else nullStr).as(s"__sd$i"),
+        q(0.25).as(s"__q1$i"), q(0.5).as(s"__q2$i"), q(0.75).as(s"__q3$i"),
+        count(lit(1)).as(s"__c$i"),
+        round(lit(100.0) * (count(lit(1)) - count(x)) / count(lit(1)), 2)
+          .cast(DecimalType(5, 2)).as(s"__np$i"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val stackArgs = fields.zipWithIndex.map { case (f, i) =>
+      val nm = f.name.replace("'", "''")
+      val ty = graft.queries.DuckTypes.name(f.dataType).replace("'", "''")
+      s"'$nm', '$ty', __mn$i, __mx$i, __au$i, __av$i, __sd$i, " +
+        s"__q1$i, __q2$i, __q3$i, __c$i, __np$i"
+    }
+    wide.selectExpr(
+      s"stack(${fields.length}, ${stackArgs.mkString(", ")}) AS " +
+        "(column_name, column_type, min, max, approx_unique, avg, std, " +
+        "q25, q50, q75, count, null_percentage)")
+  }
 }

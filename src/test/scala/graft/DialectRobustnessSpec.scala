@@ -174,6 +174,25 @@ class DialectRobustnessSpec extends AnyFunSuite {
     assert(out === Seq(Seq(1, null, 1L), Seq(2, 20L, 2L), Seq(3, 50L, 3L), Seq(4, 90L, 3L)))
   }
 
+  test("DESCRIBE / SUMMARIZE as relations (show_select subquery tests)") {
+    def rows(q: String): Seq[Seq[Any]] =
+      GraftSql.sql(spark, q).collect().toSeq.map(_.toSeq)
+    assert(rows("SELECT column_name FROM (DESCRIBE SELECT 42 AS a)") === Seq(Seq("a")))
+    assert(rows("SELECT t.column_name FROM (DESCRIBE SELECT 42 AS a) t") === Seq(Seq("a")))
+    // nested describe-of-describe lists the describe schema itself
+    assert(rows("SELECT column_name FROM (DESCRIBE (DESCRIBE SELECT 32 AS a))")
+      .map(_.head) === Seq("column_name", "column_type", "null", "key", "default", "extra"))
+    // SUMMARIZE: the reference's own column layout + values
+    assert(rows("SELECT column_name, min, max, count, null_percentage FROM " +
+      "(SUMMARIZE SELECT * FROM (VALUES (1, 'a'), (2, NULL)) t(i, s))")
+      .map(r => (r(0), r(1), r(2), r(3), r(4).toString)) === Seq(
+        ("i", "1", "2", 2L, "0.00"), ("s", "a", "a", 2L, "50.00")))
+    assert(GraftSql.sql(spark, "SELECT * FROM (SUMMARIZE SELECT 1 AS x)")
+      .columns.toSeq === Seq("column_name", "column_type", "min", "max",
+        "approx_unique", "avg", "std", "q25", "q50", "q75", "count",
+        "null_percentage"))
+  }
+
   test("IN over list and map collections") {
     assert(GraftSql.sql(spark, "SELECT 2 IN [1, 2, 3] AS t, 5 IN [1, 2] AS f")
       .collect()(0).toSeq === Seq(true, false))
