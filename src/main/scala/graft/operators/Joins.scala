@@ -60,7 +60,8 @@ object Joins {
       leftTime: Column, rightTime: Column,
       payload: Seq[String],
       direction: String = ">=",
-      leftOuter: Boolean = true): DataFrame = {
+      leftOuter: Boolean = true,
+      rightOuter: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     val mType = org.apache.spark.sql.types.StructType(
       payload.map(p => right.schema(p)))
@@ -84,9 +85,10 @@ object Joins {
     // small, so the semi join adds no shuffle of the build side in
     // exactly the case it helps most.
     val probeKeys = l.select(col("__k")).distinct()
-    val r = right
-      .withColumn("__k", rightKey)
-      .join(probeKeys, Seq("__k"), "left_semi")
+    val r0 = right.withColumn("__k", rightKey)
+    val r = (
+      // right-outer keeps unmatched right rows, so nothing may prune
+      if (rightOuter) r0 else r0.join(probeKeys, Seq("__k"), "left_semi"))
       .withColumn("__t", rightTime.cast("timestamp"))
       .withColumn("__isl", lit(0))
       // non-null struct on EVERY right row (fields may be null) → the
@@ -114,6 +116,36 @@ object Joins {
       else
         first(col("__m"), ignoreNulls = true)
           .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    if (rightOuter) {
+      // ASOF RIGHT JOIN (reference physical_asof_join right-outer):
+      // the INNER match set plus each unmatched right row once,
+      // left columns NULL. A right row is matched iff some left row
+      // lands in ITS gap of the sorted stream — rows with the same
+      // running right-count (`__rg`) share a matched right row, so a
+      // peers-frame count over __rg decides matched-ness. Same single
+      // partition-by-key pass: the extra windows sort by columns
+      // monotone in the existing order, no second shuffle.
+      val rg =
+        if (backward)
+          sum(lit(1) - col("__isl"))
+            .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        else
+          sum(lit(1) - col("__isl"))
+            .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      val withRg = u.withColumn("__m", matched).withColumn("__rg", rg)
+      val peersL = Window.partitionBy(col("__k")).orderBy(col("__rg"))
+        .rangeBetween(Window.currentRow, Window.currentRow)
+      val marked = withRg.withColumn("__lcnt", sum(col("__isl")).over(peersL))
+      val inner = marked.filter(col("__isl") === 1 && col("__m").isNotNull)
+        .select(leftCols.map(col) ++
+          payload.map(p => col("__m").getField(p).as(p)): _*)
+      val pads = marked
+        .filter(col("__isl") === 0 && coalesce(col("__lcnt"), lit(0L)) === 0)
+        .select(leftCols.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payload.map(p => col("__m").getField(p).as(p)): _*)
+      return inner.unionByName(pads)
+    }
     val out = u.withColumn("__m", matched)
       .filter(col("__isl") === 1)
     // plain ASOF JOIN is INNER: left rows with no match drop

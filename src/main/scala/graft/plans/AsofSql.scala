@@ -35,11 +35,10 @@ object AsofSql {
     "ORDER", "LIMIT", "UNION", "EXCEPT", "INTERSECT", "USING")
 
   /** True when the statement contains a top-level `ASOF [LEFT] JOIN`. */
-  def matches(text: String): Boolean = {
-    val i = topIndexOf(text, "ASOF JOIN")
-    val j = topIndexOf(text, "ASOF LEFT JOIN")
-    i >= 0 || j >= 0
-  }
+  def matches(text: String): Boolean =
+    topIndexOf(text, "ASOF JOIN") >= 0 ||
+      topIndexOf(text, "ASOF LEFT JOIN") >= 0 ||
+      topIndexOf(text, "ASOF RIGHT JOIN") >= 0
 
   /** Execute the join and return the statement rewritten over the
     * registered view. A leading WITH clause is materialized first —
@@ -77,7 +76,9 @@ object AsofSql {
     val (ltName, ltAlias) = tableRef(text.substring(fromIdx + 4, asofIdx))
     var rest = text.substring(asofIdx + 4).trim
     var leftOuter = false
+    var rightOuter = false
     if (rest.toUpperCase.startsWith("LEFT")) { leftOuter = true; rest = rest.drop(4).trim }
+    else if (rest.toUpperCase.startsWith("RIGHT")) { rightOuter = true; rest = rest.drop(5).trim }
     require(rest.toUpperCase.startsWith("JOIN"), "ASOF: expected JOIN")
     rest = rest.drop(4).trim
     val onIdx = topIndexOf(rest, "ON")
@@ -148,7 +149,7 @@ object AsofSql {
     val payload = rt.columns.filterNot(c => lt.columns.contains(c)).toSeq
     val joined = graft.operators.Joins.asofJoin(
       lt, rt, lKey, rKey, ltime, rtime, payload,
-      direction = dir, leftOuter = leftOuter)
+      direction = dir, leftOuter = leftOuter, rightOuter = rightOuter)
     val view = s"__asof_${viewId.incrementAndGet()}"
     joined.createOrReplaceTempView(view)
     strip(text.substring(0, fromIdx)) + "FROM " + view + " " + strip(tail)

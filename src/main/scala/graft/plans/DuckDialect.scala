@@ -117,7 +117,10 @@ object DuckDialect {
         if (c == '0' && (peek(1) == 'x' || peek(1) == 'X')) {
           i += 2; while (i < n && isHex(sql.charAt(i))) i += 1
         } else {
-          while (i < n && (sql.charAt(i).isDigit || sql.charAt(i) == '.')) i += 1
+          // digit-group underscores (1_000_000) lex into the number
+          // and strip below — Spark's parser does not accept them
+          while (i < n && (sql.charAt(i).isDigit || sql.charAt(i) == '.' ||
+            (sql.charAt(i) == '_' && i + 1 < n && sql.charAt(i + 1).isDigit))) i += 1
           if (i < n && (sql.charAt(i) == 'e' || sql.charAt(i) == 'E')) {
             val save = i; i += 1
             if (i < n && (sql.charAt(i) == '+' || sql.charAt(i) == '-')) i += 1
@@ -125,7 +128,7 @@ object DuckDialect {
             else i = save
           }
         }
-        out += TNum(sql.substring(start, i))
+        out += TNum(sql.substring(start, i).replace("_", ""))
       } else if (c.isLetter || c == '_' || c >= '\u0080') {
         // the reference lexes ANY non-ASCII codepoint as identifier
         // material (unquoted unicode/emoji table names are legal);
@@ -1086,6 +1089,23 @@ object DuckDialect {
         // JSON 'literal' — the JSON type maps to STRING, the literal
         // is just its text
         case "JSON" if more && peek.isInstanceOf[TStr] => next().text
+        // BLOB 'literal' — bytes are the literal's chars with \xNN
+        // escapes (reference blob.cpp); Spark's binary literal is hex
+        case "BLOB" if more && peek.isInstanceOf[TStr] =>
+          val raw = next().text.stripPrefix("'").stripSuffix("'")
+          val bytes = new StringBuilder
+          var bi = 0
+          while (bi < raw.length) {
+            if (raw.charAt(bi) == '\\' && bi + 3 < raw.length &&
+                (raw.charAt(bi + 1) == 'x' || raw.charAt(bi + 1) == 'X')) {
+              bytes.append(raw.substring(bi + 2, bi + 4))
+              bi += 4
+            } else {
+              bytes.append(f"${raw.charAt(bi).toInt & 0xff}%02x")
+              bi += 1
+            }
+          }
+          s"X'${bytes.toString.toUpperCase}'"
         case "NULL" | "TRUE" | "FALSE" => w
         case "STRUCT_PACK" | "STRUCT_INSERT" | "UNION_VALUE" if peekOp("(") =>
           namedArgCall(w.toLowerCase, None)

@@ -64,4 +64,14 @@ class AsofSqlSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.get(1))).toSeq
     assert(got === Seq((1, 11), (2, 12)))
   }
+
+  test("ASOF RIGHT JOIN: inner match set right-outer-extended (DuckDB-pinned)") {
+    fixture
+    // DuckDB 1.0: [(NULL,10), (1,11), (2,12), (NULL,13)] — the inner
+    // pairs plus each unmatched right row once with NULL left columns
+    val out = GraftSql.sql(spark,
+      "SELECT lid, rid FROM asof_l l ASOF RIGHT JOIN asof_r r ON l.k = r.rk AND l.t >= r.rt ORDER BY rid")
+      .collect().map(r => (r.get(0), r.getInt(1))).toSeq
+    assert(out === Seq((null, 10), (1, 11), (2, 12), (null, 13)))
+  }
 }
