@@ -21,6 +21,7 @@ object GraftSql {
   private val LimitPercent = """(?is)^(.*)\bLIMIT\s+(\d+)\s*(?:%|PERCENT)\s*;?\s*$""".r
   private val Explain = """(?is)^\s*EXPLAIN(\s+ANALYZE)?\s+(.*)$""".r
   private val CheckpointRe = """(?is)^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$""".r
+  private val AnalyzeRe = """(?is)^\s*ANALYZE(\s+[\w.]+)?\s*;?\s*$""".r
   private val CreateIndex =
     """(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+)\s*\(([^)]*)\)\s*;?\s*$""".r
   private val DropIndex =
@@ -125,6 +126,15 @@ object GraftSql {
       // there is nothing to flush: success no-op, like VACUUM on an
       // empty trash.
       case CheckpointRe() => return S.emptyDf(spark)
+      // ANALYZE [table] (reference analyze ≡ recompute optimizer
+      // stats): maps to Spark's COMPUTE STATISTICS where the target
+      // is a catalog table; temp views / bare form are a no-op (the
+      // reference's stats are storage-attached — nothing to persist)
+      case AnalyzeRe(table) =>
+        if (table != null && table.trim.nonEmpty)
+          try spark.sql(s"ANALYZE TABLE ${table.trim} COMPUTE STATISTICS")
+          catch { case _: Exception => }
+        return S.emptyDf(spark)
       // CREATE/DROP SEQUENCE (sequence_catalog_entry.cpp) — session
       // counters behind nextval()/currval() (plans/Sequences)
       case graft.plans.Sequences.CreateRe(orRepl, ifNot, name, opts) =>

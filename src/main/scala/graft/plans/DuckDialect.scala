@@ -124,7 +124,10 @@ object DuckDialect {
           if (i < n && (sql.charAt(i) == 'e' || sql.charAt(i) == 'E')) {
             val save = i; i += 1
             if (i < n && (sql.charAt(i) == '+' || sql.charAt(i) == '-')) i += 1
-            if (i < n && sql.charAt(i).isDigit) { while (i < n && sql.charAt(i).isDigit) i += 1 }
+            if (i < n && sql.charAt(i).isDigit) {
+              while (i < n && (sql.charAt(i).isDigit ||
+                (sql.charAt(i) == '_' && i + 1 < n && sql.charAt(i + 1).isDigit))) i += 1
+            }
             else i = save
           }
         }
@@ -691,6 +694,7 @@ object DuckDialect {
       */
     private def fromFirst(): String = {
       next() // FROM
+      lastGlue = "FROM"
       val fromPart = ArrayBuffer.empty[String]
       var selectPart: Option[String] = None
       var done = false
@@ -711,7 +715,8 @@ object DuckDialect {
           done = true
         } else if (isClauseStart(peek)) done = true
         else peek match {
-          case TWord(w) if GLUE(w.toUpperCase) => next(); fromPart += w
+          case TWord(w) if GLUE(w.toUpperCase) =>
+            next(); lastGlue = w.toUpperCase; fromPart += w
           case TOp(",") => next(); fromPart += ","
           case TOp("(") => fromPart += primaryParen()
           case _ => fromPart += expr(0)
@@ -1113,15 +1118,36 @@ object DuckDialect {
           // identifier chain: a.b."c".d / t.* — then optional call
           var chain = w
           var starEnd = false
+          val tableCtx0 = Set("FROM", "JOIN", "LATERAL")(lastGlue)
           while (!starEnd && peekOp(".") && peekAt(1).exists {
             case TWord(_) | TQuoted(_) | TOp("*") => true; case _ => false
           }) {
-            next()
-            next() match {
-              case TWord(x) => chain += s".$x"
-              case TQuoted(x) => chain += s".${quoteIdent(x)}"
-              case TOp("*") => chain += ".*"; starEnd = true
-              case other => chain += s".${other.text}"
+            // expression-position `x.f(args)` is the reference's
+            // function-chaining sugar for f(x, args) (dot operator,
+            // bind_expression): rewrite unless this is a FROM-position
+            // qualified table function (schema.fn(…))
+            if (!tableCtx0 && (peekAt(1) match {
+              case Some(TWord(_)) => peekAt(2).contains(TOp("("))
+              case _ => false
+            })) {
+              next() // '.'
+              val m = next().text
+              expectOp("(")
+              val args = ArrayBuffer.empty[String]
+              while (more && !peekOp(")")) {
+                args += expr(0)
+                if (peekOp(",")) next()
+              }
+              expectOp(")")
+              chain = s"$m($chain${if (args.nonEmpty) ", " + args.mkString(", ") else ""})"
+            } else {
+              next()
+              next() match {
+                case TWord(x) => chain += s".$x"
+                case TQuoted(x) => chain += s".${quoteIdent(x)}"
+                case TOp("*") => chain += ".*"; starEnd = true
+                case other => chain += s".${other.text}"
+              }
             }
           }
           if (starEnd && peekWord("EXCLUDE")) {
@@ -1191,11 +1217,17 @@ object DuckDialect {
             parts += statement()
           case TWord(kw) if kw.equalsIgnoreCase("ORDER") =>
             next(); require(peekWord("BY"), "duck-dialect: ORDER without BY"); next()
+            def mods(): Unit = {
+              while (peekWord("ASC") || peekWord("DESC")) inlineOrder += next().text
+              if (peekWord("NULLS")) {
+                next(); inlineOrder += ("NULLS_" + next().text.toUpperCase)
+              }
+            }
             inlineOrder += expr(0)
-            while (peekWord("ASC") || peekWord("DESC")) inlineOrder += next().text
+            mods()
             while (peekOp(",")) {
               next(); inlineOrder += ","; inlineOrder += expr(0)
-              while (peekWord("ASC") || peekWord("DESC")) inlineOrder += next().text
+              mods()
             }
           case TWord(kw) if (kw.equalsIgnoreCase("IGNORE") || kw.equalsIgnoreCase("RESPECT"))
             && peekAt(1).exists {
@@ -1245,7 +1277,9 @@ object DuckDialect {
         out = s"explode(flatten(${pos.mkString(", ")}))"
       }
       if (inlineOrder.nonEmpty) {
-        val ob = inlineOrder.filterNot(_ == ",").mkString(", ")
+        val ob = inlineOrder.filterNot(_ == ",")
+          .map(t => if (t.startsWith("NULLS_")) t.replace('_', ' ') else t)
+          .mkString(", ")
         out =
           if (low == "string_agg" || low == "listagg" || low == "group_concat")
             // inline ORDER BY in string_agg → listagg WITHIN GROUP
@@ -1257,41 +1291,53 @@ object DuckDialect {
             // other key falls through to the general struct-sort form
             s"array_sort($fname(${renderArgs(parts.toSeq)}))"
           else {
-            // parse the flat inline-order buffer into (key, desc) pairs
-            val keys = ArrayBuffer.empty[(String, Boolean)]
+            // (key, desc, nullsFirst) triples from the flat buffer;
+            // the reference's default null order is NULLS LAST
+            val keys = ArrayBuffer.empty[(String, Boolean, Boolean)]
             inlineOrder.foreach {
               case "," =>
               case d if d.equalsIgnoreCase("DESC") =>
-                val (k, _) = keys.remove(keys.length - 1); keys += ((k, true))
+                val (k, _, nf) = keys.remove(keys.length - 1); keys += ((k, true, nf))
               case d if d.equalsIgnoreCase("ASC") =>
-              case k => keys += ((k, false))
+              case d if d.equalsIgnoreCase("NULLS_FIRST") =>
+                val (k, dd, _) = keys.remove(keys.length - 1); keys += ((k, dd, true))
+              case d if d.equalsIgnoreCase("NULLS_LAST") =>
+              case k => keys += ((k, false, false))
             }
             val single = !parts.contains(",") && !parts.contains("DISTINCT")
-            if ((low == "array_agg" || low == "list") && single && keys.nonEmpty) {
-              // general ordered list aggregate (aggregate ORDER BY,
-              // bind_function_expression order modifier): collect
-              // (keys…, value) structs, sort with a comparator that
-              // honors each key's direction with the reference's
-              // default NULLS LAST, project the value back out
-              val v = renderArgs(parts.toSeq)
+            // sorted value list: collect (keys…, value) structs, sort
+            // with a comparator honoring direction + null placement,
+            // project the value back out (aggregate ORDER BY modifier)
+            def sortedList(v: String): String = {
               val fields = keys.zipWithIndex
-                .map { case ((k, _), i) => s"($k) AS __o$i" }.mkString(", ")
-              val cmp = keys.zipWithIndex.map { case ((_, desc), i) =>
+                .map { case ((k, _, _), i) => s"($k) AS __o$i" }.mkString(", ")
+              val cmp = keys.zipWithIndex.map { case ((_, desc, nf), i) =>
                 val (lt, gt) = if (desc) ("1", "-1") else ("-1", "1")
-                s"WHEN l.__o$i IS NULL AND r.__o$i IS NOT NULL THEN 1 " +
-                  s"WHEN r.__o$i IS NULL AND l.__o$i IS NOT NULL THEN -1 " +
+                val (ln, rn) = if (nf) ("-1", "1") else ("1", "-1")
+                s"WHEN l.__o$i IS NULL AND r.__o$i IS NOT NULL THEN $ln " +
+                  s"WHEN r.__o$i IS NULL AND l.__o$i IS NOT NULL THEN $rn " +
                   s"WHEN l.__o$i < r.__o$i THEN $lt WHEN l.__o$i > r.__o$i THEN $gt"
               }.mkString(" ")
               s"transform(array_sort(array_agg(struct($fields, ($v) AS __v)), " +
                 s"(l, r) -> CASE $cmp ELSE 0 END), s -> s.__v)"
-            } else if (Set("first", "last", "arbitrary", "any_value")(low) &&
-                single && keys.length == 1) {
-              // first/last under an ORDER BY modifier ≡ min_by/max_by
+            }
+            val isFirstLast = Set("first", "last", "arbitrary", "any_value")(low)
+            if ((low == "array_agg" || low == "list") && single && keys.nonEmpty)
+              sortedList(renderArgs(parts.toSeq))
+            else if (isFirstLast && single && keys.length == 1 &&
+                !keys.exists(_._3)) {
+              // fast path: single key, default null order — min_by
+              // skips NULL keys, which IS "NULLS LAST" for an edge pick
               val v = renderArgs(parts.toSeq)
-              val (k, desc) = keys.head
+              val (k, desc, _) = keys.head
               val fn =
                 if ((low == "last") != desc) "max_by" else "min_by"
               s"$fn($v, $k)"
+            } else if (isFirstLast && single && keys.nonEmpty) {
+              // multi-key / explicit NULLS placement: edge of the
+              // sorted list
+              val pos = if (low == "last") "-1" else "1"
+              s"element_at(${sortedList(renderArgs(parts.toSeq))}, $pos)"
             } else s"$fname(${renderArgs(parts.toSeq)} ORDER BY $ob)"
           }
       }
@@ -1628,7 +1674,21 @@ object DuckDialect {
             case TWord(_) | TQuoted(_) => true; case _ => false
           } =>
             next()
-            next() match {
+            if (peekAt(1).contains(TOp("(")) && (peek match {
+              case TWord(_) => true; case _ => false
+            })) {
+              // `base.f(args)` — the reference's function-chaining dot
+              // (f(base, args)); field access stays the no-paren form
+              val m = next().text
+              expectOp("(")
+              val args = ArrayBuffer.empty[String]
+              while (more && !peekOp(")")) {
+                args += expr(0)
+                if (peekOp(",")) next()
+              }
+              expectOp(")")
+              base = s"$m($base${if (args.nonEmpty) ", " + args.mkString(", ") else ""})"
+            } else next() match {
               case TWord(x) => base = s"$base.$x"
               case TQuoted(x) => base = s"$base.${quoteIdent(x)}"
               case other => base = s"$base.${other.text}"
@@ -1656,6 +1716,8 @@ object DuckDialect {
       "TIMESTAMP_MS" -> "TIMESTAMP", "TIMESTAMP_NS" -> "TIMESTAMP",
       "UUID" -> "STRING", "JSON" -> "STRING", "BIT" -> "STRING",
       "TIMESTAMP_US" -> "TIMESTAMP", "INT8" -> "BIGINT",
+      "INT16" -> "SMALLINT", "INT32" -> "INTEGER", "INT64" -> "BIGINT",
+      "FLOAT32" -> "FLOAT", "FLOAT64" -> "DOUBLE",
       "UINT8" -> "SMALLINT", "UINT16" -> "INTEGER", "UINT32" -> "BIGINT",
       "UINT64" -> "DECIMAL(20,0)", "UINT128" -> "DECIMAL(38,0)",
       "INT128" -> "DECIMAL(38,0)", "FLOAT4" -> "FLOAT", "FLOAT8" -> "DOUBLE",

@@ -86,7 +86,7 @@ object RefTestSweep {
       """DROP\s+MACRO|""" +
       """CREATE\s+(?:OR\s+REPLACE\s+)?(?:PERSISTENT\s+|TEMPORARY\s+)?SECRET|DROP\s+SECRET|""" +
       """CREATE\s+(?:OR\s+REPLACE\s+)?MACRO|CREATE\s+TYPE|DROP\s+TYPE|""" +
-      """CREATE\s+SEQUENCE|DROP\s+SEQUENCE|CREATE\s+(?:UNIQUE\s+)?INDEX|DROP\s+INDEX)\b.*""").r
+      """CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?SEQUENCE|DROP\s+SEQUENCE|ANALYZE|CREATE\s+(?:UNIQUE\s+)?INDEX|DROP\s+INDEX)\b.*""").r
 
     // CREATE TYPE … AS ENUM registers session state the translator
     // consults when the type name later appears in DDL — replay those

@@ -193,6 +193,23 @@ class DialectRobustnessSpec extends AnyFunSuite {
         "null_percentage"))
   }
 
+  test("dot function-chaining, ordered-agg NULLS placement, ANALYZE") {
+    def one(q: String): Any = GraftSql.sql(spark, q).collect()(0).get(0)
+    // x.f(args) ≡ f(x, args), chainable (reference dot operator)
+    assert(one("SELECT 'a/b/c'.replace('b', 'x').split('/')[2]") === "x")
+    assert(one("SELECT 'hello'.upper()") === "HELLO")
+    // ordered aggregates with NULLS placement and multi-key
+    GraftSql.sql(spark, """CREATE OR REPLACE TEMP VIEW onagg AS
+        SELECT * FROM (VALUES (1, 'x', 10), (NULL, 'y', 20), (2, 'x', 30)) t(k, g, v)""")
+    assert(one("SELECT list(v ORDER BY k NULLS FIRST) FROM onagg") === Seq(20, 10, 30))
+    assert(one("SELECT list(v ORDER BY k NULLS LAST) FROM onagg") === Seq(10, 30, 20))
+    assert(one("SELECT first(v ORDER BY g ASC, k DESC) FROM onagg") === 30)
+    assert(one("SELECT first(v ORDER BY k DESC NULLS FIRST) FROM onagg") === 20)
+    // ANALYZE routes (stats recompute / no-op)
+    GraftSql.sql(spark, "ANALYZE")
+    GraftSql.sql(spark, "ANALYZE no_such_table") // soft no-op
+  }
+
   test("IN over list and map collections") {
     assert(GraftSql.sql(spark, "SELECT 2 IN [1, 2, 3] AS t, 5 IN [1, 2] AS f")
       .collect()(0).toSeq === Seq(true, false))
