@@ -108,13 +108,15 @@ object AsofSql {
         case Some(q) if lNames.contains(q) => "l"
         case Some(q) if rNames.contains(q) => "r"
         case _ =>
-          val id = "(?i)\\b[A-Za-z_][A-Za-z_0-9]*\\b".r.findFirstIn(e.trim)
-          id match {
-            case Some(c) if lt.columns.exists(_.equalsIgnoreCase(c)) => "l"
-            case Some(c) if rt.columns.exists(_.equalsIgnoreCase(c)) => "r"
-            case _ => throw new IllegalArgumentException(
-              s"ASOF JOIN: cannot resolve side of `$e`")
-          }
+          // scan every identifier in the expression (function names
+          // and type keywords like CAST/TIMESTAMP resolve to neither
+          // side) and take the first that names a column
+          val ids = "(?i)\\b[A-Za-z_][A-Za-z_0-9]*\\b".r.findAllIn(e.trim)
+          ids.collectFirst {
+            case c if lt.columns.exists(_.equalsIgnoreCase(c)) => "l"
+            case c if rt.columns.exists(_.equalsIgnoreCase(c)) => "r"
+          }.getOrElse(throw new IllegalArgumentException(
+            s"ASOF JOIN: cannot resolve side of `$e`"))
       }
     }
 

@@ -61,6 +61,30 @@ object FunctionsQ10 {
         | n_nationkey = SOME(SELECT r_regionkey FROM region WHERE r_regionkey > 99) AS some_empty
         |FROM nation ORDER BY n_nationkey""".stripMargin),
 
+    // the window ORDER BY must be TOTAL: (orderkey, linenumber) has
+    // duplicates in the testdata, and a ROWS frame over a tied order
+    // is nondeterministic in both engines
+    verbatim("f86_window_filter",
+      """SELECT l_linestatus, l_orderkey, l_linenumber,
+        | CAST(sum(l_quantity) FILTER (WHERE l_returnflag = 'R') OVER (
+        |   PARTITION BY l_linestatus
+        |   ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW)
+        |  AS BIGINT) AS rq
+        |FROM lineitem WHERE l_orderkey < 2000
+        |ORDER BY l_linestatus, l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin),
+
+    verbatim("f87_chaining",
+      """SELECT p_partkey, p_name.upper().replace('OL', '#') AS chained,
+        | p_name.split(' ')[1].lower() AS first_word
+        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin),
+
+    verbatim("f88_asof_right",
+      """SELECT event_id, o_orderkey
+        |FROM orders ASOF RIGHT JOIN events
+        |ON o_custkey = user_id AND CAST(o_orderdate AS TIMESTAMP) <= ts
+        |ORDER BY event_id, o_orderkey""".stripMargin),
+
     verbatim("f85_ordered_agg",
       """SELECT n_regionkey,
         | list(n_name ORDER BY n_name DESC) AS names_desc,
