@@ -15,15 +15,18 @@ import graft.sources.DmlSql.topSplit
 object MacroReg {
   private val macros = new ConcurrentHashMap[String, (Seq[String], String)]()
 
+  // CREATE FUNCTION is the reference's alias for CREATE MACRO
+  // (create_macro_info.cpp registers both spellings); TEMP/TEMPORARY
+  // is a no-op scope (macros here are session-lived anyway)
   private val Create =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MACRO\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s+AS\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?(?:MACRO|FUNCTION)\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s+AS\s+(.+?)\s*;?\s*$""".r
 
   def isCreate(text: String): Boolean = Create.findFirstIn(text).isDefined
 
   /** DROP MACRO [IF EXISTS] name (reference drop_statement.cpp —
     * macros share the generic DROP verb). */
   val DropRe =
-    """(?is)^\s*DROP\s+MACRO\s+(?:TABLE\s+)?(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$""".r
+    """(?is)^\s*DROP\s+(?:MACRO|FUNCTION)\s+(?:TABLE\s+)?(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$""".r
 
   def drop(name: String, ifExists: Boolean): Unit = {
     val had = macros.remove(name.toLowerCase) != null

@@ -85,7 +85,7 @@ object RefTestSweep {
       """(?:FORCE\s+)?CHECKPOINT|PIVOT|PIVOT_WIDER|UNPIVOT|PIVOT_LONGER|COMMENT|""" +
       """DROP\s+MACRO|""" +
       """CREATE\s+(?:OR\s+REPLACE\s+)?(?:PERSISTENT\s+|TEMPORARY\s+)?SECRET|DROP\s+SECRET|""" +
-      """CREATE\s+(?:OR\s+REPLACE\s+)?MACRO|CREATE\s+TYPE|DROP\s+TYPE|""" +
+      """CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?(?:MACRO|FUNCTION)\s+\w+\s*\(|DROP\s+FUNCTION|CREATE\s+TYPE|DROP\s+TYPE|""" +
       """CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?SEQUENCE|DROP\s+SEQUENCE|ANALYZE|CREATE\s+(?:UNIQUE\s+)?INDEX|DROP\s+INDEX)\b.*""").r
 
     // CREATE TYPE … AS ENUM registers session state the translator
