@@ -57,12 +57,32 @@ object PivotStmt {
   /** Rewrite the first statement-form occurrence; None = nothing to do. */
   def pass(spark: SparkSession, text: String,
       runSql: (SparkSession, String) => DataFrame): Option[String] = {
+    // `WITH ctes… PIVOT tbl ON …` (pivot_6390.test): a statement-form
+    // pivot can follow a CTE list — materialize the CTEs as temp
+    // views (the reference binds CTEs before the pivot ref the same
+    // way) and continue on the remainder
+    cteTail(text).foreach { case (ctes, rest) =>
+      if (KwRe.findPrefixMatchOf(rest.trim).exists(_.start == 0) ||
+          rest.trim.toUpperCase.matches("(?s)^(PIVOT|PIVOT_WIDER|UNPIVOT|PIVOT_LONGER)\\b.*")) {
+        ctes.foreach { case (name, body) =>
+          runSql(spark, body).createOrReplaceTempView(name)
+        }
+        return Some(rest)
+      }
+    }
     for (m <- KwRe.findAllMatchIn(text)) {
       val before = text.substring(0, m.start)
       val trimmed = before.reverse.dropWhile(_.isWhitespace)
+      val after = text.substring(m.end).dropWhile(_.isWhitespace)
       val isStmt = trimmed.isEmpty || trimmed.head == '(' || {
         val w = trimmed.takeWhile(c => c.isLetterOrDigit || c == '_').reverse
         w.nonEmpty && PrevWordOk(w.toUpperCase)
+      } || {
+        // after a subquery's `)`: the FROM-clause postfix form is
+        // always followed by its '(' group — a following identifier
+        // means the statement form
+        trimmed.headOption.contains(')') && after.headOption.exists(c =>
+          c.isLetter || c == '_' || c == '"')
       }
       if (isStmt) {
         val kw = m.group(1).toUpperCase
@@ -71,6 +91,51 @@ object PivotStmt {
       }
     }
     None
+  }
+
+  /** Parse a leading `WITH name[(cols)] AS (body) [, …]` list; returns
+    * the (name, body-with-column-aliases) pairs and the remainder. */
+  private def cteTail(text: String): Option[(Seq[(String, String)], String)] = {
+    val t = text
+    var i = 0
+    while (i < t.length && t.charAt(i).isWhitespace) i += 1
+    if (!t.regionMatches(true, i, "WITH", 0, 4)) return None
+    i += 4
+    val ctes = Seq.newBuilder[(String, String)]
+    var more = true
+    while (more) {
+      while (i < t.length && t.charAt(i).isWhitespace) i += 1
+      val nameEnd = {
+        val e = t.indexWhere(c => !(c.isLetterOrDigit || c == '_'), i)
+        if (e < 0) t.length else e
+      }
+      val name = t.substring(i, nameEnd)
+      if (name.isEmpty) return None
+      i = nameEnd
+      while (i < t.length && t.charAt(i).isWhitespace) i += 1
+      // optional column-alias list
+      var colAliases = ""
+      if (i < t.length && t.charAt(i) == '(') {
+        val close = SqlPasses.matchParen(t, i)
+        colAliases = t.substring(i + 1, close)
+        i = close + 1
+        while (i < t.length && t.charAt(i).isWhitespace) i += 1
+      }
+      if (!t.regionMatches(true, i, "AS", 0, 2)) return None
+      i += 2
+      while (i < t.length && t.charAt(i).isWhitespace) i += 1
+      if (i >= t.length || t.charAt(i) != '(') return None
+      val close = SqlPasses.matchParen(t, i)
+      val body0 = t.substring(i + 1, close)
+      val body =
+        if (colAliases.trim.isEmpty) body0
+        else s"SELECT * FROM ($body0) AS __cte_t($colAliases)"
+      ctes += ((name, body))
+      i = close + 1
+      while (i < t.length && t.charAt(i).isWhitespace) i += 1
+      if (i < t.length && t.charAt(i) == ',') i += 1 else more = false
+    }
+    Some((ctes.result(), t.substring(i)))
   }
 
   // ------------------------------------------------------------ shared
