@@ -385,7 +385,9 @@ object GraftSql {
     */
   private val SubStmtRe = "(?i)\\(\\s*(DESCRIBE|SUMMARIZE)\\b".r
   private def subStatementPass(spark: SparkSession, text: String): Option[String] =
-    SubStmtRe.findFirstMatchIn(text).map { m =>
+    SubStmtRe.findAllMatchIn(text)
+      .find(m => !graft.plans.SqlPasses.inQuote(text, m.start))
+      .map { m =>
       val close = graft.plans.SqlPasses.matchParen(text, m.start)
       val inner = text.substring(m.start + 1, close).trim
       val df = sql(spark, inner)

@@ -61,6 +61,14 @@ import scala.collection.mutable.ArrayBuffer
   */
 object DuckDialect {
 
+  /** Schema/catalog names the reference creates implicitly
+    * (catalog/default_schema + system/temp catalogs): a call
+    * qualified by one of these is schema resolution, not the dot
+    * function-chaining sugar.
+    */
+  private val KnownSchemas: Set[String] =
+    Set("main", "system", "temp", "memory", "pg_catalog", "information_schema")
+
   // ---------------------------------------------------------------- lexer
 
   sealed trait Tok { def text: String }
@@ -1125,7 +1133,12 @@ object DuckDialect {
             // expression-position `x.f(args)` is the reference's
             // function-chaining sugar for f(x, args) (dot operator,
             // bind_expression): rewrite unless this is a FROM-position
-            // qualified table function (schema.fn(…))
+            // qualified table function (schema.fn(…)) or the left
+            // segment names a known schema/catalog — `main.my_macro(1)`
+            // is a schema-qualified call, NOT chaining (r7 ADVICE);
+            // the reference resolves it in the schema, so strip the
+            // default-catalog qualifier and emit the plain call
+            val schemaQualified = chain == w && KnownSchemas(w.toLowerCase)
             if (!tableCtx0 && (peekAt(1) match {
               case Some(TWord(_)) => peekAt(2).contains(TOp("("))
               case _ => false
@@ -1139,7 +1152,9 @@ object DuckDialect {
                 if (peekOp(",")) next()
               }
               expectOp(")")
-              chain = s"$m($chain${if (args.nonEmpty) ", " + args.mkString(", ") else ""})"
+              chain =
+                if (schemaQualified) s"$m(${args.mkString(", ")})"
+                else s"$m($chain${if (args.nonEmpty) ", " + args.mkString(", ") else ""})"
             } else {
               next()
               next() match {

@@ -70,7 +70,8 @@ object PivotStmt {
         return Some(rest)
       }
     }
-    for (m <- KwRe.findAllMatchIn(text)) {
+    for (m <- KwRe.findAllMatchIn(text)
+           if !SqlPasses.inQuote(text, m.start)) {
       val before = text.substring(0, m.start)
       val trimmed = before.reverse.dropWhile(_.isWhitespace)
       val after = text.substring(m.end).dropWhile(_.isWhitespace)

@@ -26,6 +26,20 @@ object SqlPasses {
     throw new IllegalArgumentException(s"unbalanced parens")
   }
 
+  /** True when `pos` sits inside a single-quoted literal — statement
+    * rewrites must never fire on keyword look-alikes inside strings
+    * (e.g. SELECT '(describe t)').
+    */
+  private[graft] def inQuote(s: String, pos: Int): Boolean = {
+    var i = 0
+    var in = false
+    while (i < pos) {
+      if (s.charAt(i) == '\'') in = !in
+      i += 1
+    }
+    in
+  }
+
   private def depthAt(s: String, pos: Int): Int = {
     var depth = 0
     var i = 0

@@ -60,11 +60,20 @@ object DmlSql {
     // returning_list; test/sql/returning/): the statement returns the
     // affected rows' projection instead of the Count row
     val retIdx = topIndexOf(text0, "RETURNING")
-    val (text, returning) =
+    // Only treat RETURNING as the clause when what follows can start a
+    // projection — `UPDATE t SET returning = 1` uses the word as an
+    // identifier and the remainder starts with an operator, not an
+    // expression (r7 ADVICE).
+    val retTail =
       if (retIdx >= 0)
-        (text0.substring(0, retIdx),
-          Some(text0.substring(retIdx + "RETURNING".length).trim.stripSuffix(";")))
-      else (text0, None)
+        Some(text0.substring(retIdx + "RETURNING".length).trim.stripSuffix(";"))
+          .filter(t => t.nonEmpty &&
+            (t.head.isLetterOrDigit || "*('\"_".contains(t.head)))
+      else None
+    val (text, returning) = retTail match {
+      case Some(t) => (text0.substring(0, retIdx), Some(t))
+      case None    => (text0, None)
+    }
     text match {
       case UpdateRe() => update(spark, text, returning)
       case DeleteRe() => delete(spark, text, returning)
@@ -308,7 +317,21 @@ object DmlSql {
   private def materialize(spark: SparkSession, df: DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_returning").toString
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+    returningDirs.add(dir)
     spark.read.parquet(dir)
+  }
+
+  /** RETURNING snapshot dirs, reaped at JVM exit so long sessions
+    * don't accumulate unbounded temp parquet (r7 ADVICE). */
+  private val returningDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+        f.delete(): Unit
+      }
+      returningDirs.forEach(d => del(new java.io.File(d)))
+    }))
   }
 
   /** Apply the RETURNING projection through the front door — so `*`,
@@ -319,7 +342,11 @@ object DmlSql {
                                proj: String): DataFrame = {
     val v = s"__returning_${retViewId.incrementAndGet()}"
     rows.createOrReplaceTempView(v)
-    graft.GraftSql.sql(spark, s"SELECT ${proj.trim} FROM $v")
+    // the returned plan is analyzed eagerly, so the view can be
+    // dropped immediately — no per-statement catalog growth
+    val out = graft.GraftSql.sql(spark, s"SELECT ${proj.trim} FROM $v")
+    spark.catalog.dropTempView(v): Unit
+    out
   }
 
   /** Replace bare references to the given columns with their

@@ -8,6 +8,8 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val s = graft.GraftSession.builder().getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    sys.env.get("SPARK_GRAFT_SF_DIR")
+      .foreach(dir => graft.sources.Catalog.registerAll(s, dir))
     args.foreach { q =>
       println(s"==== $q")
       try {

@@ -36,6 +36,20 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         try:
             got_t = pq.read_table(f"{out_dir}/{name}")
+            # Pre-flight: the driver's pandas hash gate sorts rows with
+            # sort_values, which raises on unhashable cells. Any
+            # top-level list/map/struct column WILL error the driver row
+            # even if both engines agree (the r7 f83/f85 failures; the
+            # r4 F41 lesson). Reject at the schema level here.
+            import pyarrow.types as pat
+            nested = [f.name for f in got_t.schema
+                      if pat.is_nested(f.type)]
+            if nested:
+                print(f"FAIL {name}: nested-typed output columns {nested} "
+                      f"— driver's pandas sort/hash cannot handle them; "
+                      f"render as strings (array_to_string) on both engines")
+                n_fail += 1
+                continue
             got_cols = sorted(got_t.column_names)
             got = sorted(
                 (tuple(norm(r[c]) for c in got_cols) for r in got_t.to_pylist()),
