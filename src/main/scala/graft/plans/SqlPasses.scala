@@ -101,13 +101,44 @@ object SqlPasses {
         require(idx >= 0, "generatorPass: no FROM clause for the nested generator")
         idx
       }
-      // end of the first table ref: next clause keyword, comma, or
-      // closing paren at this depth
+      // end of the first table ref: consume the ref itself (bare name,
+      // table-function call like explode(sequence(..)), or subquery),
+      // then any alias — `t`, `AS t`, or `t(col, ..)` — so the LATERAL
+      // VIEW lands after the complete aliased relation, never inside it
       var j = fromIdx + 4
-      while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+      def skipWs(): Unit =
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+      def word(): String = {
+        val s0 = j
+        while (j < sql.length && (sql.charAt(j).isLetterOrDigit ||
+          "._`".contains(sql.charAt(j)))) j += 1
+        sql.substring(s0, j)
+      }
+      skipWs()
       if (j < sql.length && sql.charAt(j) == '(') j = matchParen(sql, j) + 1
-      else while (j < sql.length && (sql.charAt(j).isLetterOrDigit ||
-        "._`".contains(sql.charAt(j)))) j += 1
+      else {
+        word()
+        skipWs()
+        // table-function arguments
+        if (j < sql.length && sql.charAt(j) == '(') j = matchParen(sql, j) + 1
+      }
+      // optional alias (stop at clause keywords and joins)
+      val stopKw = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+        "UNION", "EXCEPT", "INTERSECT", "JOIN", "LEFT", "RIGHT", "FULL",
+        "INNER", "CROSS", "LATERAL", "ON", "USING", "QUALIFY", "WINDOW",
+        "OFFSET", "ASOF", "NATURAL", "SEMI", "ANTI")
+      val save = j
+      skipWs()
+      if (j < sql.length && sql.charAt(j).isLetter) {
+        val w = word()
+        if (w.equalsIgnoreCase("AS")) { skipWs(); word() }
+        if (w.isEmpty || stopKw.contains(w.toUpperCase)) j = save
+        else {
+          skipWs()
+          // column aliases `t(a, b)`
+          if (j < sql.length && sql.charAt(j) == '(') j = matchParen(sql, j) + 1
+        }
+      } else j = save
       sql = sql.substring(0, j) + lv + sql.substring(j)
       m = CastExplode.findFirstMatchIn(sql)
     }
