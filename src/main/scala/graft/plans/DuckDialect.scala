@@ -749,6 +749,65 @@ object DuckDialect {
 
     // -------------------------------------------------- expressions
 
+    // ------------------------- INT128 (HUGEINT/UHUGEINT) kernel tags
+    // Renderings produced by the hugeint kernel family carry their
+    // own recognizable prefix — the translator's only way to
+    // propagate "this subexpression is 128-bit" through the
+    // string-building Pratt parser. Only BINARY-producing forms tag.
+    private val HugeTag =
+      "^(u?hugeint)(_(add|sub|mul|div|mod|neg|abs|shl|shr|and|or|xor|lift))?\\(".r
+
+    private def isHuge(s: String): Boolean =
+      HugeTag.findFirstIn(s.dropWhile(_ == '(')).isDefined
+
+    private def hugePre(l: String, r: String): String =
+      if (l.startsWith("uhugeint") || r.startsWith("uhugeint")) "uhugeint"
+      else "hugeint"
+
+    private def hugeLift(s: String, pre: String): String =
+      if (isHuge(s)) s else s"${pre}_lift($s)"
+
+    /** Integer literal rendering with the reference's width ladder:
+      * ≤38 digits stay Spark decimal literals (exact, the r4 ladder);
+      * wider literals become INT128 kernel literals when in range
+      * (hugeint.cpp), else DOUBLE — DuckDB's own literal fallback. */
+    private def numLiteral(s: String): String =
+      if (s.length <= 38 || !s.matches("-?[0-9]+")) s
+      else {
+        val v = new java.math.BigInteger(s)
+        if (HugeintKernel.inRange(v, signed = true)) s"hugeint('$s')"
+        else s"CAST('$s' AS DOUBLE)"
+      }
+
+    /** A string literal whose integer value DECIMAL(38) cannot hold —
+      * the only case where a `::HUGEINT` cast leaves the r4 decimal
+      * ladder for the kernel representation. */
+    private def outOf38(base: String): Boolean =
+      base.matches("'[+-]?[0-9]+'") && {
+        val digits = base.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("+").stripPrefix("-").replaceFirst("^0+", "")
+        digits.length > 38
+      }
+
+    /** Casts over kernel-tagged INT128 operands (CAST / `::`). */
+    private def castHuge(base: String, rawTy: String, mapped: String): Option[String] = {
+      val pre = hugePre(base, "")
+      rawTy match {
+        case "HUGEINT" | "INT128" => Some(base)
+        case "UHUGEINT" | "UINT128" => Some(base)
+        case "VARCHAR" | "TEXT" | "STRING" | "CHAR" | "BPCHAR" =>
+          Some(s"${pre}_str($base)")
+        case "DOUBLE" | "FLOAT8" | "REAL" | "FLOAT" | "FLOAT4" =>
+          Some(s"CAST(${pre}_dbl($base) AS $mapped)")
+        case "BIGINT" | "INT8" | "LONG" | "INTEGER" | "INT" | "INT4" |
+            "SIGNED" | "SMALLINT" | "INT2" | "TINYINT" | "INT1" =>
+          Some(s"CAST(${pre}_long($base) AS $mapped)")
+        case t if t.startsWith("DECIMAL") || t.startsWith("NUMERIC") =>
+          Some(s"CAST(${pre}_str($base) AS $mapped)")
+        case _ => None
+      }
+    }
+
     def expr(min: Int): String = {
       var left = prefix()
       var loop = true
@@ -794,7 +853,23 @@ object DuckDialect {
                     s"FROM (SELECT $cmp AS __qc FROM $sub AS __q_t(__qv)))"
             } else {
               val r = expr(PASS_INFIX(o) + 1)
-              left = s"($left $o $r)"
+              left =
+                if (isHuge(left) || isHuge(r)) {
+                  val pre = hugePre(left, r)
+                  o match {
+                    case "+" => s"${pre}_add(${hugeLift(left, pre)}, ${hugeLift(r, pre)})"
+                    case "-" => s"${pre}_sub(${hugeLift(left, pre)}, ${hugeLift(r, pre)})"
+                    case "*" => s"${pre}_mul(${hugeLift(left, pre)}, ${hugeLift(r, pre)})"
+                    case "&" => s"${pre}_and(${hugeLift(left, pre)}, ${hugeLift(r, pre)})"
+                    case "|" => s"${pre}_or(${hugeLift(left, pre)}, ${hugeLift(r, pre)})"
+                    case "<<" => s"${pre}_shl(${hugeLift(left, pre)}, ${hugeLift(r, pre)})"
+                    case ">>" => s"${pre}_shr(${hugeLift(left, pre)}, ${hugeLift(r, pre)})"
+                    case "||" => s"($left $o $r)"
+                    // the encoding is order-preserving: comparisons
+                    // are native byte comparisons after lifting
+                    case _ => s"(${hugeLift(left, pre)} $o ${hugeLift(r, pre)})"
+                  }
+                } else s"($left $o $r)"
             }
           case TOp(o) if REWRITE_INFIX.contains(o) && REWRITE_INFIX(o) >= min =>
             next()
@@ -804,6 +879,16 @@ object DuckDialect {
               left = s"$left $o"; loop = false
             } else {
             val r = expr(REWRITE_INFIX(o) + 1)
+            if (Set("/", "%", "//", "**", "^")(o) && (isHuge(left) || isHuge(r))) {
+              val pre = hugePre(left, r)
+              left = o match {
+                // `/` on the reference's hugeints is DOUBLE division
+                case "/" => s"try_divide(${pre}_dbl(${hugeLift(left, pre)}), ${pre}_dbl(${hugeLift(r, pre)}))"
+                case "%" => s"${pre}_mod(${hugeLift(left, pre)}, ${hugeLift(r, pre)})"
+                case "//" => s"${pre}_div(${hugeLift(left, pre)}, ${hugeLift(r, pre)})"
+                case _ => s"power(${pre}_dbl(${hugeLift(left, pre)}), ${pre}_dbl(${hugeLift(r, pre)}))"
+              }
+            } else {
             left = o match {
               case "/"        => s"try_divide($left, $r)"
               case "%"        => s"try_mod($left, $r)"
@@ -824,6 +909,7 @@ object DuckDialect {
               case "<@"       => s"list_has_all($r, $left)"
               case "^@"       => s"starts_with($left, $r)"
               case "=="       => s"($left = $r)"
+            }
             }
             }
           case TWord(w) if w.equalsIgnoreCase("AND") && 20 >= min =>
@@ -892,7 +978,16 @@ object DuckDialect {
       require(more, "duck-dialect: unexpected end of input in expression")
       val t = next()
       val base = t match {
-        case TOp("-") => s"(- ${expr(90)})"
+        case TOp("-") if (peek match {
+          case TNum(n) => n.length > 38 && n.matches("[0-9]+")
+          case _ => false
+        }) =>
+          // fold the sign into the INT128/DOUBLE literal decision —
+          // -(2^127) is a valid HUGEINT whose positive half is not
+          numLiteral("-" + next().text)
+        case TOp("-") =>
+          val e = expr(90)
+          if (isHuge(e)) s"${hugePre(e, "")}_neg($e)" else s"(- $e)"
         case TOp("+") => expr(90)
         case TOp("~") => s"(~ ${expr(90)})"
         case TOp("@") => s"abs(${expr(90)})"
@@ -920,7 +1015,7 @@ object DuckDialect {
           }
           s"$fmt.`$path`"
         case TStr(s) => emitStr(s)
-        case TNum(s) => s
+        case TNum(s) => numLiteral(s)
         case TQuoted(s) => quoteIdent(s)
         case TWord(w) => wordPrimary(w)
         case other => other.text
@@ -1011,6 +1106,24 @@ object DuckDialect {
         val parts = ArrayBuffer.empty[String]
         while (more && !peekOp(")")) {
           parts += expr(0)
+          // parenthesized set-operation chain as a relation/scalar:
+          // `((q1) EXCEPT (q2) EXCEPT (q3)) alias` — the set-op words
+          // are clause structure joining the parts, not new list items
+          while (more && (peekWord("UNION") || peekWord("EXCEPT") ||
+              peekWord("INTERSECT"))) {
+            val op = next().text.toUpperCase
+            val mod =
+              if (peekWord("ALL") || peekWord("DISTINCT"))
+                " " + next().text.toUpperCase
+              else ""
+            val byName =
+              if (op == "UNION" && peekWord("BY") &&
+                  peekAt(1).exists(_.text.equalsIgnoreCase("NAME"))) {
+                next(); next(); " BY NAME"
+              } else ""
+            val rhs = expr(0)
+            parts(parts.length - 1) = parts.last + s" $op$mod$byName $rhs"
+          }
           if (peekOp(",")) next()
         }
         expectOp(")")
@@ -1526,9 +1639,14 @@ object DuckDialect {
       }
       val e = expr(0)
       require(peekWord("AS"), s"duck-dialect: $kw without AS"); next()
+      val rawTy = peek.text.toUpperCase
       val ty = parseType()
       expectOp(")")
-      s"$kw($e AS $ty)"
+      if (isHuge(e))
+        castHuge(e, rawTy, ty).getOrElse(s"$kw(${hugePre(e, "")}_str($e) AS $ty)")
+      else if (Set("HUGEINT", "UHUGEINT", "INT128", "UINT128")(rawTy) && outOf38(e))
+        s"${if (rawTy.startsWith("U")) "uhugeint" else "hugeint"}($e)"
+      else s"$kw($e AS $ty)"
     }
 
     /** UNION( a T, b U ) member list; consumes through `)`. */
@@ -1650,8 +1768,15 @@ object DuckDialect {
             }
           case TOp("::") =>
             next()
+            val rawTy = peek.text.toUpperCase
             val ty = parseType()
-            base = s"CAST($base AS $ty)"
+            base =
+              if (isHuge(base))
+                castHuge(base, rawTy, ty).getOrElse(s"CAST(${hugePre(base, "")}_str($base) AS $ty)")
+              else if (Set("HUGEINT", "UHUGEINT", "INT128", "UINT128")(rawTy) &&
+                  outOf38(base))
+                s"${if (rawTy.startsWith("U")) "uhugeint" else "hugeint"}($base)"
+              else s"CAST($base AS $ty)"
           case TOp("!") =>
             next()
             base = s"factorial($base)"

@@ -114,5 +114,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     SqlRegistry2.registerAll(e)
     RefAliases.registerAll(e)
     DuckNames.registerAll(e)
+    HugeintReg.install(e)
   }
 }

@@ -88,6 +88,22 @@ object FunctionsQ10 {
         |ON o_custkey = user_id AND CAST(o_orderdate AS TIMESTAMP) <= ts
         |ORDER BY event_id, o_orderkey""".stripMargin),
 
+    // F89: HUGEINT (INT128) past DECIMAL(38) — literals, + - * // %,
+    // mixed int operands, comparisons, VARCHAR render (plans/Hugeint:
+    // order-preserving 16-byte encoding, BigInteger kernels;
+    // reference src/common/types/hugeint.cpp). The same text renders
+    // identical strings on both engines.
+    verbatim("f89_hugeint",
+      """SELECT n_nationkey,
+        | CAST('170141183460469231731687303715884105727'::HUGEINT - n_nationkey AS VARCHAR) AS sub_edge,
+        | CAST(('150000000000000000000000000000000000000'::HUGEINT // 3 + n_nationkey) * 3 AS VARCHAR) AS mul_big,
+        | CAST('100000000000000000000000000000000000000'::HUGEINT // (n_nationkey + 1) AS VARCHAR) AS div_big,
+        | CAST('100000000000000000000000000000000000000'::HUGEINT % (n_nationkey + 7) AS VARCHAR) AS mod_big,
+        | ('100000000000000000000000000000000000000'::HUGEINT + n_nationkey) > '100000000000000000000000000000000000005'::HUGEINT AS gt_mid,
+        | CAST('-170141183460469231731687303715884105728'::HUGEINT + n_nationkey AS VARCHAR) AS min_plus,
+        | CAST('340282366920938463463374607431768211455'::UHUGEINT - n_nationkey::UHUGEINT AS VARCHAR) AS umax_minus
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
     verbatim("f85_ordered_agg",
       """SELECT n_regionkey,
         | array_to_string(list(n_name ORDER BY n_name DESC), ',') AS names_desc,
