@@ -211,7 +211,7 @@ object GraftSql {
       // transaction_statement.cpp) → file-level undo over the
       // copy-on-write DML layer (sources/Txn)
       case TxnBegin() =>
-        graft.sources.Txn.begin(); return spark.emptyDataFrame
+        graft.sources.Txn.begin(spark); return spark.emptyDataFrame
       case TxnCommit() =>
         graft.sources.Txn.commit(spark); return spark.emptyDataFrame
       case TxnRollback() =>

@@ -23,45 +23,114 @@ import org.apache.spark.sql.SparkSession
   *     trashed originals back: the table's file set returns to
   *     exactly its BEGIN state.
   *
-  * Honest divergences from the reference's MVCC, documented rather
-  * than implied away: single-writer, NO isolation — a reader
-  * concurrent with an open transaction sees its uncommitted state
-  * (the reference gives snapshot isolation from its version
-  * manager); DDL (CREATE/DROP) autocommits. What IS exact is the
-  * batch-pipeline contract: one writer, BEGIN→mutate→ROLLBACK leaves
-  * no trace, BEGIN→mutate→COMMIT is the plain autocommit end state —
-  * pinned against DuckDB running the identical script
-  * (u11_transactions / TxnSpec).
+  * READER SNAPSHOT ISOLATION (the reference's MVCC contract,
+  * duck_transaction_manager.cpp, pinned against two concurrent
+  * python-duckdb connections): BEGIN pins every managed table's file
+  * list and shadows the table name with a temp view reading exactly
+  * those files. A concurrent writer — another logical connection,
+  * expressed here as [[foreign]]-wrapped DML, since the front door
+  * is one connection — swaps files as usual, but its deletes are
+  * deferred to a hidden pin-trash and each RENAME re-points the open
+  * transaction's pinned view, so the reader keeps seeing its BEGIN
+  * snapshot (DuckDB: A mid-txn still sees the pre-image, 100 vs
+  * B's committed 5100). The transaction's OWN writes unpin the table
+  * (own-write visibility, like the reference). COMMIT/ROLLBACK drop
+  * the pins: both then see the foreign writer's committed state —
+  * ROLLBACK undoes only the transaction's own mutations, never a
+  * concurrent committed write (DuckDB: rollback then read = 5105).
   *
-  * Why reader snapshots are NOT retrofitted here (reasoned dead end,
-  * r7): deferring the swap's deletes to the trash for every mutation
-  * — not just inside transactions — looks like it would let a reader
-  * whose plan already pinned the old file list keep reading its
-  * snapshot. It would not: the trash move is a RENAME, which removes
-  * the exact path the reader's file index holds, failing the read
-  * the same way the delete does; leaving the file in place under a
-  * hidden name breaks the same way. Snapshot isolation over a
-  * directory-listing table needs readers to resolve files through a
-  * MANIFEST instead of a listing — which is precisely the DeltaLake
-  * source (sources/DeltaLake, S14: snapshots, time travel, atomic
-  * single-file log commits). Swap-in-place tables deliberately stay
-  * listing-based (zero metadata to manage); users who need
-  * concurrent-reader isolation use the Delta path.
+  * Remaining honest divergences: single in-process writer at a time;
+  * DDL (CREATE/DROP) autocommits; a second concurrent TRANSACTION
+  * (not just writer) is not modeled — the front door is one
+  * connection.
   */
 object Txn {
 
   private case class TableUndo(path: String, snapshot: Set[String])
 
+  /** A pinned table: name, storage path, and the exact files the
+    * open transaction reads (re-pointed when a foreign writer
+    * trash-renames one). */
+  private case class Pin(name: String, path: String,
+      var files: Seq[String], var active: Boolean)
+
   @volatile private var open = false
   private val undo = mutable.LinkedHashMap.empty[String, TableUndo]
+  private val pins = mutable.LinkedHashMap.empty[String, Pin]
+  private val foreignMode = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+  private var session: SparkSession = _
 
   def isActive: Boolean = open
 
-  def begin(): Unit = synchronized {
+  /** Runs `body` as a SECOND logical connection: its swaps defer
+    * deletes for the open reader's pins but record NO undo — a
+    * concurrent writer's commit survives this transaction's
+    * ROLLBACK, exactly as in the reference. */
+  def foreign[T](body: => T): T = {
+    foreignMode.set(true)
+    try body finally foreignMode.set(false)
+  }
+
+  def begin(): Unit = begin(null)
+
+  def begin(spark: SparkSession): Unit = synchronized {
     require(!open, "BEGIN: a transaction is already active")
     open = true
     undo.clear()
+    pins.clear()
+    session = spark
+    if (spark != null) pinCatalogTables(spark)
   }
+
+  /** Snapshot every managed table in the current database behind a
+    * shadowing temp view over its exact file list. Empty tables are
+    * not pinned (nothing to protect; parquet cannot infer an empty
+    * schema from zero files). */
+  private def pinCatalogTables(spark: SparkSession): Unit = {
+    val cat = spark.sessionState.catalog
+    cat.listTables(cat.getCurrentDatabase).foreach { id =>
+      if (!cat.isTempView(id)) {
+        try {
+          val meta = cat.getTableMetadata(id)
+          if (meta.provider.exists(_.equalsIgnoreCase("parquet"))) {
+            val path = meta.location.toString
+            val files = dataFiles(spark, path)
+            if (files.nonEmpty) {
+              val pin = Pin(id.table, path, files, active = true)
+              pins(key(path)) = pin
+              spark.read.parquet(files: _*).createOrReplaceTempView(id.table)
+            }
+          }
+        } catch { case _: Exception => } // views/odd providers: not pinned
+      }
+    }
+  }
+
+  /** Drop a table's pin (own-write visibility / DML target
+    * resolution) — reads go back to the live listing. */
+  def unpin(spark: SparkSession, tableName: String): Unit = synchronized {
+    pins.values.find(p => p.active && p.name == tableName).foreach { p =>
+      p.active = false
+      spark.catalog.dropTempView(p.name)
+    }
+  }
+
+  private def unpinByPath(spark: SparkSession, path: String): Unit =
+    pins.get(key(path)).filter(_.active).foreach { p =>
+      p.active = false
+      spark.catalog.dropTempView(p.name)
+    }
+
+  /** A foreign writer renamed `from` to `to` under the pin-trash —
+    * re-point the open reader's view at the moved bytes. */
+  private def repoint(spark: SparkSession, path: String,
+      from: String, to: String): Unit =
+    pins.get(key(path)).filter(_.active).foreach { p =>
+      p.files = p.files.map(f => if (norm(f) == norm(from)) to else f)
+      spark.read.parquet(p.files: _*).createOrReplaceTempView(p.name)
+    }
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -83,16 +152,29 @@ object Txn {
     buf.toSeq
   }
 
+  private val foreignTouched = mutable.LinkedHashSet.empty[String]
+
   /** Record the table's pre-mutation file list, once per table per
-    * transaction. No-op outside a transaction.
+    * transaction. No-op outside a transaction. A foreign writer
+    * records no undo (its commit must survive ROLLBACK); the
+    * transaction's own writes also unpin the table so it reads its
+    * own mutations.
     */
   def touch(spark: SparkSession, path: String): Unit = synchronized {
-    if (open && !undo.contains(key(path))) {
-      undo(key(path)) = TableUndo(path, dataFiles(spark, path).toSet)
+    if (open && foreignMode.get()) {
+      foreignTouched += key(path)
+    } else if (open) {
+      unpinByPath(spark, path)
+      if (!undo.contains(key(path)))
+        undo(key(path)) = TableUndo(path, dataFiles(spark, path).toSet)
     }
   }
 
   private def key(path: String) = path.stripSuffix("/")
+
+  /** Filesystem-path normal form — Spark's `_metadata.file_path`
+    * ("file:///x") and Hadoop listings ("file:/x") must compare equal. */
+  private def norm(f: String): String = new Path(f).toUri.getPath
 
   private def trashDir(path: String) = new Path(path, ".graft_trash")
 
@@ -106,6 +188,26 @@ object Txn {
     */
   def trash(spark: SparkSession, path: String, file: String): Unit = {
     val hfs = fs(spark, path)
+    if (foreignMode.get()) {
+      // concurrent-writer path: the delete is deferred ONLY to keep
+      // the open reader's pinned snapshot readable — rename under the
+      // pin-trash and re-point the pinned view at the moved bytes
+      val pinnedHere = synchronized {
+        pins.get(key(path)).exists(p =>
+          p.active && p.files.exists(norm(_) == norm(file)))
+      }
+      if (!pinnedHere) {
+        hfs.delete(new Path(file), false)
+        return
+      }
+      val dir = new Path(trashDir(path), "pin")
+      if (!hfs.exists(dir)) hfs.mkdirs(dir)
+      val src = new Path(file)
+      val dst = new Path(dir, src.getName)
+      require(hfs.rename(src, dst), s"txn: failed to pin-trash $file")
+      synchronized { repoint(spark, path, file, dst.toString) }
+      return
+    }
     val inSnapshot = synchronized {
       undo.get(key(path)).exists(_.snapshot.contains(file))
     }
@@ -120,15 +222,36 @@ object Txn {
       s"txn: failed to trash $file")
   }
 
+  private def dropPins(spark: SparkSession): Unit = {
+    pins.values.filter(_.active).foreach(p => spark.catalog.dropTempView(p.name))
+    // invalidate cached file indexes for every pinned table — a
+    // foreign writer's pin-trash renames are purged by now, so any
+    // relation resolved mid-transaction holds dead file paths
+    pins.values.foreach { p =>
+      try spark.catalog.refreshTable(p.name) catch { case _: Exception => }
+    }
+    pins.clear()
+  }
+
+  private def purgeTrash(spark: SparkSession, paths: Iterable[String]): Unit =
+    paths.foreach { p =>
+      val hfs = fs(spark, p)
+      val dir = trashDir(p)
+      if (hfs.exists(dir)) hfs.delete(dir, true)
+      // the session catalog caches resolved file indexes — a reader
+      // that resolved the table mid-transaction must re-list now that
+      // the pin-trash (a foreign writer's deferred deletes) is gone
+      spark.catalog.refreshByPath(p)
+    }
+
   def commit(spark: SparkSession): Unit = synchronized {
     require(open, "COMMIT: no active transaction")
-    undo.values.foreach { u =>
-      val hfs = fs(spark, u.path)
-      val dir = trashDir(u.path)
-      if (hfs.exists(dir)) hfs.delete(dir, true)
-    }
+    purgeTrash(spark, undo.values.map(_.path) ++ foreignTouched)
+    dropPins(spark)
     undo.clear()
+    foreignTouched.clear()
     open = false
+    session = null
   }
 
   def rollback(spark: SparkSession): Unit = synchronized {
@@ -138,7 +261,10 @@ object Txn {
       // drop files added after BEGIN
       dataFiles(spark, u.path).filterNot(u.snapshot)
         .foreach(f => hfs.delete(new Path(f), false))
-      // restore the trashed originals
+      // restore the trashed originals (the non-recursive file listing
+      // skips the pin/ subdir — foreign writers' committed swaps are
+      // NOT restored, matching the reference: rollback undoes only
+      // this transaction's own writes)
       val dir = trashDir(u.path)
       if (hfs.exists(dir)) {
         val it = hfs.listFiles(dir, false)
@@ -151,7 +277,11 @@ object Txn {
       }
       spark.catalog.refreshByPath(u.path)
     }
+    purgeTrash(spark, foreignTouched)
+    dropPins(spark)
     undo.clear()
+    foreignTouched.clear()
     open = false
+    session = null
   }
 }

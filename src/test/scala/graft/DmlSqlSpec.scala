@@ -121,6 +121,56 @@ class DmlSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("reader snapshot isolation: concurrent writer's commit invisible until COMMIT/ROLLBACK") {
+    // Pinned against two concurrent python-duckdb connections on one
+    // database file (reference duck_transaction_manager.cpp):
+    //   A: CREATE t (sum v = 100); A: BEGIN; A reads 100
+    //   B: UPDATE v = v + 1000 (commits; B reads 5100)
+    //   A mid-txn reads 100  ← snapshot isolation, the pre-image
+    //   A: COMMIT; A reads 5100
+    //   A: BEGIN; B: UPDATE v = v + 1; A: ROLLBACK; A reads 5105
+    //   ← ROLLBACK never undoes the concurrent writer's commit
+    spark.sql("CREATE DATABASE IF NOT EXISTS mvccdb")
+    spark.sql("USE mvccdb")
+    spark.sql("DROP TABLE IF EXISTS t")
+    try {
+      GraftSql.sql(spark,
+        "CREATE TABLE t AS SELECT CAST(x AS BIGINT) AS i, CAST(x * 10 AS BIGINT) AS v FROM (SELECT explode(sequence(0, 4)) AS x)")
+      def sumV: Long =
+        GraftSql.sql(spark, "SELECT sum(v) AS s FROM t").collect()(0).getLong(0)
+      val path = graft.sources.DmlSql.tablePath(spark, "t")
+      GraftSql.sql(spark, "BEGIN")
+      assert(sumV === 100L)
+      // the concurrent writer: a second logical connection
+      graft.sources.Txn.foreign {
+        graft.sources.Dml.update(spark, path,
+          org.apache.spark.sql.functions.lit(true),
+          Map("v" -> org.apache.spark.sql.functions.expr("v + 1000")))
+      }
+      assert(sumV === 100L, "open transaction must keep its BEGIN snapshot")
+      GraftSql.sql(spark, "COMMIT")
+      assert(sumV === 5100L, "after COMMIT the writer's state is visible")
+      GraftSql.sql(spark, "BEGIN")
+      graft.sources.Txn.foreign {
+        graft.sources.Dml.update(spark, path,
+          org.apache.spark.sql.functions.lit(true),
+          Map("v" -> org.apache.spark.sql.functions.expr("v + 1")))
+      }
+      GraftSql.sql(spark, "ROLLBACK")
+      assert(sumV === 5105L, "ROLLBACK must not undo a concurrent committed write")
+      // own-write visibility inside a transaction is unchanged
+      GraftSql.sql(spark, "BEGIN")
+      GraftSql.sql(spark, "UPDATE t SET v = 0 WHERE i = 0")
+      assert(sumV === 5105L - 1001L) // row i=0 had v = 0*10 + 1000 + 1
+      GraftSql.sql(spark, "ROLLBACK")
+      assert(sumV === 5105L)
+    } finally {
+      if (graft.sources.Txn.isActive) graft.sources.Txn.rollback(spark)
+      spark.sql("DROP TABLE IF EXISTS t")
+      spark.sql("USE default")
+    }
+  }
+
   test("transaction misuse errors: double BEGIN, COMMIT without BEGIN") {
     intercept[Exception] { GraftSql.sql(spark, "COMMIT") }
     GraftSql.sql(spark, "BEGIN")
