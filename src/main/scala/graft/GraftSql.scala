@@ -18,7 +18,7 @@ object GraftSql {
   private val Describe = """(?is)\s*DESCRIBE\s+([\w.]+)\s*;?\s*""".r
   private val SummarizeAny = """(?is)\s*SUMMARIZE\s+(.+?);?\s*""".r
   private val DescribeAny = """(?is)\s*DESCRIBE\s+(.+?);?\s*""".r
-  private val LimitPercent = """(?is)^(.*)\bLIMIT\s+(\d+)\s*(?:%|PERCENT)\s*;?\s*$""".r
+  private val LimitPercent = """(?is)^(.*)\bLIMIT\s+(\d+(?:\.\d+)?)\s*(?:%|PERCENT)\s*;?\s*$""".r
   private val Explain = """(?is)^\s*EXPLAIN(\s+ANALYZE)?\s+(.*)$""".r
   private val CheckpointRe = """(?is)^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$""".r
   private val AnalyzeRe = """(?is)^\s*ANALYZE(\s+[\w.]+)?\s*;?\s*$""".r
@@ -90,6 +90,9 @@ object GraftSql {
       // dictionary mapping in plans/EnumTypes)
       case graft.plans.EnumTypes.CreateTypeRe(name, vals) =>
         graft.plans.EnumTypes.register(name, vals)
+        return S.emptyDf(spark)
+      case graft.plans.EnumTypes.CreateAliasRe(name, ty) =>
+        graft.plans.EnumTypes.registerAlias(name, ty)
         return S.emptyDf(spark)
       case graft.plans.EnumTypes.DropTypeRe(name) =>
         graft.plans.EnumTypes.drop(name)
@@ -270,7 +273,7 @@ object GraftSql {
       case LimitPercent(inner, pct) =>
         val df = spark.sql(translate(inner))
         val n = df.count()
-        return df.limit((n * pct.toLong / 100L).toInt)
+        return df.limit(math.floor(n * pct.toDouble / 100.0).toInt)
       case _ =>
     }
     text match {

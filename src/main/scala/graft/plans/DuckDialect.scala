@@ -111,6 +111,24 @@ object DuckDialect {
           } else i += 1
         }
         out += TStr(sql.substring(start, i))
+      } else if (c == '$' && {
+        // dollar-quoted string $tag$…$tag$ (reference postgres-style
+        // lexing; tag is an optional identifier)
+        var j = i + 1
+        while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+        // a tag starts with a letter (or is empty) — `$1` is a
+        // positional parameter, not a quote delimiter
+        j < n && sql.charAt(j) == '$' && (j == i + 1 || !sql.charAt(i + 1).isDigit)
+      }) {
+        var j = i + 1
+        while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+        val delim = sql.substring(i, j + 1) // $tag$
+        val bodyStart = j + 1
+        val end = sql.indexOf(delim, bodyStart)
+        val bodyEnd = if (end < 0) n else end
+        val body = sql.substring(bodyStart, bodyEnd)
+        out += TStr("'" + body.replace("'", "''") + "'")
+        i = if (end < 0) n else bodyEnd + delim.length
       } else if (c == '"') { // quoted identifier, "" doubling
         val sb = new StringBuilder; i += 1
         var done = false
@@ -278,6 +296,10 @@ object DuckDialect {
         case t => sb.append(' ').append(t.text)
       }
       sb.append(" )")
+      // a trailing relation alias (`… PIVOT (…) AS p`) — the
+      // reference accepts it, Spark's pivot grammar does not; the
+      // alias is dropped (unqualified column refs still resolve)
+      if (peekWord("AS")) { next(); if (more) next() }
       sb.toString
     }
 
@@ -315,7 +337,27 @@ object DuckDialect {
       // clause appears later at depth 0, move it in front; else
       // prepend SELECT *.
       if (peekWord("FROM")) out += fromFirst()
+      // WITH clause: parsed structurally — the reference's CTE column
+      // aliases (`WITH c(a, b) AS (…)`) have no Spark spelling, so
+      // they re-emerge as a column-aliased subquery inside the CTE
+      // body; a FROM-first statement body after the CTE list routes
+      // through fromFirst like a bare one
+      if (peekWord("WITH") && !peekAt(1).exists {
+        case TWord(x) => x.equalsIgnoreCase("RECURSIVE"); case _ => false
+      }) {
+        val save = i
+        try {
+          out += withClause()
+          if (peekWord("FROM")) {
+            out += fromFirst()
+            return out.mkString(" ")
+          }
+        } catch {
+          case _: Exception => i = save // not a plain CTE list: glue path
+        }
+      }
       while (more && !peekOp(")")) {
+        if (!more || peekOp(")")) return out.mkString(" ")
         val t = peek
         t match {
           case TWord(w) if w.equalsIgnoreCase("USING") && peekAt(1).exists {
@@ -700,6 +742,51 @@ object DuckDialect {
       * `SELECT * FROM t ...`. Consumes the FROM clause tokens up to a
       * depth-0 SELECT or clause keyword.
       */
+    /** WITH [name [(cols)] AS [MATERIALIZED] (body)]+ — bodies
+      * translate recursively; column aliases become a subquery alias
+      * (Spark's CTE grammar has none). Throws on non-CTE shapes. */
+    private def withClause(): String = {
+      next() // WITH
+      val parts = ArrayBuffer.empty[String]
+      var going = true
+      while (going) {
+        val name = next() match {
+          case TQuoted(s) => quoteIdent(s)
+          case TWord(w) => w
+          case t => throw new IllegalArgumentException(
+            s"duck-dialect: CTE name expected, got ${t.text}")
+        }
+        val cols: Option[Seq[String]] =
+          if (peekOp("(")) {
+            expectOp("(")
+            val cs = ArrayBuffer.empty[String]
+            while (more && !peekOp(")")) {
+              cs += (next() match {
+                case TQuoted(s) => quoteIdent(s)
+                case t => t.text
+              })
+              if (peekOp(",")) next()
+            }
+            expectOp(")")
+            Some(cs.toSeq)
+          } else None
+        require(peekWord("AS"), "duck-dialect: CTE without AS"); next()
+        if (peekWord("MATERIALIZED")) next()
+        else if (peekWord("NOT") && peekAt(1).exists {
+          case TWord(x) => x.equalsIgnoreCase("MATERIALIZED"); case _ => false
+        }) { next(); next() }
+        require(peekOp("("), "duck-dialect: CTE body expected")
+        val body = primaryParen()
+        parts += (cols match {
+          case Some(cs) =>
+            s"$name AS (SELECT * FROM $body AS $name(${cs.mkString(", ")}))"
+          case None => s"$name AS $body"
+        })
+        if (peekOp(",")) next() else going = false
+      }
+      s"WITH ${parts.mkString(", ")}"
+    }
+
     private def fromFirst(): String = {
       next() // FROM
       lastGlue = "FROM"
@@ -772,7 +859,11 @@ object DuckDialect {
       * wider literals become INT128 kernel literals when in range
       * (hugeint.cpp), else DOUBLE — DuckDB's own literal fallback. */
     private def numLiteral(s: String): String =
-      if (s.length <= 38 || !s.matches("-?[0-9]+")) s
+      if (s.length > 39 && s.matches("-?[0-9]+\\.[0-9]+") &&
+          s.replaceAll("[-.]", "").length > 38)
+        // DECIMAL literal past 38 digits: the reference reads DOUBLE
+        s"CAST('$s' AS DOUBLE)"
+      else if (s.length <= 38 || !s.matches("-?[0-9]+")) s
       else {
         val v = new java.math.BigInteger(s)
         if (HugeintKernel.inRange(v, signed = true)) s"hugeint('$s')"
@@ -1182,6 +1273,16 @@ object DuckDialect {
         // postgres-spelling array constructor `ARRAY[1, 2, 3]` (the
         // reference accepts both it and the bare `[...]` literal)
         case "ARRAY" if peekOp("[") => next(); arrayLiteral()
+        // ARRAY(subquery) — the reference's array-from-subquery
+        // constructor; Spark has no equivalent form, so it compiles
+        // to a collect_list scalar subquery (single-column contract,
+        // same as the reference's binder)
+        case "ARRAY" if peekOp("(") && peekAt(1).exists {
+          case TWord(x) => Set("SELECT", "WITH", "FROM")(x.toUpperCase)
+          case _ => false
+        } =>
+          val sub = primaryParen()
+          s"(SELECT collect_list(__ac) FROM $sub AS __arr_t(__ac))"
         // CTE materialization hints: `AS [NOT] MATERIALIZED (query)`
         // — planner hints the translation drops (Spark decides reuse)
         case "MATERIALIZED" if peekOp("(") => primaryParen()
@@ -1715,7 +1816,67 @@ object DuckDialect {
         case TWord(u) => INTERVAL_UNITS(u.toUpperCase)
         case _ => false
       })) out += next().text
-      out.mkString(" ")
+      // the reference accepts interval strings Spark's literal parser
+      // rejects: mixed year-month + day-time fields, fractional or
+      // compound quantities, decade/century units, ms/us suffixes —
+      // those compile to make_interval (CalendarIntervalType carries
+      // mixed fields)
+      mixedInterval(out.toSeq).getOrElse(out.mkString(" "))
+    }
+
+    /** Parse `INTERVAL '<q unit …>' [unit…]` into make_interval when
+      * Spark's literal grammar can't carry it; None = passthrough. */
+    private def mixedInterval(parts: Seq[String]): Option[String] = {
+      if (parts.length < 2) return None
+      val content0 = parts(1)
+      val isStr = content0.startsWith("'")
+      val content = if (isStr) content0.stripPrefix("'").stripSuffix("'") else content0
+      val tailUnits = parts.drop(2).mkString(" ")
+      val full = (content + " " + tailUnits).trim
+      val ago = "(?i)\\bago\\s*$".r.findFirstIn(full).isDefined
+      val fullQ = if (ago) "(?i)\\bago\\s*$".r.replaceAllIn(full, "") else full
+      val pair = """([+-]?\d+(?:\.\d+)?)\s*([A-Za-z]+)""".r
+      val pairs = pair.findAllMatchIn(fullQ).map(m => (m.group(1).toDouble,
+        m.group(2).toLowerCase)).toSeq
+      if (pairs.isEmpty) return None
+      // reject if un-parsed residue remains (e.g. '1:02:03' clock forms)
+      val residue = pair.replaceAllIn(fullQ, "").replaceAll("[\\s,]+", "")
+      if (residue.nonEmpty) return None
+      var months = 0.0
+      var days = 0.0
+      var micros = 0.0
+      var odd = false // anything Spark's literal parser can't hold
+      pairs.foreach { case (q, u) =>
+        def frac = q != math.floor(q)
+        u match {
+          case "millennium" | "millenniums" | "millennia" => months += q * 12000; odd = true
+          case "century" | "centuries" => months += q * 1200; odd = true
+          case "decade" | "decades" => months += q * 120; odd = true
+          case "year" | "years" | "y" | "yr" | "yrs" => months += q * 12; if (frac) odd = true
+          case "quarter" | "quarters" => months += q * 3; odd = true
+          case "month" | "months" | "mon" | "mons" => months += q; if (frac) odd = true
+          case "week" | "weeks" | "w" => days += q * 7; if (frac) odd = true
+          case "day" | "days" | "d" => days += q; if (frac) odd = true
+          case "hour" | "hours" | "h" | "hr" | "hrs" => micros += q * 3600e6
+          case "minute" | "minutes" | "m" | "min" | "mins" => micros += q * 60e6
+          case "second" | "seconds" | "s" | "sec" | "secs" => micros += q * 1e6
+          case "millisecond" | "milliseconds" | "ms" | "msec" | "msecs" => micros += q * 1e3; odd = true
+          case "microsecond" | "microseconds" | "us" | "usec" | "usecs" => micros += q; odd = true
+          case _ => return None
+        }
+      }
+      if (ago) { months = -months; days = -days; micros = -micros }
+      val hasYm = months != 0.0
+      val hasDt = days != 0.0 || micros != 0.0
+      if (!odd && !ago && !(hasYm && hasDt)) return None
+      // fractional months have day-borrowing semantics the engine
+      // doesn't model — leave those to error loudly
+      if (months != math.floor(months)) return None
+      val dWhole = math.floor(days)
+      val fracDayMicros = (days - dWhole) * 86400e6
+      val secs = java.math.BigDecimal.valueOf((micros + fracDayMicros) / 1e6)
+        .toPlainString
+      Some(s"make_interval(0, ${months.toLong}, 0, ${dWhole.toLong}, 0, 0, $secs)")
     }
 
     // -------------------------------------------------- postfix
@@ -1850,7 +2011,8 @@ object DuckDialect {
       "VARCHAR" -> "STRING", "TEXT" -> "STRING", "BPCHAR" -> "STRING",
       "BLOB" -> "BINARY", "BYTEA" -> "BINARY", "VARBINARY" -> "BINARY",
       "REAL" -> "FLOAT", "FLOAT4" -> "FLOAT", "FLOAT8" -> "DOUBLE",
-      "NUMERIC" -> "DECIMAL", "LOGICAL" -> "BOOLEAN", "BOOL" -> "BOOLEAN",
+      "NUMERIC" -> "DECIMAL", "DEC" -> "DECIMAL(18,3)",
+      "LOGICAL" -> "BOOLEAN", "BOOL" -> "BOOLEAN",
       "TIME" -> "STRING", "TIMETZ" -> "STRING",
       "TIMESTAMPTZ" -> "TIMESTAMP", "TIMESTAMP_S" -> "TIMESTAMP",
       "TIMESTAMP_MS" -> "TIMESTAMP", "TIMESTAMP_NS" -> "TIMESTAMP",
@@ -1930,12 +2092,31 @@ object DuckDialect {
             case "NUMERIC" => "DECIMAL"
             case other => TYPE_MAP.getOrElse(other, other)
           }
-          if (mapped == "STRING") "STRING" else s"$mapped(${params.mkString(",")})"
-        case other => TYPE_MAP.getOrElse(other,
-          // user ENUM types registered via CREATE TYPE … AS ENUM map
-          // to their dictionary-string representation (plans/EnumTypes
-          // — value validation happens at the cast/INSERT layer)
-          if (EnumTypes.get(other).isDefined) "STRING" else other)
+          if (mapped == "STRING") "STRING"
+          // `DECIMAL()` / `DEC()`: the reference's default is (18,3)
+          else if (params.isEmpty && mapped.startsWith("DECIMAL")) "DECIMAL(18,3)"
+          else if (mapped.contains("(")) mapped // pre-parameterized map entry
+          else s"$mapped(${params.mkString(",")})"
+        case other0 =>
+          // schema-qualified user types (foo.bar) resolve bare
+          var other = other0
+          while (peekOp(".") && peekAt(1).exists(_.isInstanceOf[TWord])) {
+            next(); other = next().text.toUpperCase
+          }
+          TYPE_MAP.getOrElse(other,
+            // the reference's NULL type (SQLNULL): columns carry only
+            // NULLs — STRING is the closest storable Spark type
+            if (other == "NULL") "STRING"
+            // user ENUM types registered via CREATE TYPE … AS ENUM map
+            // to their dictionary-string representation (plans/EnumTypes
+            // — value validation happens at the cast/INSERT layer)
+            else if (EnumTypes.get(other).isDefined) "STRING"
+            // user type ALIASES (CREATE TYPE x AS <base>): parse the
+            // registered base type text in place
+            else EnumTypes.aliasOf(other) match {
+              case Some(raw) => new P(lex(raw)).parseType()
+              case None => other
+            })
       }
       // array suffixes: T[] / T[][] / fixed-size T[3] (Spark has no
       // fixed-size arrays — maps to plain ARRAY, length unchecked)
@@ -1960,11 +2141,17 @@ object DuckDialect {
     """(?is)^(\s*DROP\s+(?:TABLE|VIEW|SEQUENCE|TYPE|INDEX|MACRO|FUNCTION)\s+.*?)\s+(?:CASCADE|RESTRICT)(\s*;?\s*)$""".r
 
   /** Translate one DuckDB-dialect statement into Spark SQL. */
+  // the reference accepts OFFSET before LIMIT in either order;
+  // Spark's grammar requires LIMIT … OFFSET
+  private val OffsetLimitRe =
+    """(?is)\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)\b""".r
+
   def translate(sql0: String): String = {
-    val sql = sql0 match {
+    val sql1 = sql0 match {
       case DropModRe(head, tail) => head + tail
       case other => other
     }
+    val sql = OffsetLimitRe.replaceAllIn(sql1, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
     val p = new P(lex(sql))
     val out = p.statement()
     // early-return statement paths (DDL, DISTINCT ON, QUALIFY) leave

@@ -45,7 +45,24 @@ object EnumTypes {
   val CreateTypeRe =
     """(?is)^\s*CREATE\s+TYPE\s+(\w+)\s+AS\s+ENUM\s*\((.+)\)\s*;?\s*$""".r
   val DropTypeRe =
-    """(?is)^\s*DROP\s+TYPE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
+    """(?is)^\s*DROP\s+TYPE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+
+  /** CREATE TYPE name AS <base-type> — the reference's type ALIASES
+    * (logical_type alias registry; test/sql/types/alias/). The raw
+    * dialect type text is stored; DuckDialect.parseType resolves a
+    * later mention through it. Schema qualifiers register bare. */
+  val CreateAliasRe =
+    """(?is)^\s*CREATE\s+TYPE\s+([\w.]+)\s+AS\s+(?!ENUM\b)(.+?)\s*;?\s*$""".r
+
+  private val aliases = new ConcurrentHashMap[String, String]()
+
+  def registerAlias(name: String, ty: String): Unit = {
+    val bare = name.substring(name.lastIndexOf('.') + 1)
+    aliases.put(bare.toLowerCase, ty.trim)
+  }
+
+  def aliasOf(name: String): Option[String] =
+    Option(aliases.get(name.toLowerCase))
 
   def register(name: String, valuesClause: String): Unit = {
     val vals = graft.sources.DmlSql.topSplit(valuesClause, ',').map(_.trim)
@@ -58,7 +75,11 @@ object EnumTypes {
     types.put(name.toLowerCase, vals.toIndexedSeq)
   }
 
-  def drop(name: String): Unit = types.remove(name.toLowerCase)
+  def drop(name: String): Unit = {
+    val bare = name.substring(name.lastIndexOf('.') + 1)
+    types.remove(bare.toLowerCase)
+    aliases.remove(bare.toLowerCase)
+  }
   def clearAll(): Unit = types.clear()
   def get(name: String): Option[IndexedSeq[String]] =
     Option(types.get(name.toLowerCase))

@@ -19,29 +19,39 @@ object MacroReg {
   // (create_macro_info.cpp registers both spellings); TEMP/TEMPORARY
   // is a no-op scope (macros here are session-lived anyway)
   private val Create =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?(?:MACRO|FUNCTION)\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s+AS\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?(?:MACRO|FUNCTION)\s+(?:IF\s+NOT\s+EXISTS\s+)?("[^"]+"|[A-Za-z_][\w.]*)\s*\(([^)]*)\)\s+AS\s+(.+?)\s*;?\s*$""".r
 
   def isCreate(text: String): Boolean = Create.findFirstIn(text).isDefined
 
   /** DROP MACRO [IF EXISTS] name (reference drop_statement.cpp —
     * macros share the generic DROP verb). */
   val DropRe =
-    """(?is)^\s*DROP\s+(?:MACRO|FUNCTION)\s+(?:TABLE\s+)?(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$""".r
+    """(?is)^\s*DROP\s+(?:MACRO|FUNCTION)\s+(?:TABLE\s+)?(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*;?\s*$""".r
 
   def drop(name: String, ifExists: Boolean): Unit = {
-    val had = macros.remove(name.toLowerCase) != null
+    val bare = name.substring(name.lastIndexOf('.') + 1)
+    val had = macros.remove(bare.toLowerCase) != null
     require(had || ifExists, s"DROP MACRO: no macro named $name")
   }
 
   def register(text: String): Unit = text match {
     case Create(name, params, body) =>
-      macros.put(name.toLowerCase,
-        (params.split(',').map(_.trim).filter(_.nonEmpty).toSeq, body.trim))
+      // schema qualifiers register under the bare name (the session
+      // catalog here is single-schema); `AS TABLE <query>` macros
+      // expand like scalar ones — the parenthesized body is a valid
+      // FROM-position subquery
+      val bare = name.stripPrefix("\"").stripSuffix("\"")
+        .substring(name.stripPrefix("\"").stripSuffix("\"").lastIndexOf('.') + 1)
+      val b = body.trim.replaceFirst("(?is)^TABLE\\s+", "")
+      macros.put(bare.toLowerCase,
+        (params.split(',').map(_.trim).filter(_.nonEmpty).toSeq, b))
     case _ => throw new IllegalArgumentException(
       s"CREATE MACRO: unsupported shape (scalar `name(p, …) AS expr` only): $text")
   }
 
   def nonEmpty: Boolean = !macros.isEmpty
+
+  def clearAll(): Unit = macros.clear()
 
   /** Expand macro calls textually, innermost-out, to a fixpoint
     * (macros may call macros — reference macros compose the same
@@ -58,7 +68,10 @@ object MacroReg {
       rounds += 1
       macros.forEach { (name, defn) =>
         val (params, body) = defn
-        val CallRe = ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(name) + "\\s*\\(").r
+        // schema-qualified call sites (main.my_macro(..)) expand too —
+        // macros registered bare, the qualifier names the schema
+        val CallRe = ("(?i)(?<![\\w.])(?:[A-Za-z_]\\w*\\.)?" +
+          java.util.regex.Pattern.quote(name) + "\\s*\\(").r
         var m = CallRe.findFirstMatchIn(sql)
         var spins = 0
         while (m.isDefined && spins < 64) {
