@@ -17,6 +17,9 @@ object GraftSession {
       .appName("graft")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // the reference's TIME type is first-class; Spark 4.1 ships it
+      // behind a flag (dialect TIME maps to the native type when on)
+      .config("spark.sql.timeType.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

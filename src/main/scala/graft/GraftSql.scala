@@ -46,6 +46,8 @@ object GraftSql {
     spark.conf.set("spark.graft.current_query", text0)
     // CREATE MACRO registers; every other statement gets macro calls
     // textually inlined first (the reference binder does the same)
+    graft.plans.DuckDialect.nativeTime =
+      spark.conf.getOption("spark.sql.timeType.enabled").contains("true")
     if (graft.plans.MacroReg.isCreate(text0)) {
       graft.plans.MacroReg.register(text0)
       return spark.emptyDataFrame

@@ -20,6 +20,7 @@ object Verify {
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.timeType.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // naive parquet timestamps → session-zone instants, matching the
       // DuckDB oracle's wall-clock reading (see GraftSession)

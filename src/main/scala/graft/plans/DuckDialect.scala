@@ -1312,7 +1312,8 @@ object DuckDialect {
         case "TIMETZ" if more && peek.isInstanceOf[TStr] => next().text
         // no TIME type in Spark (parses, unsupported): TIME literals
         // carry as their string form, matching the TIME→STRING type map
-        case "TIME" if more && peek.isInstanceOf[TStr] => next().text
+        case "TIME" if more && peek.isInstanceOf[TStr] =>
+          if (nativeTime) s"TIME ${next().text}" else next().text
         // JSON 'literal' — the JSON type maps to STRING, the literal
         // is just its text
         case "JSON" if more && peek.isInstanceOf[TStr] => next().text
@@ -2013,7 +2014,7 @@ object DuckDialect {
       "REAL" -> "FLOAT", "FLOAT4" -> "FLOAT", "FLOAT8" -> "DOUBLE",
       "NUMERIC" -> "DECIMAL", "DEC" -> "DECIMAL(18,3)",
       "LOGICAL" -> "BOOLEAN", "BOOL" -> "BOOLEAN",
-      "TIME" -> "STRING", "TIMETZ" -> "STRING",
+      "TIMETZ" -> "STRING",
       "TIMESTAMPTZ" -> "TIMESTAMP", "TIMESTAMP_S" -> "TIMESTAMP",
       "TIMESTAMP_MS" -> "TIMESTAMP", "TIMESTAMP_NS" -> "TIMESTAMP",
       "UUID" -> "STRING", "JSON" -> "STRING", "BIT" -> "STRING",
@@ -2076,8 +2077,11 @@ object DuckDialect {
           next() // WITH/WITHOUT
           if (peekWord("TIME")) next()
           if (peekWord("ZONE")) next()
-          if (up == "TIME") "STRING"
+          if (up == "TIME") {
+            if (withTz || !nativeTime) "STRING" else "TIME"
+          }
           else if (withTz) "TIMESTAMP" else "TIMESTAMP_NTZ"
+        case "TIME" => if (nativeTime) "TIME" else "STRING"
         case "DOUBLE" if peekWord("PRECISION") => next(); "DOUBLE"
         case _ if peekOp("(") => // parameterized: DECIMAL(p,s), VARCHAR(n), …
           expectOp("(")
@@ -2141,6 +2145,11 @@ object DuckDialect {
     """(?is)^(\s*DROP\s+(?:TABLE|VIEW|SEQUENCE|TYPE|INDEX|MACRO|FUNCTION)\s+.*?)\s+(?:CASCADE|RESTRICT)(\s*;?\s*)$""".r
 
   /** Translate one DuckDB-dialect statement into Spark SQL. */
+  /** Map dialect TIME to Spark 4.1's native TimeType when the active
+    * session enables it (spark.sql.timeType.enabled) — set by GraftSql
+    * per statement; STRING fallback otherwise (the r4 ladder). */
+  @volatile var nativeTime: Boolean = false
+
   // the reference accepts OFFSET before LIMIT in either order;
   // Spark's grammar requires LIMIT … OFFSET
   private val OffsetLimitRe =

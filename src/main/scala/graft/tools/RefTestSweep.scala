@@ -79,6 +79,7 @@ object RefTestSweep {
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val parser = spark.sessionState.sqlParser
+    graft.plans.DuckDialect.nativeTime = true // GraftSession enables TimeType
 
     // Verbs GraftSql routes at the STATEMENT layer — in real
     // execution these never reach Spark's parser, so grading their
