@@ -18,6 +18,10 @@ object GraftSql {
   private val Describe = """(?is)\s*DESCRIBE\s+([\w.]+)\s*;?\s*""".r
   private val SummarizeAny = """(?is)\s*SUMMARIZE\s+(.+?);?\s*""".r
   private val DescribeAny = """(?is)\s*DESCRIBE\s+(.+?);?\s*""".r
+  private[graft] val FromSuffixPivot =
+    ("""(?is)^\s*(WITH\b.+?\))?\s*(?:SELECT\s+\*\s+)?FROM\s+([\w.]+)\s+PIVOT\s*\(\s*(.+?)\s+FOR\s+""" +
+      """([\w.]+)\s+IN\s*\((.+?)\)\s*GROUP\s+BY\s+(.+?)\s*\)\s*;?\s*$""").r
+
   private val LimitPercent = """(?is)^(.*)\bLIMIT\s+(\d+(?:\.\d+)?)\s*(?:%|PERCENT)\s*;?\s*$""".r
   private val Explain = """(?is)^\s*EXPLAIN(\s+ANALYZE)?\s+(.*)$""".r
   private val CheckpointRe = """(?is)^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$""".r
@@ -66,6 +70,16 @@ object GraftSql {
     unionByNamePass(spark, text) match {
       case Some(v) => return sql(spark, v)
       case None =>
+    }
+    // FROM-suffix pivot carrying its own GROUP BY
+    // (`FROM t PIVOT (agg FOR c IN (vals) GROUP BY g)`, the
+    // pivot_6390 spelling): exactly the statement form PivotStmt
+    // already implements — rewrite and re-enter
+    text match {
+      case FromSuffixPivot(cte, rel, agg, col, vals, grp) =>
+        return sql(spark, s"${Option(cte).map(_ + " ").getOrElse("")}" +
+          s"PIVOT $rel ON $col IN ($vals) USING $agg GROUP BY $grp")
+      case _ =>
     }
     graft.plans.PivotStmt.pass(spark, text, sql) match {
       case Some(v) => return sql(spark, v)

@@ -155,6 +155,7 @@ object RefTestSweep {
       val layerRouted = routedVerb.pattern.matcher(sql).matches() ||
         (try graft.plans.MacroReg.isCreate(sql) catch { case _: Exception => false }) ||
         topLevelPivotAfterWith ||
+        graft.GraftSql.FromSuffixPivot.findFirstIn(sql).isDefined ||
         (try graft.sources.DmlSql.matches(sql) catch { case _: Exception => false }) ||
         (try graft.plans.AsofSql.matches(sql) catch { case _: Exception => false }) ||
         // UNION BY NAME / LIMIT n% / comment-only blocks: GraftSql
