@@ -131,8 +131,8 @@ object RefTestSweep {
       // statement layers the front door routes before Spark's parser:
       // the regex verbs, DML with upsert/RETURNING (sources/DmlSql),
       // and ASOF JOIN statement syntax (plans/AsofSql)
-      def topLevelPivotAfterWith: Boolean =
-        "(?is)^\\s*WITH\\b".r.findFirstIn(sql).isDefined && {
+      def statementFormPivot: Boolean =
+        "(?is)^\\s*(WITH|SELECT|CREATE\\s+TABLE)\\b".r.findFirstIn(sql).isDefined && {
           // depth-0 scan for a statement-form PIVOT/UNPIVOT verb
           // (GraftSql routes these through plans/PivotStmt even when a
           // WITH clause precedes the verb)
@@ -145,8 +145,14 @@ object RefTestSweep {
             if (c == '\'') { i += 1; while (i < lower.length && lower.charAt(i) != '\'') i += 1 }
             else if (c == '(') depth += 1
             else if (c == ')') depth -= 1
-            else if (depth == 0 && (lower.startsWith("pivot", i) || lower.startsWith("unpivot", i)) &&
-                (i == 0 || !lower.charAt(i - 1).isLetterOrDigit))
+            else if ((lower.startsWith("pivot", i) || lower.startsWith("unpivot", i)) &&
+                (i == 0 || !lower.charAt(i - 1).isLetterOrDigit) &&
+                // statement-form verb (`PIVOT <rel> ON …`) — routed by
+                // PivotStmt's keyword scan at ANY depth; a FROM-suffix
+                // `rel PIVOT (…)` group is translate's job instead
+                (depth == 0 ||
+                  "^(un)?pivot\\s+[\\w.\\\"]+\\s+on\\b".r
+                    .findFirstIn(lower.substring(i)).isDefined))
               found = true
             i += 1
           }
@@ -154,7 +160,7 @@ object RefTestSweep {
         }
       val layerRouted = routedVerb.pattern.matcher(sql).matches() ||
         (try graft.plans.MacroReg.isCreate(sql) catch { case _: Exception => false }) ||
-        topLevelPivotAfterWith ||
+        statementFormPivot ||
         graft.GraftSql.FromSuffixPivot.findFirstIn(sql).isDefined ||
         (try graft.sources.DmlSql.matches(sql) catch { case _: Exception => false }) ||
         (try graft.plans.AsofSql.matches(sql) catch { case _: Exception => false }) ||
