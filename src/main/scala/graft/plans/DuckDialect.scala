@@ -844,8 +844,34 @@ object DuckDialect {
     private val HugeTag =
       "^(u?hugeint)(_(add|sub|mul|div|mod|neg|abs|shl|shr|and|or|xor|lift))?\\(".r
 
-    private def isHuge(s: String): Boolean =
-      HugeTag.findFirstIn(s.dropWhile(_ == '(')).isDefined
+    /** Closing-paren index matching the `(` at `open`, quote-aware;
+      * -1 if unbalanced. */
+    private def matchingClose(s: String, open: Int): Int = {
+      var depth = 0; var i = open; var inQ = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else if (c == '\'') inQ = true
+        else if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) return i }
+        i += 1
+      }
+      -1
+    }
+
+    /** True only when the kernel call spans the WHOLE expression
+      * (after stripping fully-enclosing parens) — a comparison over
+      * lifted operands like `(hugeint_lift(a) < hugeint_lift(b))`
+      * is BOOLEAN, not INT128, and must not re-lift. */
+    private def isHuge(s0: String): Boolean = {
+      var s = s0.trim
+      while (s.startsWith("(") && matchingClose(s, 0) == s.length - 1)
+        s = s.substring(1, s.length - 1).trim
+      HugeTag.findFirstIn(s).isDefined && {
+        val open = s.indexOf('(')
+        open >= 0 && matchingClose(s, open) == s.length - 1
+      }
+    }
 
     private def hugePre(l: String, r: String): String =
       if (l.startsWith("uhugeint") || r.startsWith("uhugeint")) "uhugeint"
@@ -857,7 +883,12 @@ object DuckDialect {
     /** Integer literal rendering with the reference's width ladder:
       * ≤38 digits stay Spark decimal literals (exact, the r4 ladder);
       * wider literals become INT128 kernel literals when in range
-      * (hugeint.cpp), else DOUBLE — DuckDB's own literal fallback. */
+      * (hugeint.cpp), else DOUBLE — DuckDB's own literal fallback.
+      * DOCUMENTED DIVERGENCE: a >38-digit literal projected bare
+      * (`SELECT 9…9`) surfaces as the kernel's 16-byte BINARY
+      * encoding, not a rendered number — wrap in `::VARCHAR` (→
+      * hugeint_str) for display; arithmetic/comparisons/casts over it
+      * are exact either way. */
     private def numLiteral(s: String): String =
       if (s.length > 39 && s.matches("-?[0-9]+\\.[0-9]+") &&
           s.replaceAll("[-.]", "").length > 38)
@@ -2012,7 +2043,10 @@ object DuckDialect {
       "VARCHAR" -> "STRING", "TEXT" -> "STRING", "BPCHAR" -> "STRING",
       "BLOB" -> "BINARY", "BYTEA" -> "BINARY", "VARBINARY" -> "BINARY",
       "REAL" -> "FLOAT", "FLOAT4" -> "FLOAT", "FLOAT8" -> "DOUBLE",
-      "NUMERIC" -> "DECIMAL", "DEC" -> "DECIMAL(18,3)",
+      // bare DECIMAL/NUMERIC/DEC (no parameter list): the reference
+      // defaults to (18,3), not Spark's (10,0)
+      "NUMERIC" -> "DECIMAL(18,3)", "DEC" -> "DECIMAL(18,3)",
+      "DECIMAL" -> "DECIMAL(18,3)",
       "LOGICAL" -> "BOOLEAN", "BOOL" -> "BOOLEAN",
       "TIMETZ" -> "STRING",
       "TIMESTAMPTZ" -> "TIMESTAMP", "TIMESTAMP_S" -> "TIMESTAMP",
@@ -2093,7 +2127,7 @@ object DuckDialect {
           expectOp(")")
           val mapped = up match {
             case "VARCHAR" | "BPCHAR" | "TEXT" => "STRING" // drop length
-            case "NUMERIC" => "DECIMAL"
+            case "NUMERIC" | "DECIMAL" | "DEC" => "DECIMAL"
             case other => TYPE_MAP.getOrElse(other, other)
           }
           if (mapped == "STRING") "STRING"

@@ -236,10 +236,15 @@ case class HugeintBinOp(left: Expression, right: Expression, op: String,
       case _ => HugeintKernel.bxor(x, y, signed)
     }
   }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // bitwise kernel methods are named band/bor/bxor ("and"/"or" are Java keywords)
+    val m = op match {
+      case "and" => "band"; case "or" => "bor"; case "xor" => "bxor"; case o => o
+    }
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""${ev.value} = graft.plans.HugeintKernel.$op($a, $b, $signed);
+      s"""${ev.value} = graft.plans.HugeintKernel.$m($a, $b, $signed);
          |if (${ev.value} == null) ${ev.isNull} = true;""".stripMargin)
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : HugeintBinOp = copy(left = l, right = r)
 }

@@ -109,8 +109,11 @@ object Txn {
   }
 
   /** Drop a table's pin (own-write visibility / DML target
-    * resolution) — reads go back to the live listing. */
+    * resolution) — reads go back to the live listing. A FOREIGN
+    * writer must NOT unpin: the pin is precisely what keeps the open
+    * reader's snapshot view alive against that writer's swaps. */
   def unpin(spark: SparkSession, tableName: String): Unit = synchronized {
+    if (foreignMode.get()) return
     pins.values.find(p => p.active && p.name == tableName).foreach { p =>
       p.active = false
       spark.catalog.dropTempView(p.name)
@@ -162,8 +165,21 @@ object Txn {
     */
   def touch(spark: SparkSession, path: String): Unit = synchronized {
     if (open && foreignMode.get()) {
+      // mixed own+foreign writes to ONE table cannot both keep their
+      // guarantees (the foreign commit must survive ROLLBACK, but the
+      // own undo tracks the same files) — the reference raises a
+      // write-write conflict here (duck_transaction_manager.cpp /
+      // "Conflict on tuple" in test/sql/transactions)
+      if (undo.contains(key(path)))
+        throw new IllegalStateException(
+          s"write-write conflict: table at ${key(path)} was already " +
+          "modified by the open transaction")
       foreignTouched += key(path)
     } else if (open) {
+      if (foreignTouched.contains(key(path)))
+        throw new IllegalStateException(
+          s"write-write conflict: table at ${key(path)} was already " +
+          "modified by a concurrent transaction")
       unpinByPath(spark, path)
       if (!undo.contains(key(path)))
         undo(key(path)) = TableUndo(path, dataFiles(spark, path).toSet)
