@@ -574,11 +574,16 @@ object Dedup {
         posexplode(columnOf(SegmentMd5s(exprOf(col(textCol)), segWords)))
           .as(Seq("pos0", "__h")))
       .select(col(idCol), (col("pos0") + 1).as("pos"), col("__h"))
-    // first corpus-wide occurrence per segment content
-    val winners = segs.groupBy(col("__h"))
+    // first corpus-wide occurrence per segment content. The winner
+    // row IS the kept (id, pos) — min(struct) per digest — so no
+    // join-back to segs is needed: that join re-scanned the corpus
+    // and shuffled every (digest, id, pos) row a second time for
+    // information the winner aggregate already holds (r9: 11.1 s →
+    // the groupBy-only plan at sf10).
+    val keptPos = segs.groupBy(col("__h"))
       .agg(min(struct(col(idCol), col("pos"))).as("__w"))
-    val keptPos = segs.join(winners, Seq("__h"))
-      .where(struct(col(idCol), col("pos")) === col("__w"))
+      .select(col("__w").getField(idCol).as(idCol),
+        col("__w").getField("pos").as("pos"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos").cast("long"))).as("__kp"),
         count(lit(1)).as("n_kept"))

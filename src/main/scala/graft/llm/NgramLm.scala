@@ -72,18 +72,34 @@ object NgramLm {
     require(c12Rows.length <= MaxModelEntries,
       s"bigram-LM model exceeds $MaxModelEntries entries; shard the model " +
         "and use a key-partitioned join instead of a broadcast probe")
-    val c12 = new LongLongMap(c12Rows.length)
     val c1Agg = new java.util.HashMap[java.lang.Long, java.lang.Long]()
     c12Rows.foreach { r =>
-      c12.put(r.getLong(0), r.getLong(2))
       // c1 = Σ c12 over the conditioning word — exactly the oracle's
       // c1 CTE, folded driver-side from the rows already in hand
       c1Agg.merge(r.getLong(1), r.getLong(2), (a, b) => a + b)
     }
-    val c1 = new LongLongMap(c1Agg.size)
-    c1Agg.forEach((k, v) => c1.put(k, v))
     // vocabulary of the train slice (all unigram positions)
     val vocab = train.select(explode(col("__wm")).as("t")).distinct().count().toDouble
+
+    // The maps carry PRECOMPUTED per-key log terms as double bits,
+    // not raw counts: present bigram → its full term
+    // -ln((c12+1)/(c1+V)); seen-w1 miss → -ln(1/(c1+V)). The hot
+    // loop (HashKernels.bigramLmStats) then runs zero Math.log calls
+    // and skips the c1 probe on bigram hits. BIT-IDENTICAL to
+    // computing in the loop: each precomputed term keeps the exact
+    // expression shape of the original/oracle formula — including the
+    // miss case's rounding 1/(c1+V) division, which -ln(1/x) ≠ ln(x)
+    // at the ulp level — so the same libm sees the same argument.
+    // Neither stored value can be the 0L bit pattern (+0.0): every
+    // term is strictly positive (c12 ≤ c1 < c1+V-1 and c1+V ≥ 2).
+    val c12 = new LongLongMap(c12Rows.length)
+    c12Rows.foreach { r =>
+      val term = -Math.log((r.getLong(2) + 1.0) / (c1Agg.get(r.getLong(1)) + vocab))
+      c12.put(r.getLong(0), java.lang.Double.doubleToLongBits(term))
+    }
+    val c1 = new LongLongMap(c1Agg.size)
+    c1Agg.forEach((k, v) =>
+      c1.put(k, java.lang.Double.doubleToLongBits(-Math.log(1.0 / (v + vocab)))))
 
     val bc12 = spark.sparkContext.broadcast(c12)
     val bc1 = spark.sparkContext.broadcast(c1)

@@ -814,12 +814,22 @@ object HashKernels {
     val t = starts.size
     if (t < 2) return null
     val m = t - 1
+    // the maps hold PRECOMPUTED log terms as double bits (NgramLm:
+    // c12 → the whole bigram term, c1 → the seen-w1 miss term; 0L =
+    // absent, never a legal stored value) — the hot loop is probe +
+    // add, no Math.log, and a bigram hit skips the c1 probe entirely.
+    // The both-miss term keeps the oracle's exact expression shape.
+    val lnV = -Math.log(1.0 / vocab)
     var sum = 0.0
     var p = 0
     while (p < m) {
-      val bg = gramHash64(bytes, starts, ends, p, 2)
-      val w1 = gramHash64(bytes, starts, ends, p, 1)
-      sum += -Math.log((c12.getOrZero(bg) + 1.0) / (c1.getOrZero(w1) + vocab))
+      val tb = c12.getOrZero(gramHash64(bytes, starts, ends, p, 2))
+      sum +=
+        (if (tb != 0L) java.lang.Double.longBitsToDouble(tb)
+        else {
+          val cb = c1.getOrZero(gramHash64(bytes, starts, ends, p, 1))
+          if (cb != 0L) java.lang.Double.longBitsToDouble(cb) else lnV
+        })
       p += 1
     }
     val ce = Math.floor(sum / m * 1e9 + 0.5).toLong
