@@ -240,9 +240,16 @@ object GraftSql {
       // can drop the appended files
       case PlainInsert(table) if graft.sources.Txn.isActive &&
           !graft.sources.DmlSql.matches(text) =>
-        graft.sources.Txn.touch(spark,
-          graft.sources.DmlSql.tablePath(spark, table))
-        return spark.sql(translate(text))
+        val insPath = graft.sources.DmlSql.tablePath(spark, table)
+        // a pinned shadow view (another connection's open snapshot)
+        // blocks Spark's native INSERT resolution — engine-layer
+        // append by path instead
+        if (graft.sources.Txn.isPinned(table))
+          return graft.sources.DmlSql.run(spark, text)
+        graft.sources.Txn.touch(spark, insPath)
+        val insOut = spark.sql(translate(text))
+        graft.sources.Txn.wrote(spark, insPath)
+        return insOut
       // ALTER TABLE column surgery (reference alter_statement.cpp):
       // v1 parquet can't mutate schemas in place — staged rewrite +
       // rename swap, DuckDB type names mapped through the dialect
@@ -335,8 +342,9 @@ object GraftSql {
             // (schema-aware), then window EXCLUDE / named-window
             // inlining, then nested-generator extraction (SqlPasses)
             val finalSql = graft.plans.SqlPasses.generatorPass(
-              graft.plans.SqlPasses.windowExcludePass(
-                columnsPass(spark, starReplacePass(spark, t))))
+              graft.plans.SqlPasses.windowExprBoundsPass(
+                graft.plans.SqlPasses.windowExcludePass(
+                  columnsPass(spark, starReplacePass(spark, t)))))
             val out =
               try spark.sql(finalSql)
               catch {

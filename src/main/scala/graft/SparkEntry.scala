@@ -12,7 +12,7 @@ object SparkEntry {
     */
   def allDefs: Seq[QDef] =
     RelationalA.defs ++ RelationalB.defs ++ RelationalC.defs ++ RelationalD.defs ++
-      RelationalE.defs ++ RelationalF.defs ++ RelationalG.defs ++ Tpch.defs ++ Tpch2.defs ++ Tpch3.defs ++ TpchBucketed.defs ++ Tpcds.defs ++ TpcdsFull.defs ++ ClickBench.defs ++ ClickBench43.defs ++ H2oai.defs ++ Imdb.defs ++
+      RelationalE.defs ++ RelationalF.defs ++ RelationalG.defs ++ RelationalH.defs ++ Tpch.defs ++ Tpch2.defs ++ Tpch3.defs ++ TpchBucketed.defs ++ Tpcds.defs ++ TpcdsFull.defs ++ ClickBench.defs ++ ClickBench43.defs ++ H2oai.defs ++ Imdb.defs ++
       FunctionsQ.defs ++ FunctionsQ2.defs ++ FunctionsQ3.defs ++ FunctionsQ4.defs ++ FunctionsQ5.defs ++ FunctionsQ6.defs ++ FunctionsQ7.defs ++ FunctionsQ8.defs ++ FunctionsQ9.defs ++ FunctionsQ10.defs ++ RefWorkload.defs ++ SourcesQ.defs ++ DmlQ.defs ++ Pipeline.defs ++ StreamingQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

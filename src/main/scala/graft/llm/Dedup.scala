@@ -550,10 +550,11 @@ object Dedup {
     * Scale posture: the only corpus-wide shuffle is the
     * winner-per-segment aggregate, and it carries
     * (md5 16 bytes, id+pos 12 bytes) — never the segment text; the
-    * winner table joins back on the same md5 key (co-partitioned, no
-    * second exchange of the big side), and reassembly is one
-    * groupBy(doc) whose groups are bounded by document length. Nothing
-    * is quadratic and no row ever carries more than one segment.
+    * min(struct) winner aggregate directly yields the kept (id, pos)
+    * pairs (r9 removed the former join-back — no second exchange of
+    * the corpus at all), and reassembly is one groupBy(doc) whose
+    * groups are bounded by document length. Nothing is quadratic and
+    * no row ever carries more than one segment.
     *
     * Output: (id, n_segs, n_kept, text_dedup) — docs whose every
     * segment lost keep a row with empty text, so corpus row count is

@@ -844,14 +844,16 @@ object DuckDialect {
     private val HugeTag =
       "^(u?hugeint)(_(add|sub|mul|div|mod|neg|abs|shl|shr|and|or|xor|lift))?\\(".r
 
-    /** Closing-paren index matching the `(` at `open`, quote-aware;
+    /** Closing-paren index matching the `(` at `open`, quote-aware
+      * (string literals AND quoted identifiers — a paren inside
+      * `"a(b"` or `` `a(b` `` must not count, mirroring the lexer);
       * -1 if unbalanced. */
     private def matchingClose(s: String, open: Int): Int = {
-      var depth = 0; var i = open; var inQ = false
+      var depth = 0; var i = open; var q = ' '
       while (i < s.length) {
         val c = s.charAt(i)
-        if (inQ) { if (c == '\'') inQ = false }
-        else if (c == '\'') inQ = true
+        if (q != ' ') { if (c == q) q = ' ' }
+        else if (c == '\'' || c == '"' || c == '`') q = c
         else if (c == '(') depth += 1
         else if (c == ')') { depth -= 1; if (depth == 0) return i }
         i += 1
@@ -911,6 +913,45 @@ object DuckDialect {
         digits.length > 38
       }
 
+    /** `'0044-03-15 (BC)'`-style literal (the reference's BC date/
+      * timestamp rendering, date_t::FromString) → astronomical
+      * negative year for Spark's proleptic parser: year N BC = year
+      * −(N−1), so 0044 BC → -0043, 0001 BC → +0000. */
+    private val BcLit = "^'(\\d{4,6})-(\\d{2}-\\d{2}) \\(BC\\)( [^']*)?'$".r
+    private def bcLiteral(base: String): Option[String] = base.trim match {
+      case BcLit(y, md, time) =>
+        val astro = y.toLong - 1
+        val sign = if (astro == 0) "" else "-"
+        Some(s"'$sign${"%04d".format(astro)}-$md${Option(time).getOrElse("")}'")
+      case _ => None
+    }
+
+    /** A varint-kernel-tagged expression (plans/Varint.scala) — the
+      * whole span is one varint(...) / varint_str-producing call. */
+    private val VarintTag = "^varint\\(".r
+    private def isVarint(s0: String): Boolean = {
+      var s = s0.trim
+      while (s.startsWith("(") && matchingClose(s, 0) == s.length - 1)
+        s = s.substring(1, s.length - 1).trim
+      VarintTag.findFirstIn(s).isDefined && {
+        val open = s.indexOf('(')
+        open >= 0 && matchingClose(s, open) == s.length - 1
+      }
+    }
+
+    /** Casts over kernel-tagged VARINT operands (CAST / `::`). */
+    private def castVarint(base: String, rawTy: String, mapped: String): String =
+      rawTy match {
+        case "VARINT" => base
+        case "VARCHAR" | "TEXT" | "STRING" | "CHAR" | "BPCHAR" =>
+          s"varint_str($base)"
+        case "DOUBLE" | "FLOAT8" | "REAL" | "FLOAT" | "FLOAT4" =>
+          s"CAST(varint_dbl($base) AS $mapped)"
+        case "HUGEINT" | "INT128" => s"hugeint(varint_str($base))"
+        case "UHUGEINT" | "UINT128" => s"uhugeint(varint_str($base))"
+        case _ => s"CAST(varint_str($base) AS $mapped)"
+      }
+
     /** Casts over kernel-tagged INT128 operands (CAST / `::`). */
     private def castHuge(base: String, rawTy: String, mapped: String): Option[String] = {
       val pre = hugePre(base, "")
@@ -940,6 +981,12 @@ object DuckDialect {
             next(); left = s"get_json_object($left, ${jsonPath(expr(51))})"
           case TOp("->") if 50 >= min && (peekAt(1) match {
             case Some(TStr(_)) => true // 'key' / '$.path' — json operator
+            // integer operand = array-index extraction ('[1,2,3]'->0,
+            // json issue13948) — but ONLY when the left side cannot be
+            // a lambda parameter (a bare identifier), else `x -> 0`
+            // inside transform() would stop being a lambda
+            case Some(TNum(_)) =>
+              !left.trim.matches("[A-Za-z_][A-Za-z0-9_]*")
             case _ => false            // anything else: a lambda body
           }) =>
             next(); left = s"get_json_object($left, ${jsonPath(expr(51))})"
@@ -1599,6 +1646,19 @@ object DuckDialect {
               // sorted list
               val pos = if (low == "last") "-1" else "1"
               s"element_at(${sortedList(renderArgs(parts.toSeq))}, $pos)"
+            } else if (Set("quantile_cont", "quantile_disc", "quantile")(low) &&
+                keys.nonEmpty && parts.count(_ == ",") == 1 &&
+                !parts.contains("DISTINCT")) {
+              // ordered-set quantile (quantile.cpp ORDER BY modifier,
+              // test_quantile_cont.test:138): POSITIONAL interpolation
+              // over the caller-given order — collect (keys, value)
+              // sorted, reduce without re-sorting (pinned:
+              // quantile_cont(x, 0.8 ORDER BY x DESC) over {1,2} = 1.2)
+              val args = parts.filterNot(_ == ",")
+              val kfn =
+                if (low == "quantile_cont") "quantile_cont_pre"
+                else "quantile_disc_pre"
+              s"graft_frame_agg(${sortedList(args(0))}, '$kfn', CAST(${args(1)} AS DOUBLE))"
             } else s"$fname(${renderArgs(parts.toSeq)} ORDER BY $ob)"
           }
       }
@@ -1775,7 +1835,13 @@ object DuckDialect {
       val rawTy = peek.text.toUpperCase
       val ty = parseType()
       expectOp(")")
-      if (isHuge(e))
+      if (isVarint(e)) castVarint(e, rawTy, ty)
+      else if (rawTy == "VARINT")
+        (if (isHuge(e)) s"varint(${hugePre(e, "")}_str($e))" else s"varint($e)")
+      else if ((rawTy == "DATE" || rawTy.startsWith("TIMESTAMP")) &&
+          bcLiteral(e).isDefined)
+        s"$kw(${bcLiteral(e).get} AS $ty)"
+      else if (isHuge(e))
         castHuge(e, rawTy, ty).getOrElse(s"$kw(${hugePre(e, "")}_str($e) AS $ty)")
       else if (Set("HUGEINT", "UHUGEINT", "INT128", "UINT128")(rawTy) && outOf38(e))
         s"${if (rawTy.startsWith("U")) "uhugeint" else "hugeint"}($e)"
@@ -1964,7 +2030,14 @@ object DuckDialect {
             val rawTy = peek.text.toUpperCase
             val ty = parseType()
             base =
-              if (isHuge(base))
+              if (isVarint(base)) castVarint(base, rawTy, ty)
+              else if (rawTy == "VARINT")
+                (if (isHuge(base)) s"varint(${hugePre(base, "")}_str($base))"
+                 else s"varint($base)")
+              else if ((rawTy == "DATE" || rawTy.startsWith("TIMESTAMP")) &&
+                  bcLiteral(base).isDefined)
+                s"CAST(${bcLiteral(base).get} AS $ty)"
+              else if (isHuge(base))
                 castHuge(base, rawTy, ty).getOrElse(s"CAST(${hugePre(base, "")}_str($base) AS $ty)")
               else if (Set("HUGEINT", "UHUGEINT", "INT128", "UINT128")(rawTy) &&
                   outOf38(base))
@@ -2058,10 +2131,11 @@ object DuckDialect {
       "UINT8" -> "SMALLINT", "UINT16" -> "INTEGER", "UINT32" -> "BIGINT",
       "UINT64" -> "DECIMAL(20,0)", "UINT128" -> "DECIMAL(38,0)",
       "INT128" -> "DECIMAL(38,0)", "FLOAT4" -> "FLOAT", "FLOAT8" -> "DOUBLE",
-      // VARINT is arbitrary-precision; DECIMAL(38,0) is the widest
-      // exact integer Spark has — values beyond 38 digits overflow
-      // (documented bound, same ladder as HUGEINT)
-      "VARINT" -> "DECIMAL(38,0)",
+      // VARINT is arbitrary-precision — kernel-encoded BINARY whose
+      // bytewise order equals numeric order (plans/Varint.scala), so
+      // compare/sort/group are native; parse/render via varint()/
+      // varint_str(); casts through castVarint below
+      "VARINT" -> "BINARY",
       "BITSTRING" -> "STRING")
 
     def parseType(): String = {
@@ -2131,7 +2205,11 @@ object DuckDialect {
             case other => TYPE_MAP.getOrElse(other, other)
           }
           if (mapped == "STRING") "STRING"
-          // `DECIMAL()` / `DEC()`: the reference's default is (18,3)
+          // `DECIMAL()` / `DEC()`: the reference's default is (18,3);
+          // width-only `DECIMAL(w)` is explicitly scale 0 in the
+          // reference (transform_typename.cpp "only width is
+          // provided: set scale to 0") — Spark's DECIMAL(w) default
+          // already matches, so one-arg passes through unchanged
           else if (params.isEmpty && mapped.startsWith("DECIMAL")) "DECIMAL(18,3)"
           else if (mapped.contains("(")) mapped // pre-parameterized map entry
           else s"$mapped(${params.mkString(",")})"

@@ -115,5 +115,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     RefAliases.registerAll(e)
     DuckNames.registerAll(e)
     HugeintReg.install(e)
+    VarintReg.install(e)
   }
 }

@@ -254,6 +254,164 @@ object SqlPasses {
     sql
   }
 
+  /** The aggregate call directly before an OVER keyword at `overIdx`:
+    * (fnStart, FN-uppercase, argument text). A `FILTER (WHERE p)`
+    * clause between the call and OVER is folded into the argument
+    * (Spark rejects FILTER on window aggregates outright — NULLs
+    * don't aggregate), exactly like the dialect translator's own
+    * FILTER+OVER handling.
+    */
+  private def callBeforeOver(sql: String, overIdx: Int, what: String): (Int, String, String, Boolean) = {
+    var e = overIdx - 1
+    while (e >= 0 && sql.charAt(e).isWhitespace) e -= 1
+    // `fn(args) IGNORE NULLS OVER (...)` — capture the modifier (the
+    // translator hoists the reference's in-paren spelling here)
+    var ignoreNulls = false
+    var w = 0
+    while (w < 2 && e >= 0 && (sql.charAt(e).isLetter)) {
+      val wEnd = e + 1
+      var wStart = e
+      while (wStart >= 0 && sql.charAt(wStart).isLetter) wStart -= 1
+      val word = sql.substring(wStart + 1, wEnd).toUpperCase
+      if (word == "NULLS" || word == "IGNORE" || word == "RESPECT") {
+        if (word == "IGNORE") ignoreNulls = true
+        e = wStart
+        while (e >= 0 && sql.charAt(e).isWhitespace) e -= 1
+        w += 1
+      } else w = 2
+    }
+    require(e >= 0 && sql.charAt(e) == ')', s"$what: no call before OVER")
+    var d2 = 0
+    var cOpen = -1
+    var k = e
+    while (k >= 0 && cOpen < 0) {
+      val c = sql.charAt(k)
+      if (c == ')') d2 += 1
+      else if (c == '(') { d2 -= 1; if (d2 == 0) cOpen = k }
+      k -= 1
+    }
+    var fnStart = cOpen - 1
+    while (fnStart >= 0 && sql.charAt(fnStart).isWhitespace) fnStart -= 1
+    val fnEnd = fnStart + 1
+    while (fnStart >= 0 && (sql.charAt(fnStart).isLetterOrDigit || sql.charAt(fnStart) == '_')) fnStart -= 1
+    fnStart += 1
+    var fn = sql.substring(fnStart, fnEnd).toUpperCase
+    var arg = sql.substring(cOpen + 1, e).trim
+    if (fn == "FILTER") {
+      val filterPred = arg.replaceAll("(?is)^WHERE\\s+", "")
+      var e2 = fnStart - 1
+      while (e2 >= 0 && sql.charAt(e2).isWhitespace) e2 -= 1
+      require(e2 >= 0 && sql.charAt(e2) == ')', s"$what: FILTER without a call")
+      var d3 = 0
+      var cOpen2 = -1
+      var k2 = e2
+      while (k2 >= 0 && cOpen2 < 0) {
+        val c = sql.charAt(k2)
+        if (c == ')') d3 += 1
+        else if (c == '(') { d3 -= 1; if (d3 == 0) cOpen2 = k2 }
+        k2 -= 1
+      }
+      var fnStart2 = cOpen2 - 1
+      while (fnStart2 >= 0 && sql.charAt(fnStart2).isWhitespace) fnStart2 -= 1
+      val fnEnd2 = fnStart2 + 1
+      while (fnStart2 >= 0 && (sql.charAt(fnStart2).isLetterOrDigit || sql.charAt(fnStart2) == '_')) fnStart2 -= 1
+      fnStart2 += 1
+      fn = sql.substring(fnStart2, fnEnd2).toUpperCase
+      arg = sql.substring(cOpen2 + 1, e2).trim
+      fnStart = fnStart2
+      arg =
+        if (arg == "*") s"(CASE WHEN $filterPred THEN 1 END)"
+        else s"(CASE WHEN $filterPred THEN ($arg) END)"
+    }
+    (fnStart, fn, arg, ignoreNulls)
+  }
+
+  /** Top-level comma split (parens + quotes respected). */
+  private[graft] def splitTopComma(s: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    var depth = 0
+    var last = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { i += 1; while (i < s.length && s.charAt(i) != '\'') i += 1 }
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == ',' && depth == 0) { out += s.substring(last, i); last = i + 1 }
+      i += 1
+    }
+    out += s.substring(last)
+    out.toSeq
+  }
+
+  /** ORDER BY key expressions of a window partition+order prefix,
+    * directions stripped — row identity for the EXCLUDE fallback.
+    */
+  private def orderKeysOf(po: String): Seq[String] = {
+    val idx = topIndexOf(po, "ORDER BY")
+    if (idx < 0) Seq.empty
+    else splitTopComma(po.substring(idx + "ORDER BY".length)).map { k0 =>
+      var k = k0.trim
+      k = k.replaceAll("(?i)\\s+NULLS\\s+(FIRST|LAST)$", "")
+      k = k.replaceAll("(?i)\\s+(ASC|DESC)$", "")
+      k.trim
+    }.filter(_.nonEmpty)
+  }
+
+  /** FN name + argument text → (kernel fn, value expr, quantile arg). */
+  private def kernelFnOf(fn: String, arg: String,
+      ignoreNulls: Boolean = false): (String, String, Option[String]) = {
+    val parts = splitTopComma(arg)
+    def vq: (String, Option[String]) = {
+      require(parts.length == 2, s"window EXCLUDE: $fn expects (value, q), got ($arg)")
+      (parts(0).trim, Some(parts(1).trim))
+    }
+    def in(base: String): String = if (ignoreNulls) base + "_in" else base
+    fn match {
+      case "SUM" => ("sum", arg, None)
+      case "AVG" | "MEAN" => ("avg", arg, None)
+      case "COUNT" => ("count", if (arg.trim == "*") "1" else arg, None)
+      case "MIN" => ("min", arg, None)
+      case "MAX" => ("max", arg, None)
+      case "MEDIAN" => ("median", arg, None)
+      case "MODE" => ("mode", arg, None)
+      case "MAD" => ("mad", arg, None)
+      case "QUANTILE_CONT" | "PERCENTILE" => val (v, q) = vq; ("quantile_cont", v, q)
+      case "QUANTILE_DISC" | "QUANTILE" => val (v, q) = vq; ("quantile_disc", v, q)
+      case "STDDEV" | "STDDEV_SAMP" => ("stddev", arg, None)
+      case "VAR_SAMP" | "VARIANCE" => ("var_samp", arg, None)
+      case "FIRST_VALUE" | "FIRST" => (in("first"), arg, None)
+      case "LAST_VALUE" | "LAST" => (in("last"), arg, None)
+      case "NTH_VALUE" => val (v, q) = vq; (in("nth"), v, q)
+      // COUNT(DISTINCT x) OVER translates to a collect_set form before
+      // this pass — the kernel's sorted distinct set feeds the
+      // surrounding size()/cardinality() unchanged
+      case "COLLECT_SET" => ("collect_set", arg, None)
+      case other => throw new IllegalArgumentException(
+        s"window frame kernel: unsupported aggregate $other")
+    }
+  }
+
+  /** EXCLUDE fallback for frames/aggregates the algebraic rewrite
+    * can't reach: collect the frame as (order-keys…, value) structs
+    * and apply the exclusion in graft_exclude_agg
+    * (operators/FrameAgg.scala — holistic aggregates, bounded-ROWS
+    * frames that cut the peer group, frames not containing the
+    * current row).
+    */
+  private def excludeFallback(po: String, frameTail: String, kind: String,
+      fn: String, arg: String, ignoreNulls: Boolean): String = {
+    val (kfn, vExpr, qOpt) = kernelFnOf(fn, arg, ignoreNulls)
+    val keys = orderKeysOf(po)
+    val fields = (keys.zipWithIndex.map { case (k, i) => s"'k$i', ($k)" } :+
+      s"'v', ($vExpr)").mkString(", ")
+    val spec = if (frameTail.trim.isEmpty) po else s"$po ${frameTail.trim}"
+    val arr = s"collect_list(named_struct($fields)) OVER ($spec)"
+    val cur = s"named_struct($fields)"
+    val qArg = qOpt.map(q => s", CAST($q AS DOUBLE)").getOrElse("")
+    s"graft_exclude_agg($arr, $cur, '${kind.toLowerCase}', '$kfn'$qArg)"
+  }
+
   private def rewriteOneExclude(sql: String, exIdx0: Int): String = {
     // EXCLUDE sits inside an OVER (...) — find the enclosing parens
     var open = -1
@@ -282,59 +440,9 @@ object SqlPasses {
       case x if x >= 0 => x
       case _ => throw new IllegalArgumentException("EXCLUDE without OVER")
     }
-    var e = overIdx - 1
-    while (e >= 0 && sql.charAt(e).isWhitespace) e -= 1
-    require(e >= 0 && sql.charAt(e) == ')', "EXCLUDE: no call before OVER")
-    var d2 = 0
-    var cOpen = -1
-    var k = e
-    while (k >= 0 && cOpen < 0) {
-      val c = sql.charAt(k)
-      if (c == ')') d2 += 1
-      else if (c == '(') { d2 -= 1; if (d2 == 0) cOpen = k }
-      k -= 1
-    }
-    var fnStart = cOpen - 1
-    while (fnStart >= 0 && sql.charAt(fnStart).isWhitespace) fnStart -= 1
-    val fnEnd = fnStart + 1
-    while (fnStart >= 0 && (sql.charAt(fnStart).isLetterOrDigit || sql.charAt(fnStart) == '_')) fnStart -= 1
-    fnStart += 1
-    var fn = sql.substring(fnStart, fnEnd).toUpperCase
-    var arg = sql.substring(cOpen + 1, e).trim
-    // `agg(x) FILTER (WHERE p) OVER (… EXCLUDE …)`: the parens before
-    // OVER are the FILTER clause — step back to the aggregate call and
-    // carry the predicate into the subtracted terms
-    var filterPred = ""
-    if (fn == "FILTER") {
-      filterPred = arg.replaceAll("(?is)^WHERE\\s+", "")
-      var e2 = fnStart - 1
-      while (e2 >= 0 && sql.charAt(e2).isWhitespace) e2 -= 1
-      require(e2 >= 0 && sql.charAt(e2) == ')', "EXCLUDE: FILTER without a call")
-      var d3 = 0
-      var cOpen2 = -1
-      var k2 = e2
-      while (k2 >= 0 && cOpen2 < 0) {
-        val c = sql.charAt(k2)
-        if (c == ')') d3 += 1
-        else if (c == '(') { d3 -= 1; if (d3 == 0) cOpen2 = k2 }
-        k2 -= 1
-      }
-      var fnStart2 = cOpen2 - 1
-      while (fnStart2 >= 0 && sql.charAt(fnStart2).isWhitespace) fnStart2 -= 1
-      val fnEnd2 = fnStart2 + 1
-      while (fnStart2 >= 0 && (sql.charAt(fnStart2).isLetterOrDigit || sql.charAt(fnStart2) == '_')) fnStart2 -= 1
-      fnStart2 += 1
-      fn = sql.substring(fnStart2, fnEnd2).toUpperCase
-      arg = sql.substring(cOpen2 + 1, e2).trim
-      fnStart = fnStart2
-      // Spark rejects FILTER on window aggregates outright — fold the
-      // predicate into the argument (NULLs don't aggregate), exactly
-      // like the dialect translator's own FILTER+OVER handling
-      arg =
-        if (arg == "*") s"(CASE WHEN $filterPred THEN 1 END)"
-        else s"(CASE WHEN $filterPred THEN ($arg) END)"
-      filterPred = ""
-    }
+    val (fnStart, fn, arg, ignoreNulls) = callBeforeOver(sql, overIdx, "EXCLUDE")
+    val filterPred = "" // folded into arg by callBeforeOver
+    val nullsSfx = if (ignoreNulls) " IGNORE NULLS" else ""
 
     // partition+order prefix of the frame (everything before the
     // frame-unit keyword) → the peers frame
@@ -371,20 +479,47 @@ object SqlPasses {
     val containsGroup =
       if (frameTail.isEmpty || unit == "RANGE" || unit == "GROUPS") containsCurrent
       else loTxt == "UNBOUNDED PRECEDING" && hiTxt == "UNBOUNDED FOLLOWING"
-    if (kind == "CURRENT")
-      require(containsCurrent, s"window EXCLUDE CURRENT ROW: frame ($frame) " +
-        "does not contain the current row — algebraic rewrite unsupported")
-    if (kind == "GROUP" || kind == "TIES")
-      require(containsGroup, s"window EXCLUDE $kind: frame ($frame) may cut " +
-        "the peer group (bounded ROWS frame) — algebraic rewrite unsupported")
+    // algebraic rewrites are valid only when the frame CONTAINS what
+    // is subtracted; otherwise (and for holistic aggregates) fall back
+    // to the collected-frame kernel, which intersects by construction
+    val algebraOk = kind match {
+      case "CURRENT" => containsCurrent
+      case "GROUP" | "TIES" => containsGroup
+      case _ => true
+    }
+    val boundedRows = "(?i)ROWS\\s+BETWEEN\\s+(.+?)\\s+AND\\s+(.+)$".r
+      .findFirstIn(frame.substring(frameUnitIdx).trim).isDefined
+    val algebraicFn = fn match {
+      case "SUM" | "AVG" | "COUNT" => true
+      // IGNORE NULLS breaks the edge-shift algebra (the first non-null
+      // can be any frame row, not just the edge) — kernel route
+      case "FIRST_VALUE" | "LAST_VALUE" =>
+        !ignoreNulls && (kind == "CURRENT" || kind == "NONE")
+      case "MIN" | "MAX" => (kind == "CURRENT" && boundedRows) || kind == "NONE"
+      case _ => false
+    }
+    // GROUP/TIES without ORDER BY: every row is a peer (the
+    // reference's rule) — the algebra's RANGE-CURRENT-ROW peers frame
+    // needs an ORDER BY Spark rejects; the kernel handles it directly
+    val orderedSpec = topIndexOf(po, "ORDER BY") >= 0
+    val useFallback = kind != "NONE" &&
+      (!(algebraOk && algebraicFn) ||
+        ((kind == "GROUP" || kind == "TIES") && !orderedSpec))
 
     val filterSuffix = if (filterPred.isEmpty) "" else s" FILTER (WHERE $filterPred)"
     // current row's contribution under a FILTER: zero when p is false
     def argIf(zero: String): String =
       if (filterPred.isEmpty) s"($arg)"
       else s"(CASE WHEN $filterPred THEN ($arg) ELSE $zero END)"
-    val full = s"$fn($arg)$filterSuffix OVER ($frame)"
-    val replacement = (fn, kind) match {
+    val full = s"$fn($arg)$nullsSfx$filterSuffix OVER ($frame)"
+    val replacement = if (fn == "LEAD" || fn == "LAG")
+      // lead/lag navigate the PARTITION, not the frame — frame AND
+      // exclusion are no-ops on them in the reference, and Spark
+      // rejects explicit frames on lead/lag outright
+      s"$fn($arg)$nullsSfx$filterSuffix OVER ($po)"
+    else if (useFallback)
+      excludeFallback(po, frame.substring(frameUnitIdx), kind, fn, arg, ignoreNulls)
+    else (fn, kind) match {
       case (_, "NONE") => full
       case ("SUM" | "AVG", _) =>
         // excluded-frame sum and count from the same algebra; the
@@ -449,6 +584,102 @@ object SqlPasses {
       case other => throw new IllegalArgumentException(
         s"window EXCLUDE: unsupported combination $other")
     }
+    sql.substring(0, fnStart) + replacement + sql.substring(close + 1)
+  }
+
+  // ------------------------------------------- non-literal frame bounds
+
+  /** `ROWS BETWEEN <expr> PRECEDING AND <expr> FOLLOWING` — the
+    * reference evaluates boundary expressions per row
+    * (test/sql/window/test_boundary_expr.test); Spark's parser
+    * requires foldable frame bounds. Rewrite: collect the partition
+    * ONCE (an unbounded collect_list window — Catalyst computes the
+    * identical expression a single time per partition and shares it
+    * across the multiple textual occurrences below), then each row
+    * slices its own [rn−lo, rn+hi] range and reduces it in
+    * graft_frame_agg (operators/FrameAgg.scala). Literal bounds stay
+    * on Spark's native (faster, streaming) window frames.
+    */
+  private val LiteralBoundRe =
+    "(?i)^(\\d+\\s+(PRECEDING|FOLLOWING)|UNBOUNDED\\s+(PRECEDING|FOLLOWING)|CURRENT\\s+ROW)$".r
+
+  private def frameBounds(body: String): (String, String) =
+    if (body.toUpperCase.startsWith("BETWEEN")) {
+      val rest = body.substring("BETWEEN".length).trim
+      val andIdx = topIndexOf(rest, "AND")
+      require(andIdx >= 0, s"frame bounds: BETWEEN without AND in ($body)")
+      (rest.substring(0, andIdx).trim, rest.substring(andIdx + 3).trim)
+    } else (body.trim, "CURRENT ROW")
+
+  /** Open-paren index of the first OVER spec whose ROWS frame carries
+    * a non-literal bound.
+    */
+  private def findExprBoundOver(sql: String): Option[Int] = {
+    val OverRe = "(?i)\\bOVER\\s*\\(".r
+    for (om <- findAll(sql, OverRe)) {
+      if (!inQuote(sql, om.start)) {
+        val open = om.end - 1
+        val spec = sql.substring(open + 1, matchParen(sql, open))
+        val rowsIdx = topIndexOf(spec, "ROWS")
+        if (rowsIdx >= 0) {
+          val (lo, hi) = frameBounds(spec.substring(rowsIdx + 4).trim)
+          if (LiteralBoundRe.findFirstIn(lo).isEmpty ||
+              LiteralBoundRe.findFirstIn(hi).isEmpty)
+            return Some(open)
+        }
+      }
+    }
+    None
+  }
+
+  def windowExprBoundsPass(sql0: String): String = {
+    if ("(?i)\\b(PRECEDING|FOLLOWING)\\b".r.findFirstIn(sql0).isEmpty) return sql0
+    var sql = sql0
+    var guard = 0
+    var target = findExprBoundOver(sql)
+    while (target.isDefined && guard < 32) {
+      guard += 1
+      sql = rewriteOneExprBound(sql, target.get)
+      target = findExprBoundOver(sql)
+    }
+    sql
+  }
+
+  private def rewriteOneExprBound(sql: String, open: Int): String = {
+    val close = matchParen(sql, open)
+    val spec = sql.substring(open + 1, close)
+    val rowsIdx = topIndexOf(spec, "ROWS")
+    val po = spec.substring(0, rowsIdx).trim
+    val (loTxt, hiTxt) = frameBounds(spec.substring(rowsIdx + 4).trim)
+    val overIdx = sql.toUpperCase.lastIndexOf("OVER", open) match {
+      case x if x >= 0 => x
+      case _ => throw new IllegalArgumentException("frame bounds: no OVER")
+    }
+    val (fnStart, fn, arg, ignoreNulls) = callBeforeOver(sql, overIdx, "frame bounds")
+    val (kfn, vExpr, qOpt) = kernelFnOf(fn, arg, ignoreNulls)
+    val rn = s"ROW_NUMBER() OVER ($po)"
+    val arr = s"collect_list(named_struct('v', ($vExpr))) OVER " +
+      s"($po ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    val sz = s"size($arr)"
+    def idxOf(bound: String): String = {
+      val b = bound.trim
+      val up = b.toUpperCase
+      if (up == "CURRENT ROW") s"($rn)"
+      else if (up == "UNBOUNDED PRECEDING") "1"
+      else if (up == "UNBOUNDED FOLLOWING") s"($sz)"
+      else if (up.endsWith("PRECEDING"))
+        s"(($rn) - (${b.substring(0, b.length - "PRECEDING".length).trim}))"
+      else if (up.endsWith("FOLLOWING"))
+        s"(($rn) + (${b.substring(0, b.length - "FOLLOWING".length).trim}))"
+      else throw new IllegalArgumentException(s"frame bounds: bad bound ($bound)")
+    }
+    val s1 = s"GREATEST(${idxOf(loTxt)}, 1)"
+    val e1 = s"LEAST(${idxOf(hiTxt)}, $sz)"
+    val len = s"GREATEST(CAST(($e1) - ($s1) + 1 AS INT), 0)"
+    val st = s"CAST(LEAST($s1, $sz) AS INT)"
+    val vals = s"transform(slice($arr, $st, $len), __fe -> __fe.v)"
+    val qArg = qOpt.map(q => s", CAST($q AS DOUBLE)").getOrElse("")
+    val replacement = s"graft_frame_agg($vals, '$kfn'$qArg)"
     sql.substring(0, fnStart) + replacement + sql.substring(close + 1)
   }
 }

@@ -298,5 +298,23 @@ object SqlRegistry2 {
       new Overlay(args(0), Cast(args(2), StringType),
         Add(Cast(args(1), IntegerType), Literal(1)))
     })
+
+    // ---- window-frame fallback kernels (operators/FrameAgg.scala) ----
+    // emitted by SqlPasses.windowExprBoundsPass (non-literal ROWS
+    // bounds) and SqlPasses.rewriteOneExclude (EXCLUDE over holistic
+    // aggregates / frames the algebraic rewrite can't reach)
+    register(e, "graft_frame_agg")(args => args.length match {
+      case 2 => graft.operators.FrameAgg(args(0), args(1), Literal(null, DoubleType))
+      case 3 => graft.operators.FrameAgg(args(0), args(1), args(2))
+      case n => throw new IllegalArgumentException(
+        s"graft_frame_agg expects 2 or 3 arguments, got $n")
+    })
+    register(e, "graft_exclude_agg")(args => args.length match {
+      case 4 => graft.operators.ExcludeAgg(args(0), args(1), args(2), args(3),
+        Literal(null, DoubleType))
+      case 5 => graft.operators.ExcludeAgg(args(0), args(1), args(2), args(3), args(4))
+      case n => throw new IllegalArgumentException(
+        s"graft_exclude_agg expects 4 or 5 arguments, got $n")
+    })
   }
 }

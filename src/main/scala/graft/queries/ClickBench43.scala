@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.GraftSql
 import graft.sources.Catalog
@@ -15,11 +15,15 @@ import graft.sources.Catalog
   * cb01–cb14 (ClickBench.scala) value-check the benchmark's plan
   * CLASSES with tie-safe orderings; this sweep closes benchmark
   * BREADTH: every one of the 43 official texts must parse, plan, and
-  * execute, and its row count must match DuckDB running the same
-  * text over the same view (ClickBench itself grades timing, not
-  * values — top-N-by-count orderings are tie-ambiguous by
-  * construction, so counts are the strongest cross-engine invariant
-  * the full set supports).
+  * execute. GATE STRENGTH (r10, the TpcdsFull pattern transferred):
+  * each query is gated on row count AND — for the deterministic
+  * subset — an order-insensitive VALUE fingerprint (md5 over sorted
+  * per-row renderings under a positional fractional mask derived
+  * from DuckDB DESCRIBE; see TpcdsFull's renderer contract). The
+  * tie-ambiguous residue ([[countOnly]]) was MEASURED, not guessed:
+  * Spark↔DuckDB fingerprint diff at the gate scale — top-N-by-count
+  * orderings whose LIMIT cutoff lands on tied counts keep
+  * engine-ambiguous row sets and gate on count alone.
   *
   * The `hits` view synthesizes the benchmark's columns from events
   * with closed-form arithmetic — one portable SQL text both engines
@@ -75,11 +79,70 @@ object ClickBench43 {
       |  CAST(600 + event_id % 480 AS INTEGER) AS WindowClientHeight
       |FROM events""".stripMargin
 
+  /** Per-query positional fractional-ness of the DuckDB-side output
+    * (DuckDB DESCRIBE over the hits view; static because the official
+    * texts and the synthesized view are). 'f' = DECIMAL/DOUBLE/FLOAT
+    * → 2dp-floor normalization; '.' = exact → native VARCHAR. */
+  private val fracMasks: Seq[String] = Seq(
+    ".", ".", "..f", "f", ".", ".", "..", "..", "..", "...f.",
+    "..", "...", "..", "..", "...", "..", "...", "...", "....", ".",
+    ".", "...", ".....", "..........................", ".", ".", ".", ".f.", ".f..",
+    "..........................................................................................",
+    "....f", "....f", "....f", "..", "...", ".....", "..", "..", "..",
+    "......", "...", "...", "..")
+
+  /** 1-based query numbers gated on count only — MEASURED r10
+    * (CbFpProbe ↔ tools/cb_fp_oracle.py diff at the sf0.01 gate
+    * scale; 33 of 43 hash-match on values): each member's top-level
+    * ORDER BY lands its LIMIT cutoff on tied count/frequency keys
+    * (top-N SearchPhrase/user cohorts — different engines
+    * legitimately keep different rows at the cutoff). */
+  private[queries] val countOnly: Set[Int] =
+    Set(14, 15, 18, 19, 22, 23, 31, 32, 33, 36)
+
+  private def isCountOnly(i: Int): Boolean = countOnly.contains(i + 1)
+
+  /** DuckDB-side fingerprint subquery (TpcdsFull.oracleFp shape). */
+  private def oracleFp(i: Int): String = {
+    val mask = fracMasks(i)
+    val cols = mask.indices.map(k => s"c$k")
+    val norms = mask.zipWithIndex.map { case (ch, k) =>
+      if (ch == 'f')
+        s"COALESCE(CAST(CAST(floor(CAST(CAST(c$k AS VARCHAR) AS DOUBLE)*100 + 0.5) AS BIGINT) AS VARCHAR), '<null>')"
+      else s"COALESCE(CAST(c$k AS VARCHAR), '<null>')"
+    }
+    // concat_ws, not chained || — a 90-column row (q30) blows DuckDB's
+    // 128-deep binder recursion on the chained form
+    val row =
+      if (norms.length > 1) s"concat_ws('|', ${norms.mkString(", ")})"
+      else norms.head
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |COALESCE(md5(string_agg(__r, chr(10) ORDER BY __r)), '<empty>') AS fp FROM
+       |(SELECT $row AS __r FROM (
+       |${texts(i)}
+       |) __t(${cols.mkString(", ")})) __rows""".stripMargin
+  }
+
   private def oracleText: String = {
-    val parts = texts.zipWithIndex.map { case (q, i) =>
-      s"SELECT ${i + 1} AS qid, CAST((SELECT COUNT(*) FROM ($q)) AS BIGINT) AS n"
+    val parts = texts.indices.map { i =>
+      if (isCountOnly(i))
+        s"SELECT ${i + 1} AS qid, CAST((SELECT COUNT(*) FROM (\n${texts(i)}\n) __q${i + 1}) AS BIGINT) AS n, '<count-only>' AS fp"
+      else
+        s"SELECT ${i + 1} AS qid, n, fp FROM (\n${oracleFp(i)}\n) __f${i + 1}"
     }
     s"WITH hits AS (\n$hitsViewSql\n)\nSELECT * FROM (\n${parts.mkString("\nUNION ALL\n")}\n) ORDER BY qid"
+  }
+
+  /** Spark-side fingerprint under the same positional mask —
+    * TpcdsFull's renderer (identical normalization contract). */
+  def fingerprint(rows: Array[Row], i: Int): String = {
+    val mask = fracMasks(i)
+    val strs = rows.map { r =>
+      require(r.length == mask.length,
+        s"cb q${i + 1}: ${r.length} output columns, mask has ${mask.length}")
+      mask.indices.map(k => TpcdsFull.renderValue(r.get(k), mask(k) == 'f')).mkString("|")
+    }.sorted
+    if (strs.isEmpty) "<empty>" else TpcdsFull.md5Hex(strs.mkString("\n"))
   }
 
   val defs: Seq[QDef] = Seq(
@@ -87,11 +150,16 @@ object ClickBench43 {
       Catalog.registerAll(s, dir)
       GraftSql.sql(s, hitsViewSql).createOrReplaceTempView("hits")
       val rows = texts.zipWithIndex.map { case (q, i) =>
-        Row(i + 1, GraftSql.sql(s, q).count())
+        if (isCountOnly(i)) Row(i + 1, GraftSql.sql(s, q).count(), "<count-only>")
+        else {
+          val collected = GraftSql.sql(s, q).collect()
+          Row(i + 1, collected.length.toLong, fingerprint(collected, i))
+        }
       }
       val schema = StructType(Seq(
         StructField("qid", IntegerType, nullable = false),
-        StructField("n", LongType, nullable = false)))
+        StructField("n", LongType, nullable = false),
+        StructField("fp", StringType, nullable = false)))
       s.createDataFrame(new java.util.ArrayList[Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
         .orderBy("qid")

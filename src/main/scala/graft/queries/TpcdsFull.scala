@@ -31,13 +31,14 @@ import graft.GraftSql
   *
   * COUNT-ONLY residue ([[countOnly]]): queries whose top-level ORDER
   * BY under LIMIT is tie-ambiguous over this data — different engines
-  * may legitimately keep different rows at the cutoff — fingerprint
-  * as the literal '<count-only>' on both sides and are gated on row
-  * count alone (the pre-r9 gate, now the exception instead of the
-  * rule). The split was measured, not guessed: each member diverges
-  * only at an ORDER BY tie (verified by hand during r9), and the
-  * membership is stable because TpcdsGen synthesizes deterministic
-  * data.
+  * may legitimately keep different rows at the cutoff — would
+  * fingerprint as the literal '<count-only>' on both sides and gate
+  * on row count alone. The split was MEASURED, not guessed
+  * (tools/TpcdsFpProbe vs the DuckDB side of the same fingerprint
+  * SQL, r9), and the measured set is currently EMPTY: all 99 queries
+  * hash-match on values over this data. The mechanism stays as the
+  * documented policy for any future member (membership is stable
+  * because TpcdsGen synthesizes deterministic data).
   */
 object TpcdsFull {
 

@@ -138,7 +138,9 @@ object Dml {
     */
   private def swap(spark: SparkSession, path: String,
                    df: DataFrame, oldFiles: Seq[String]): Unit = {
-    Txn.touch(spark, path)
+    // conflicts (a concurrent transaction wrote these files) raise
+    // HERE, before the append — the statement leaves no trace
+    Txn.touch(spark, path, oldFiles)
     df.write.mode(SaveMode.Append).parquet(path)
     if (Txn.isActive) {
       // inside a transaction the delete is DEFERRED: replaced files
@@ -148,6 +150,7 @@ object Dml {
       val hfs = fs(spark, path)
       oldFiles.foreach(f => hfs.delete(new Path(f), false))
     }
+    Txn.wrote(spark, path)
   }
 
   /** UPDATE <path> SET <set> WHERE <cond>. Only hit files are
@@ -252,6 +255,7 @@ object Dml {
     Txn.touch(spark, path)
     rows.observe(obs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Append).parquet(path)
+    Txn.wrote(spark, path)
     DmlStats(0, 0, obs.get("n").asInstanceOf[Long])
   }
 
@@ -323,6 +327,7 @@ object Dml {
         val inserts = source.select(targetCols.map(col).toIndexedSeq: _*)
           .observe(obsIns, count(lit(1)).as("n"))
         inserts.write.mode(SaveMode.Append).parquet(path)
+        Txn.wrote(spark, path)
         DmlStats(0, 0, obsIns.get("n").asInstanceOf[Long])
       case Some((hit, files)) =>
         // A source key absent from every hit file is absent from the

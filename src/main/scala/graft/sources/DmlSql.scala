@@ -44,6 +44,8 @@ object DmlSql {
     case InsertRe() =>
       val up = text.toUpperCase
       up.matches("(?s)^\\s*INSERT\\s+OR\\s+(REPLACE|IGNORE)\\b.*") ||
+        // INSERT INTO t DEFAULT VALUES (test_default_values.test)
+        up.matches("(?s)^\\s*INSERT\\s+INTO\\s+\\S+\\s+DEFAULT\\s+VALUES\\b.*") ||
         topIndexOf(text, "ON CONFLICT") >= 0 ||
         topIndexOf(text, "RETURNING") >= 0 ||
         // tables with generated columns must insert through here so
@@ -202,20 +204,32 @@ object DmlSql {
     val physCols = targetCols.filterNot(c => genNames(c.toLowerCase))
     insertCols.foreach(c => require(!genNames(c.toLowerCase),
       s"INSERT: cannot insert into generated column $c"))
-    val cols = if (insertCols.nonEmpty) insertCols else physCols
+    // INSERT INTO t DEFAULT VALUES (test_default_values.test): ONE
+    // row, every physical column from its recorded DEFAULT (NULL when
+    // none); naming target columns with it is a parse error there too
+    val defaultValues = srcPart.trim.matches("(?is)^DEFAULT\\s+VALUES\\s*;?\\s*$")
+    if (defaultValues) require(insertCols.isEmpty,
+      "Parser Error: INSERT ... DEFAULT VALUES cannot name target columns")
+    val cols =
+      if (defaultValues) Seq.empty[String]
+      else if (insertCols.nonEmpty) insertCols else physCols
 
     // source rows: VALUES list or a query, positional-renamed and
     // cast to the target schema like any INSERT; unnamed columns fill
     // their recorded DEFAULT (create_statement.cpp DefaultValue), or
     // NULL when none
     val defaults = TableMeta.columnDefaults(table)
-    val raw =
-      if (srcPart.trim.toUpperCase.startsWith("VALUES"))
-        spark.sql(DuckDialect.translate(s"SELECT * FROM (${srcPart.trim}) AS __v(${cols.map(quote).mkString(", ")})"))
-      else graft.GraftSql.sql(spark, srcPart.trim)
-    require(raw.columns.length == cols.length,
-      s"INSERT: ${cols.length} target columns but ${raw.columns.length} in source")
-    val renamed = raw.toDF(cols: _*)
+    val renamed =
+      if (defaultValues) spark.range(1).select()
+      else {
+        val raw =
+          if (srcPart.trim.toUpperCase.startsWith("VALUES"))
+            spark.sql(DuckDialect.translate(s"SELECT * FROM (${srcPart.trim}) AS __v(${cols.map(quote).mkString(", ")})"))
+          else graft.GraftSql.sql(spark, srcPart.trim)
+        require(raw.columns.length == cols.length,
+          s"INSERT: ${cols.length} target columns but ${raw.columns.length} in source")
+        raw.toDF(cols: _*)
+      }
     val source0 = renamed.select(physCols.map { c =>
       if (cols.exists(_.equalsIgnoreCase(c)))
         col(quote(c)).cast(target.schema(c).dataType).as(c)
@@ -430,9 +444,12 @@ object DmlSql {
     val cat = spark.sessionState.catalog
     val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
     // an open transaction may be shadowing the table with its pinned
-    // snapshot view — DML targets the real table (own-write rule)
+    // snapshot view — DML targets the real table (own-write rule).
+    // A FOREIGN writer's unpin is a no-op (the pin protects the open
+    // reader's snapshot), so a surviving pin view is NOT a user temp
+    // view: resolve the underlying catalog table through it.
     Txn.unpin(spark, id.table)
-    require(!cat.isTempView(id),
+    require(!cat.isTempView(id) || Txn.isPinned(id.table),
       s"DML target $table is a temporary view; DML needs a TABLE " +
         "(CREATE TABLE through the front door, or the Dml API on a parquet path)")
     cat.getTableMetadata(id).location.toString

@@ -39,10 +39,36 @@ import org.apache.spark.sql.SparkSession
   * ROLLBACK undoes only the transaction's own mutations, never a
   * concurrent committed write (DuckDB: rollback then read = 5105).
   *
-  * Remaining honest divergences: single in-process writer at a time;
-  * DDL (CREATE/DROP) autocommits; a second concurrent TRANSACTION
-  * (not just writer) is not modeled — the front door is one
-  * connection.
+  * SECOND LIVE TRANSACTION (r10): [[onConnection]] opens additional
+  * logical connections (ids ≥ 1) that can run their own interleaved
+  * BEGIN…COMMIT/ROLLBACK scripts concurrently with the primary.
+  * Semantics pinned against two python-duckdb connections
+  * (duck_transaction_manager.cpp contract, this session):
+  *
+  *   - write-write conflicts raise AT WRITE TIME in the later writer
+  *     ("Conflict on update!"), never at commit — first writer wins;
+  *   - a write that would replace a file created after the writer's
+  *     BEGIN (another transaction's commit) conflicts the same way
+  *     (DuckDB: update-after-their-commit on the same rows errors);
+  *   - a failed statement leaves the transaction usable — conflicts
+  *     are detected BEFORE any mutation, so COMMIT still succeeds
+  *     with the transaction's earlier writes (statement atomicity);
+  *   - appends never conflict with committed appends (concurrent
+  *     INSERTs both survive, like the reference's row-level MVCC);
+  *   - each transaction's undo is isolated: per-connection trash
+  *     dirs (.graft_trash/sec<n>/), created-file tracking per
+  *     connection, and a secondary's deferred deletes adopt the
+  *     pin-trash protocol when the primary holds a read pin.
+  *
+  * Granularity divergence (honest): the reference conflicts on
+  * ROWS; this model conflicts on FILES for committed-vs-live
+  * overlap and on TABLES between two LIVE writers (two live
+  * transactions rewriting one table cannot both keep file-level
+  * undo). Reads on secondary connections see live state — the
+  * shadow-view snapshot (one temp-view namespace per session)
+  * protects the primary connection only.
+  *
+  * Remaining honest divergences: DDL (CREATE/DROP) autocommits.
   */
 object Txn {
 
@@ -62,7 +88,37 @@ object Txn {
   }
   private var session: SparkSession = _
 
-  def isActive: Boolean = open
+  // ---- secondary connections (ids >= 1): full write transactions ----
+  private final class SecTx(val conn: Int) {
+    // key(path) -> files at BEGIN (managed tables; unknown paths join
+    // lazily at first touch)
+    val beginListing = mutable.HashMap.empty[String, Set[String]]
+    val written = mutable.LinkedHashSet.empty[String] // key(path)
+    val paths = mutable.HashMap.empty[String, String] // key -> path
+    val created = mutable.HashMap.empty[String, mutable.LinkedHashSet[String]]
+    val preWrite = mutable.HashMap.empty[String, Set[String]]
+    def createdSet(k: String): mutable.LinkedHashSet[String] =
+      created.getOrElseUpdate(k, mutable.LinkedHashSet.empty[String])
+  }
+  private val secs = mutable.LinkedHashMap.empty[Int, SecTx]
+  private val connId = new ThreadLocal[Int] {
+    override def initialValue(): Int = 0
+  }
+
+  /** Runs `body` as logical connection `n` — BEGIN/COMMIT/ROLLBACK
+    * and every DML inside route to that connection's transaction.
+    * Connection 0 is the primary (reader-pinned) front door. */
+  def onConnection[T](n: Int)(body: => T): T = {
+    require(n >= 0, s"connection id must be >= 0, got $n")
+    val prev = connId.get()
+    connId.set(n)
+    try body finally connId.set(prev)
+  }
+
+  /** An open transaction exists on the CURRENT connection (the
+    * swap/delete path defers deletes for it), or the primary is open
+    * (a foreign/autocommit writer must defer deletes for its pins). */
+  def isActive: Boolean = open || secs.contains(connId.get())
 
   /** Runs `body` as a SECOND logical connection: its swaps defer
     * deletes for the open reader's pins but record NO undo — a
@@ -76,12 +132,39 @@ object Txn {
   def begin(): Unit = begin(null)
 
   def begin(spark: SparkSession): Unit = synchronized {
+    val n = connId.get()
+    if (n > 0) { beginSecondary(spark, n); return }
     require(!open, "BEGIN: a transaction is already active")
     open = true
     undo.clear()
     pins.clear()
     session = spark
     if (spark != null) pinCatalogTables(spark)
+  }
+
+  /** BEGIN on a secondary connection: snapshot every managed table's
+    * file list (conflict baseline — NOT a read pin: one temp-view
+    * namespace per session, so shadow views protect the primary
+    * connection only). */
+  private def beginSecondary(spark: SparkSession, n: Int): Unit = {
+    require(!secs.contains(n), s"BEGIN: connection $n already has an active transaction")
+    val tx = new SecTx(n)
+    if (spark != null) {
+      val cat = spark.sessionState.catalog
+      cat.listTables(cat.getCurrentDatabase).foreach { id =>
+        if (!cat.isTempView(id) || isPinned(id.table)) {
+          try {
+            val meta = cat.getTableMetadata(id)
+            if (meta.provider.exists(_.equalsIgnoreCase("parquet"))) {
+              val path = meta.location.toString
+              tx.beginListing(key(path)) = dataFiles(spark, path).toSet
+              tx.paths(key(path)) = path
+            }
+          } catch { case _: Exception => }
+        }
+      }
+    }
+    secs(n) = tx
   }
 
   /** Snapshot every managed table in the current database behind a
@@ -113,11 +196,21 @@ object Txn {
     * writer must NOT unpin: the pin is precisely what keeps the open
     * reader's snapshot view alive against that writer's swaps. */
   def unpin(spark: SparkSession, tableName: String): Unit = synchronized {
-    if (foreignMode.get()) return
+    // foreign writers AND secondary transactions must not unpin: the
+    // pin is what keeps the PRIMARY's snapshot alive against them
+    if (foreignMode.get() || secs.contains(connId.get())) return
     pins.values.find(p => p.active && p.name == tableName).foreach { p =>
       p.active = false
       spark.catalog.dropTempView(p.name)
     }
+  }
+
+  /** True when `tableName` is currently shadowed by a pin's snapshot
+    * view — DmlSql.tablePath uses this to resolve the UNDERLYING
+    * catalog table for a foreign writer (whose unpin is a no-op)
+    * instead of refusing with a misleading temp-view error. */
+  def isPinned(tableName: String): Boolean = synchronized {
+    pins.values.exists(p => p.active && p.name == tableName)
   }
 
   private def unpinByPath(spark: SparkSession, path: String): Unit =
@@ -163,26 +256,92 @@ object Txn {
     * transaction's own writes also unpin the table so it reads its
     * own mutations.
     */
-  def touch(spark: SparkSession, path: String): Unit = synchronized {
+  def touch(spark: SparkSession, path: String): Unit = touch(spark, path, Nil)
+
+  /** `replacing`: the files the statement is about to rewrite/delete
+    * (known before any mutation) — conflicts raise HERE, before the
+    * append, so a failed statement leaves both the table and the
+    * transaction intact (the reference's statement-level atomicity:
+    * after "Conflict on update!" the transaction still commits its
+    * earlier writes).
+    */
+  def touch(spark: SparkSession, path: String, replacing: Seq[String]): Unit = synchronized {
+    val k = key(path)
+    secs.get(connId.get()) match {
+      case Some(tx) => touchSecondary(spark, tx, path, replacing); return
+      case None =>
+    }
+    // a LIVE secondary transaction's written tables conflict with
+    // every other writer (primary, foreign one-shot, autocommit)
+    if (secs.values.exists(_.written.contains(k)))
+      throw new IllegalStateException(
+        s"Conflict on update! table at $k was already modified by a " +
+        "concurrent transaction")
     if (open && foreignMode.get()) {
       // mixed own+foreign writes to ONE table cannot both keep their
       // guarantees (the foreign commit must survive ROLLBACK, but the
       // own undo tracks the same files) — the reference raises a
       // write-write conflict here (duck_transaction_manager.cpp /
       // "Conflict on tuple" in test/sql/transactions)
-      if (undo.contains(key(path)))
+      if (undo.contains(k))
         throw new IllegalStateException(
-          s"write-write conflict: table at ${key(path)} was already " +
+          s"write-write conflict: table at $k was already " +
           "modified by the open transaction")
-      foreignTouched += key(path)
+      foreignTouched += k
     } else if (open) {
-      if (foreignTouched.contains(key(path)))
+      if (foreignTouched.contains(k))
         throw new IllegalStateException(
-          s"write-write conflict: table at ${key(path)} was already " +
+          s"write-write conflict: table at $k was already " +
           "modified by a concurrent transaction")
       unpinByPath(spark, path)
-      if (!undo.contains(key(path)))
-        undo(key(path)) = TableUndo(path, dataFiles(spark, path).toSet)
+      if (!undo.contains(k))
+        undo(k) = TableUndo(path, dataFiles(spark, path).toSet)
+    }
+  }
+
+  /** Write-time conflict detection for a secondary transaction —
+    * semantics pinned against two python-duckdb connections: the
+    * LATER writer errors immediately, at table granularity between
+    * two live transactions and at file granularity against commits
+    * that landed after this transaction's BEGIN.
+    */
+  private def touchSecondary(spark: SparkSession, tx: SecTx,
+      path: String, replacing: Seq[String]): Unit = {
+    val k = key(path)
+    if (open && undo.contains(k))
+      throw new IllegalStateException(
+        s"Conflict on update! table at $k was already modified by the " +
+        "open transaction")
+    if (secs.values.exists(o => (o ne tx) && o.written.contains(k)))
+      throw new IllegalStateException(
+        s"Conflict on update! table at $k was already modified by a " +
+        "concurrent transaction")
+    val begin = tx.beginListing.getOrElseUpdate(k, dataFiles(spark, path).toSet)
+    tx.paths.getOrElseUpdate(k, path)
+    val beginN = begin.map(norm)
+    val ownN = tx.createdSet(k).map(norm)
+    replacing.foreach { f =>
+      if (!beginN.contains(norm(f)) && !ownN.contains(norm(f)))
+        throw new IllegalStateException(
+          s"Conflict on update! file $f was created after this " +
+          "transaction began (committed by a concurrent transaction)")
+    }
+    tx.written += k
+    tx.preWrite(k) = dataFiles(spark, path).toSet
+  }
+
+  /** Post-write hook (Dml): record the files the statement created —
+    * a secondary transaction's ROLLBACK deletes exactly these, never
+    * a concurrent transaction's additions. */
+  def wrote(spark: SparkSession, path: String): Unit = synchronized {
+    secs.get(connId.get()).foreach { tx =>
+      val k = key(path)
+      if (tx.written.contains(k)) {
+        val pre = tx.preWrite.getOrElse(k, Set.empty).map(norm)
+        dataFiles(spark, path).foreach { f =>
+          if (!pre.contains(norm(f))) tx.createdSet(k) += f
+        }
+      }
     }
   }
 
@@ -204,6 +363,10 @@ object Txn {
     */
   def trash(spark: SparkSession, path: String, file: String): Unit = {
     val hfs = fs(spark, path)
+    secs.get(connId.get()) match {
+      case Some(tx) => trashSecondary(spark, tx, path, file); return
+      case None =>
+    }
     if (foreignMode.get()) {
       // concurrent-writer path: the delete is deferred ONLY to keep
       // the open reader's pinned snapshot readable — rename under the
@@ -238,6 +401,85 @@ object Txn {
       s"txn: failed to trash $file")
   }
 
+  /** Secondary-transaction undo: files from the BEGIN listing move to
+    * the connection's own trash subdir (restored on ROLLBACK, deleted
+    * on COMMIT); the transaction's own intermediate files delete
+    * outright. The primary's pinned snapshot is re-pointed either way.
+    */
+  private def trashSecondary(spark: SparkSession, tx: SecTx,
+      path: String, file: String): Unit = synchronized {
+    val hfs = fs(spark, path)
+    val k = key(path)
+    val beginN = tx.beginListing.getOrElse(k, Set.empty).map(norm)
+    if (!beginN.contains(norm(file))) {
+      require(tx.createdSet(k).exists(norm(_) == norm(file)),
+        s"Conflict on update! file $file belongs to a concurrent transaction")
+      hfs.delete(new Path(file), false)
+      return
+    }
+    val dir = new Path(trashDir(path), s"sec${tx.conn}")
+    if (!hfs.exists(dir)) hfs.mkdirs(dir)
+    val src = new Path(file)
+    val dst = new Path(dir, src.getName)
+    require(hfs.rename(src, dst), s"txn: failed to trash $file")
+    repoint(spark, path, file, dst.toString)
+  }
+
+  private def commitSecondary(spark: SparkSession, tx: SecTx): Unit = {
+    tx.written.foreach { k =>
+      val p = tx.paths(k)
+      val hfs = fs(spark, p)
+      val dir = new Path(trashDir(p), s"sec${tx.conn}")
+      if (hfs.exists(dir)) {
+        val it = hfs.listFiles(dir, false)
+        while (it.hasNext) {
+          val st = it.next()
+          val f = st.getPath.toString
+          val pinnedHere = pins.get(k).exists(o =>
+            o.active && o.files.exists(norm(_) == norm(f)))
+          if (pinnedHere) {
+            // the primary's open reader still maps this file — adopt
+            // the pin-trash protocol and defer the delete to ITS end
+            val pinDir = new Path(trashDir(p), "pin")
+            if (!hfs.exists(pinDir)) hfs.mkdirs(pinDir)
+            val dst = new Path(pinDir, st.getPath.getName)
+            require(hfs.rename(st.getPath, dst), s"txn: failed to pin-defer $f")
+            repoint(spark, p, f, dst.toString)
+          } else hfs.delete(st.getPath, false)
+        }
+        hfs.delete(dir, true)
+      }
+      // the primary's own later write to this table must conflict —
+      // this commit happened inside its transaction window
+      if (open) foreignTouched += k
+      try spark.catalog.refreshByPath(p) catch { case _: Exception => }
+    }
+    secs.remove(tx.conn)
+  }
+
+  private def rollbackSecondary(spark: SparkSession, tx: SecTx): Unit = {
+    tx.written.foreach { k =>
+      val p = tx.paths(k)
+      val hfs = fs(spark, p)
+      // drop exactly the files THIS transaction created — never a
+      // concurrent transaction's additions
+      tx.createdSet(k).foreach(f => hfs.delete(new Path(f), false))
+      val dir = new Path(trashDir(p), s"sec${tx.conn}")
+      if (hfs.exists(dir)) {
+        val it = hfs.listFiles(dir, false)
+        while (it.hasNext) {
+          val st = it.next()
+          val dst = new Path(p, st.getPath.getName)
+          require(hfs.rename(st.getPath, dst), s"txn: failed to restore ${st.getPath}")
+          repoint(spark, p, st.getPath.toString, dst.toString)
+        }
+        hfs.delete(dir, true)
+      }
+      try spark.catalog.refreshByPath(p) catch { case _: Exception => }
+    }
+    secs.remove(tx.conn)
+  }
+
   private def dropPins(spark: SparkSession): Unit = {
     pins.values.filter(_.active).foreach(p => spark.catalog.dropTempView(p.name))
     // invalidate cached file indexes for every pinned table — a
@@ -253,7 +495,16 @@ object Txn {
     paths.foreach { p =>
       val hfs = fs(spark, p)
       val dir = trashDir(p)
-      if (hfs.exists(dir)) hfs.delete(dir, true)
+      if (hfs.exists(dir)) {
+        // a LIVE secondary transaction's undo subdir must survive the
+        // primary's purge (its rollback still needs those files)
+        val live = secs.values.map(t => s"sec${t.conn}").toSet
+        hfs.listStatus(dir).foreach { st =>
+          if (!(st.isDirectory && live.contains(st.getPath.getName)))
+            hfs.delete(st.getPath, true)
+        }
+        if (hfs.listStatus(dir).isEmpty) hfs.delete(dir, true)
+      }
       // the session catalog caches resolved file indexes — a reader
       // that resolved the table mid-transaction must re-list now that
       // the pin-trash (a foreign writer's deferred deletes) is gone
@@ -261,6 +512,10 @@ object Txn {
     }
 
   def commit(spark: SparkSession): Unit = synchronized {
+    secs.get(connId.get()) match {
+      case Some(tx) => commitSecondary(spark, tx); return
+      case None =>
+    }
     require(open, "COMMIT: no active transaction")
     purgeTrash(spark, undo.values.map(_.path) ++ foreignTouched)
     dropPins(spark)
@@ -271,6 +526,10 @@ object Txn {
   }
 
   def rollback(spark: SparkSession): Unit = synchronized {
+    secs.get(connId.get()) match {
+      case Some(tx) => rollbackSecondary(spark, tx); return
+      case None =>
+    }
     require(open, "ROLLBACK: no active transaction")
     undo.values.foreach { u =>
       val hfs = fs(spark, u.path)

@@ -177,9 +177,10 @@ object RefTestSweep {
       else {
         val t =
           try Some(graft.plans.SqlPasses.generatorPass(
-            graft.plans.SqlPasses.windowExcludePass(
-              graft.plans.DuckDialect.translate(
-                graft.plans.MacroReg.expand(sql)))))
+            graft.plans.SqlPasses.windowExprBoundsPass(
+              graft.plans.SqlPasses.windowExcludePass(
+                graft.plans.DuckDialect.translate(
+                  graft.plans.MacroReg.expand(sql))))))
           catch {
             case e: Throwable =>
               val key = Option(e.getMessage).getOrElse(e.getClass.getName)

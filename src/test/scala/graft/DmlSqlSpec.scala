@@ -228,4 +228,84 @@ class DmlSqlSpec extends AnyFunSuite {
       assert(sub.getInt(0) === 9 && sub.isNullAt(1) && sub.getDouble(2) === 1.5)
     }
   }
+
+  test("two live transactions: first writer wins, loser conflicts at write time") {
+    // Pinned against two python-duckdb connections on one database
+    // file (duck_transaction_manager.cpp, captured this session):
+    //   c1 BEGIN; c2 BEGIN; c1 UPDATE x=1 → ok
+    //   c2 UPDATE x=1 → "TransactionContext Error: Conflict on update!"
+    //   c1 COMMIT → ok; c2 COMMIT → ok (empty — statement atomicity)
+    //   final y(x=1) = c1's value
+    import graft.sources.Txn
+    spark.sql("CREATE DATABASE IF NOT EXISTS txn2db")
+    spark.sql("USE txn2db")
+    spark.sql("DROP TABLE IF EXISTS t2a")
+    spark.sql("DROP TABLE IF EXISTS t2b")
+    def sum(t: String): Double =
+      spark.sql(s"SELECT SUM(y) FROM $t").collect()(0).getDouble(0)
+    try {
+      GraftSql.runScript(spark,
+        """CREATE OR REPLACE TABLE t2a (x INTEGER, y DOUBLE);
+          |INSERT INTO t2a VALUES (1, 10.0), (2, 20.0);
+          |CREATE OR REPLACE TABLE t2b (x INTEGER, y DOUBLE);
+          |INSERT INTO t2b VALUES (1, 1.0)""".stripMargin)
+
+      // --- conflict: both live transactions write the same table ---
+      GraftSql.sql(spark, "BEGIN")                      // connection 0
+      Txn.onConnection(1) { GraftSql.sql(spark, "BEGIN") }
+      GraftSql.sql(spark, "UPDATE t2a SET y = 11 WHERE x = 1")
+      val e = intercept[Exception] {
+        Txn.onConnection(1) {
+          GraftSql.sql(spark, "UPDATE t2a SET y = 99 WHERE x = 1")
+        }
+      }
+      assert(e.getMessage.contains("Conflict on update"),
+        s"expected the reference's write-time conflict, got: ${e.getMessage}")
+      GraftSql.sql(spark, "COMMIT")
+      // the loser's transaction is still usable (statement atomicity)
+      Txn.onConnection(1) { GraftSql.sql(spark, "COMMIT") }
+      assert(sum("t2a") === 31.0) // first writer's value survives
+
+      // --- write after the other side committed: still a conflict ---
+      Txn.onConnection(1) { GraftSql.sql(spark, "BEGIN") }
+      GraftSql.runScript(spark,
+        "BEGIN; UPDATE t2a SET y = 100 WHERE x = 1; COMMIT")
+      val e2 = intercept[Exception] {
+        Txn.onConnection(1) {
+          GraftSql.sql(spark, "UPDATE t2a SET y = 999 WHERE x = 1")
+        }
+      }
+      assert(e2.getMessage.contains("Conflict on update"))
+      Txn.onConnection(1) { GraftSql.sql(spark, "COMMIT") }
+      assert(sum("t2a") === 120.0)
+
+      // --- disjoint tables: both transactions commit their writes ---
+      GraftSql.sql(spark, "BEGIN")
+      Txn.onConnection(1) { GraftSql.sql(spark, "BEGIN") }
+      GraftSql.sql(spark, "UPDATE t2a SET y = y + 1 WHERE x = 2")
+      Txn.onConnection(1) { GraftSql.sql(spark, "UPDATE t2b SET y = 5 WHERE x = 1") }
+      Txn.onConnection(1) { GraftSql.sql(spark, "COMMIT") }
+      GraftSql.sql(spark, "COMMIT")
+      assert(sum("t2a") === 121.0 && sum("t2b") === 5.0)
+
+      // --- the secondary's ROLLBACK restores exactly its own writes,
+      //     and the primary's ROLLBACK never undoes a secondary commit
+      GraftSql.sql(spark, "BEGIN")
+      Txn.onConnection(1) { GraftSql.runScript(spark,
+        "BEGIN; UPDATE t2b SET y = 7 WHERE x = 1; ROLLBACK") }
+      assert(sum("t2b") === 5.0) // secondary rollback: pre-image restored
+      Txn.onConnection(1) { GraftSql.runScript(spark,
+        "BEGIN; INSERT INTO t2b VALUES (2, 2.0); COMMIT") }
+      GraftSql.sql(spark, "UPDATE t2a SET y = 0 WHERE x = 2")
+      GraftSql.sql(spark, "ROLLBACK")
+      assert(sum("t2a") === 121.0, "primary rollback restores its own write")
+      assert(sum("t2b") === 7.0, "secondary commit survives the primary's rollback")
+    } finally {
+      Txn.onConnection(1) { if (Txn.isActive) Txn.rollback(spark) }
+      if (Txn.isActive) Txn.rollback(spark)
+      spark.sql("DROP TABLE IF EXISTS t2a")
+      spark.sql("DROP TABLE IF EXISTS t2b")
+      spark.sql("USE default")
+    }
+  }
 }

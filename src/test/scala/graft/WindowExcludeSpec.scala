@@ -114,18 +114,21 @@ class WindowExcludeSpec extends AnyFunSuite {
     assert(r == Seq(Some(30L), Some(40L), Some(10L)))
   }
 
-  test("SQL pass rejects EXCLUDE GROUP/TIES on a bounded ROWS frame") {
+  test("SQL pass routes peer-cutting frames to the collected-frame fallback") {
     // a bounded ROWS frame can cut the peer group — the algebraic
-    // rewrite would subtract rows never in the frame; must throw
-    intercept[IllegalArgumentException] {
-      graft.plans.SqlPasses.windowExcludePass(
-        "SELECT SUM(x) OVER (ORDER BY o ROWS BETWEEN 5 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t")
-    }
-    intercept[IllegalArgumentException] {
-      graft.plans.SqlPasses.windowExcludePass(
-        "SELECT SUM(x) OVER (ORDER BY o ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING EXCLUDE CURRENT ROW) FROM t")
-    }
-    // unbounded RANGE frames still rewrite
+    // rewrite would subtract rows never in the frame; these route to
+    // graft_exclude_agg (frame-intersected by construction, r10)
+    val g = graft.plans.SqlPasses.windowExcludePass(
+      "SELECT SUM(x) OVER (ORDER BY o ROWS BETWEEN 5 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t")
+    assert(g.contains("graft_exclude_agg") && g.contains("'group'"))
+    val c = graft.plans.SqlPasses.windowExcludePass(
+      "SELECT SUM(x) OVER (ORDER BY o ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING EXCLUDE CURRENT ROW) FROM t")
+    assert(c.contains("graft_exclude_agg") && c.contains("'current'"))
+    // holistic aggregates always take the fallback
+    val h = graft.plans.SqlPasses.windowExcludePass(
+      "SELECT MEDIAN(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) FROM t")
+    assert(h.contains("graft_exclude_agg") && h.contains("'median'"))
+    // distributive aggregates on safe frames keep the O(1)/row algebra
     val ok = graft.plans.SqlPasses.windowExcludePass(
       "SELECT SUM(x) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) FROM t")
     assert(ok.contains("RANGE BETWEEN CURRENT ROW AND CURRENT ROW"))
