@@ -18,16 +18,19 @@ object Pipeline {
   val defs: Seq[QDef] = Seq(
 
     // L1: exact dedup via content hash (SQL-checkable end to end).
+    // No trailing total order here or in the other corpus-sized
+    // entries (r10): the oracle gate sorts rows itself, and a global
+    // sort of a corpus-wide output is a pointless full exchange at
+    // scale — removed from BOTH engines' texts so the bench pair
+    // stays apples-to-apples.
     QDef.sql("d01_dedup_exact",
       """SELECT sha256(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         | COUNT(*) AS n_copies
         |FROM documents
-        |GROUP BY sha256(text)
-        |ORDER BY keep_id""".stripMargin) { (s, dir) =>
+        |GROUP BY sha256(text)""".stripMargin) { (s, dir) =>
       Dedup.exact(t(s, dir, "documents"), col("doc_id"), col("text"))
         .select(col("content_hash"), col("keep_id").cast("bigint").as("keep_id"),
           col("n_copies"))
-        .orderBy(col("keep_id"))
     },
 
     // L2: MinHash+LSH near-dedup candidate pairs.
@@ -44,7 +47,6 @@ object Pipeline {
     // L3: SimHash near-dedup pairs (hamming ≤ 3 on 64-bit fingerprints).
     QDef.rowsOnly("d03_dedup_simhash") { (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
     },
 
     // L4: exact n-gram Jaccard — LSH proposes candidates, exact
@@ -89,7 +91,6 @@ object Pipeline {
         numHashes = 64, bands = 16, shingleSize = 5, estThreshold = 0.35,
         gramN = 3, minJaccard = 0.5)
       Dedup.connectedComponents(verified, "id_a", "id_b")
-        .orderBy(col("id"))
     },
 
     // L5: embedding-cosine near-dup pairs, blocked by label.
@@ -232,7 +233,7 @@ object Pipeline {
         | CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is)\b')) AS BIGINT) AS n_stop,
         | CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
         |   / (CAST(length(text) AS DOUBLE) + 1.0) AS token_density
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |FROM documents""".stripMargin) { (s, dir) =>
       // one fused byte-scan kernel instead of three regex passes —
       // regex-equivalence documented on HashKernels.textQualityStats
       // (the oracle keeps the regexp form; both must hash-match)
@@ -250,7 +251,6 @@ object Pipeline {
           col("__st").getItem(2).as("n_stop"),
           (col("__st").getItem(0).cast("double") /
             (col("n_chars2").cast("double") + 1.0)).as("token_density"))
-        .orderBy(col("doc_id"))
     },
 
     // L10: token counting — whitespace + BPE-ish regex segmentation.
@@ -450,11 +450,12 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
-    // L11: winnowing fingerprint (rolling-hash document id).
+    // L11: winnowing fingerprint (rolling-hash document id). Map-only
+    // projection — a trailing total order would add a full corpus
+    // exchange to a scan-shaped operator (r10: it did, ~7 s at sf10)
     QDef.rowsOnly("t04_fingerprint") { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id"))
     },
 
     // L12: multimodal decode — binary payloads (real PNG/PCM bytes,
@@ -518,7 +519,7 @@ object Pipeline {
         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
         |  CAST(n_crossdoc AS BIGINT) AS n_crossdoc,
         |  CAST((n_crossdoc * 1000000) // n_grams AS BIGINT) AS crossdoc_ppm
-        |FROM per_doc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |FROM per_doc""".stripMargin) { (s, dir) =>
       // gram IDENTITY rides as the 64-bit hash of WordNgramHashes
       // (same whitespace+lowercase tokenization as the oracle's
       // lower+split — the d04/t08-proven equivalence), already
@@ -537,7 +538,6 @@ object Pipeline {
           sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_crossdoc"))
         .select(col("doc_id"), col("n_grams"), col("n_crossdoc"),
           expr("(n_crossdoc * 1000000) div n_grams").as("crossdoc_ppm"))
-        .orderBy(col("doc_id"))
     },
 
     // L22: distributed k-means over embeddings — Lloyd iterations
@@ -583,7 +583,7 @@ object Pipeline {
         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
         |  CAST(n_hit AS BIGINT) AS n_hit,
         |  CAST((n_hit * 1000000) // n_grams AS BIGINT) AS hit_ppm
-        |FROM cd WHERE n_hit > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |FROM cd WHERE n_hit > 0""".stripMargin) { (s, dir) =>
       val dg = t(s, dir, "documents").select(col("doc_id"),
         explode(graft.plans.HashExpressions.columnOf(
           graft.plans.WordNgramHashes(
@@ -598,7 +598,6 @@ object Pipeline {
         .filter(col("n_hit") > 0)
         .select(col("doc_id"), col("n_grams"), col("n_hit"),
           expr("(n_hit * 1000000) div n_grams").as("hit_ppm"))
-        .orderBy(col("doc_id"))
     },
 
     // L17: deterministic train/val/test split — each doc follows its
@@ -731,9 +730,11 @@ object Pipeline {
         |SELECT t.doc_id, CAST(t.n_segs AS BIGINT) AS n_segs,
         |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
         |  COALESCE(a.text_dedup, '') AS text_dedup
-        |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin) { (s, dir) =>
+      // no trailing total order: the reassembled corpus (text!) would
+      // pay one extra full exchange+sort for display only (r10:
+      // measured ~4 s of the entry's 11 s at sf10); the gate sorts rows
       Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text", segWords = 8)
-        .orderBy(col("doc_id"))
     },
 
     // L25: DSIR data selection (Xie et al. 2023) — hashed-bigram
@@ -763,12 +764,11 @@ object Pipeline {
         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
         |  CAST(t_mass AS BIGINT) AS t_mass, CAST(r_mass AS BIGINT) AS r_mass,
         |  (t_mass * tr > r_mass * tt) AS selected
-        |FROM per_doc, tot ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |FROM per_doc, tot""".stripMargin) { (s, dir) =>
       Curation.dsirMasses(t(s, dir, "documents"), col("doc_id"), col("text"),
           col("source").isin("src0", "src1", "src2"), gramN = 2)
         .select(col("doc_id"), col("n_grams"), col("t_mass"), col("r_mass"),
           col("selected"))
-        .orderBy(col("doc_id"))
     },
 
     // L26: product-quantization ANN (Jégou et al. 2011) — the
@@ -895,11 +895,11 @@ object Pipeline {
         |        CAST(FLOOR(SUM(nl)/COUNT(*)*1e9 + 0.5) AS BIGINT) AS ce_e9 FROM sc GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, ce_e9,
         |  CASE NTILE(3) OVER (ORDER BY ce_e9, doc_id) WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
-        |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |FROM agg""".stripMargin) { (s, dir) =>
       import graft.llm.NgramLm
       val docs = t(s, dir, "documents")
       val scored = NgramLm.score(docs, "doc_id", "text", col("source") === "src0")
-      NgramLm.terciles(scored, "doc_id").orderBy(col("doc_id"))
+      NgramLm.terciles(scored, "doc_id")
     }
   )
 }
