@@ -408,7 +408,10 @@ object GraftSql {
     * show_select: describe_subquery.test, summarize_subquery.test):
     * run the inner statement through the front door and splice the
     * result back as a subselect, so FROM items, aliases, and setop
-    * arms compose.
+    * arms compose. (`(PIVOT …)` relations — pivot_6390's
+    * parenthesized statement form — are already handled upstream by
+    * PivotStmt.pass, whose isStmt check treats a `(`-preceded PIVOT
+    * keyword as the statement form.)
     */
   private val SubStmtRe = "(?i)\\(\\s*(DESCRIBE|SUMMARIZE)\\b".r
   private def subStatementPass(spark: SparkSession, text: String): Option[String] =

@@ -55,8 +55,9 @@ object FrameKernel {
     // positional interpolation over the caller-sorted multiset
     "quantile_cont_pre", "quantile_disc_pre",
     // navigation over the (excluded) frame: positional with nulls
-    // (_in = IGNORE NULLS); collect_set = distinct non-null values
-    "first_in", "last_in", "nth", "nth_in", "collect_set")
+    // (_in = IGNORE NULLS); collect_set = distinct non-null values;
+    // array_agg = frame order, NULLs kept (pinned vs the reference)
+    "first_in", "last_in", "nth", "nth_in", "collect_set", "array_agg")
 
   def resultType(fn: String, elem: DataType): DataType = fn match {
     case "count" | "count_star" => LongType
@@ -69,6 +70,7 @@ object FrameKernel {
         "stddev" | "var_samp" =>
       DoubleType
     case "collect_set" => ArrayType(elem, containsNull = false)
+    case "array_agg" => ArrayType(elem, containsNull = true)
     case _ => elem // min/max/mode/quantile_disc/first/last/nth
   }
 
@@ -107,6 +109,9 @@ object FrameKernel {
     case "nth" =>
       val i = q.toInt - 1
       if (i >= 0 && i < values.length) values(i) else null
+    case "array_agg" =>
+      if (values.isEmpty) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(values.toArray)
     case "first_in" => values.find(_ != null).orNull
     case "last_in" => values.reverseIterator.find(_ != null).orNull
     case "nth_in" =>

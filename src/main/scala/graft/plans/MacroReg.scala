@@ -11,17 +11,28 @@ import graft.sources.DmlSql.topSplit
   * body lands in the caller's plan exactly like the reference's
   * binder inlines it (and like MacroSpec's typed SQL-UDF analog, but
   * without demanding parameter types DuckDB never had).
+  *
+  * r10 surface: DEFAULT parameters (`name := default` — named-only at
+  * call sites, the reference's binder rule, pinned vs python-duckdb)
+  * and OVERLOADS (`CREATE MACRO m () AS 0, (a) AS a, (a, b) AS a+b`,
+  * test_macro_overloads.test) — call sites bind the signature whose
+  * positional arity and named arguments fit.
   */
 object MacroReg {
-  private val macros = new ConcurrentHashMap[String, (Seq[String], String)]()
+
+  /** One signature: parameters (name, optional default) + body. */
+  private final case class Sig(params: Seq[(String, Option[String])], body: String)
+
+  private val macros = new ConcurrentHashMap[String, Seq[Sig]]()
 
   // CREATE FUNCTION is the reference's alias for CREATE MACRO
   // (create_macro_info.cpp registers both spellings); TEMP/TEMPORARY
   // is a no-op scope (macros here are session-lived anyway)
-  private val Create =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?(?:MACRO|FUNCTION)\s+(?:IF\s+NOT\s+EXISTS\s+)?("[^"]+"|[A-Za-z_][\w.]*)\s*\(([^)]*)\)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val CreateHead =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?(?:MACRO|FUNCTION)\s+(?:IF\s+NOT\s+EXISTS\s+)?("[^"]+"|[A-Za-z_][\w.]*)\s*(\(.*)$""".r
 
-  def isCreate(text: String): Boolean = Create.findFirstIn(text).isDefined
+  def isCreate(text: String): Boolean =
+    CreateHead.findFirstMatchIn(text.trim.stripSuffix(";")).isDefined
 
   /** DROP MACRO [IF EXISTS] name (reference drop_statement.cpp —
     * macros share the generic DROP verb). */
@@ -34,17 +45,69 @@ object MacroReg {
     require(had || ifExists, s"DROP MACRO: no macro named $name")
   }
 
-  def register(text: String): Unit = text match {
-    case Create(name, params, body) =>
+  private def parseParams(name: String, raw: String): Seq[(String, Option[String])] = {
+    // `p` or `p := default` per parameter; duplicate names error like
+    // the reference ("Duplicate macro parameter name")
+    val ps = topSplit(raw, ',').map(_.trim).filter(_.nonEmpty).map { p =>
+      val i = p.indexOf(":=")
+      if (i >= 0) (p.substring(0, i).trim, Some(p.substring(i + 2).trim))
+      else (p, None)
+    }
+    require(ps.map(_._1.toLowerCase).distinct.length == ps.length,
+      s"CREATE MACRO: duplicate macro parameter name in $name")
+    ps.foreach { case (n0, _) =>
+      require(!n0.contains("."),
+        s"CREATE MACRO: invalid parameter name '$n0' (qualified names not allowed)")
+    }
+    ps
+  }
+
+  def register(text: String): Unit = text.trim.stripSuffix(";") match {
+    case CreateHead(name, rest0) =>
       // schema qualifiers register under the bare name (the session
       // catalog here is single-schema); `AS TABLE <query>` macros
       // expand like scalar ones — the parenthesized body is a valid
       // FROM-position subquery
-      val bare = name.stripPrefix("\"").stripSuffix("\"")
-        .substring(name.stripPrefix("\"").stripSuffix("\"").lastIndexOf('.') + 1)
-      val b = body.trim.replaceFirst("(?is)^TABLE\\s+", "")
-      macros.put(bare.toLowerCase,
-        (params.split(',').map(_.trim).filter(_.nonEmpty).toSeq, b))
+      val bare0 = name.stripPrefix("\"").stripSuffix("\"")
+      val bare = bare0.substring(bare0.lastIndexOf('.') + 1)
+      // one or more `(params) AS body` signatures, comma-separated
+      // (test_macro_overloads.test)
+      val sigs = scala.collection.mutable.ArrayBuffer.empty[Sig]
+      var rest = rest0.trim
+      while (rest.nonEmpty) {
+        require(rest.startsWith("("),
+          s"CREATE MACRO: expected (params) AS body, got: $rest")
+        val close = SqlPasses.matchParen(rest, 0)
+        val params = parseParams(bare, rest.substring(1, close))
+        var tail = rest.substring(close + 1).trim
+        require(tail.toUpperCase.startsWith("AS"),
+          s"CREATE MACRO: missing AS after parameter list in $bare")
+        tail = tail.substring(2).trim
+        // the body runs to the next TOP-LEVEL `, (` signature start
+        // (bodies are single expressions — a bare top-level comma
+        // only ever separates signatures)
+        var depth = 0
+        var i = 0
+        var cut = -1
+        while (i < tail.length && cut < 0) {
+          val c = tail.charAt(i)
+          if (c == '\'') { i += 1; while (i < tail.length && tail.charAt(i) != '\'') i += 1 }
+          else if (c == '(' || c == '[') depth += 1
+          else if (c == ')' || c == ']') depth -= 1
+          else if (c == ',' && depth == 0) cut = i
+          i += 1
+        }
+        val (body, next) =
+          if (cut < 0) (tail, "")
+          else (tail.substring(0, cut), tail.substring(cut + 1).trim)
+        sigs += Sig(params,
+          body.trim.replaceFirst("(?is)^TABLE\\s+", ""))
+        rest = next
+      }
+      require(sigs.nonEmpty, s"CREATE MACRO: no signature in $text")
+      require(sigs.map(_.params.length).distinct.length == sigs.length,
+        s"CREATE MACRO: duplicate overload arity in $bare")
+      macros.put(bare.toLowerCase, sigs.toSeq)
     case _ => throw new IllegalArgumentException(
       s"CREATE MACRO: unsupported shape (scalar `name(p, …) AS expr` only): $text")
   }
@@ -53,10 +116,57 @@ object MacroReg {
 
   def clearAll(): Unit = macros.clear()
 
+  private val NamedArg = "(?is)^([A-Za-z_]\\w*)\\s*:=\\s*(.+)$".r
+
+  /** Bind a call's arguments against one signature: positional args
+    * fill only the NON-defaulted parameters (defaulted ones are
+    * named-only — the reference's binder rule, pinned:
+    * `tdp(a := 4, b := 2)` rejects `tdp(1, 1)`); `k := v` args assign
+    * by name; unfilled parameters take their default. Returns the
+    * expanded body, or the binder error.
+    */
+  private def bind(name: String, sig: Sig, args: Seq[String]): Either[String, String] = {
+    val (named, positional) = args.partition {
+      case NamedArg(_, _) => true
+      case _ => false
+    }
+    val values = new java.util.LinkedHashMap[String, String]()
+    val positionalParams = sig.params.filter(_._2.isEmpty).map(_._1)
+    if (positional.length > positionalParams.length)
+      return Left(s"macro $name expects ${positionalParams.length} " +
+        s"positional args, got ${positional.length}")
+    positionalParams.zip(positional).foreach { case (p, a) =>
+      values.put(p.toLowerCase, a)
+    }
+    named.foreach {
+      case NamedArg(k, v) =>
+        if (!sig.params.exists(_._1.equalsIgnoreCase(k)))
+          return Left(s"macro $name has no parameter named $k")
+        if (values.containsKey(k.toLowerCase))
+          return Left(s"macro $name: duplicate value for parameter $k")
+        values.put(k.toLowerCase, v)
+      case _ =>
+    }
+    var expanded = sig.body
+    sig.params.foreach { case (p, dflt) =>
+      Option(values.get(p.toLowerCase)).orElse(dflt) match {
+        case Some(a) =>
+          expanded = expanded.replaceAll(
+            "(?i)\\b" + java.util.regex.Pattern.quote(p) + "\\b",
+            java.util.regex.Matcher.quoteReplacement(s"($a)"))
+        case None =>
+          return Left(s"macro $name expects ${sig.params.length} args, " +
+            s"got ${args.length}")
+      }
+    }
+    Right(expanded)
+  }
+
   /** Expand macro calls textually, innermost-out, to a fixpoint
     * (macros may call macros — reference macros compose the same
     * way). Parameters substitute at identifier boundaries, arguments
-    * parenthesized.
+    * parenthesized. Overloads bind in registration order — the first
+    * signature the call's arity and names fit wins.
     */
   def expand(sql0: String): String = {
     if (macros.isEmpty) return sql0
@@ -66,8 +176,7 @@ object MacroReg {
     while (changed && rounds < 10) {
       changed = false
       rounds += 1
-      macros.forEach { (name, defn) =>
-        val (params, body) = defn
+      macros.forEach { (name, sigs) =>
         // schema-qualified call sites (main.my_macro(..)) expand too —
         // macros registered bare, the qualifier names the schema
         val CallRe = ("(?i)(?<![\\w.])(?:[A-Za-z_]\\w*\\.)?" +
@@ -79,14 +188,15 @@ object MacroReg {
           val open = sql.indexOf('(', m.get.start)
           val close = SqlPasses.matchParen(sql, open)
           val args = topSplit(sql.substring(open + 1, close), ',')
-          require(args.length == params.length,
-            s"macro $name expects ${params.length} args, got ${args.length}")
-          var expanded = body
-          params.zip(args).foreach { case (p, a) =>
-            expanded = expanded.replaceAll(
-              "(?i)\\b" + java.util.regex.Pattern.quote(p) + "\\b",
-              java.util.regex.Matcher.quoteReplacement(s"($a)"))
+          var expanded: String = null
+          var firstErr: String = null
+          sigs.foreach { sig =>
+            if (expanded == null) bind(name, sig, args) match {
+              case Right(e) => expanded = e
+              case Left(err) => if (firstErr == null) firstErr = err
+            }
           }
+          require(expanded != null, firstErr)
           sql = sql.substring(0, m.get.start) + s"($expanded)" + sql.substring(close + 1)
           changed = true
           m = CallRe.findFirstMatchIn(sql)

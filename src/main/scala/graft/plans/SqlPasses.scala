@@ -387,6 +387,7 @@ object SqlPasses {
       // this pass — the kernel's sorted distinct set feeds the
       // surrounding size()/cardinality() unchanged
       case "COLLECT_SET" => ("collect_set", arg, None)
+      case "ARRAY_AGG" | "COLLECT_LIST" | "LIST" => ("array_agg", arg, None)
       case other => throw new IllegalArgumentException(
         s"window frame kernel: unsupported aggregate $other")
     }

@@ -526,8 +526,8 @@ object DmlSql {
         val q = c; cur += c; i += 1
         while (i < n && s.charAt(i) != q) { cur += s.charAt(i); i += 1 }
         if (i < n) { cur += q; i += 1 }
-      } else if (c == '(') { depth += 1; cur += c; i += 1 }
-      else if (c == ')') { depth -= 1; cur += c; i += 1 }
+      } else if (c == '(' || c == '[') { depth += 1; cur += c; i += 1 }
+      else if (c == ')' || c == ']') { depth -= 1; cur += c; i += 1 }
       else if (c == sep && depth == 0) { out += cur.toString; cur.clear(); i += 1 }
       else { cur += c; i += 1 }
     }

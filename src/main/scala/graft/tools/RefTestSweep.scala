@@ -132,7 +132,11 @@ object RefTestSweep {
       // the regex verbs, DML with upsert/RETURNING (sources/DmlSql),
       // and ASOF JOIN statement syntax (plans/AsofSql)
       def statementFormPivot: Boolean =
-        "(?is)^\\s*(WITH|SELECT|CREATE\\s+TABLE)\\b".r.findFirstIn(sql).isDefined && {
+        // FROM-first included: pivot_6390's `FROM (PIVOT t ON … GROUP
+        // BY …) JOIN (PIVOT …)` executes through PivotStmt (verified
+        // end-to-end via Scratch, r10) — the parenthesized verb always
+        // carries the `PIVOT <rel> ON` shape the scan below requires
+        "(?is)^\\s*(WITH|SELECT|CREATE\\s+TABLE|FROM)\\b".r.findFirstIn(sql).isDefined && {
           // depth-0 scan for a statement-form PIVOT/UNPIVOT verb
           // (GraftSql routes these through plans/PivotStmt even when a
           // WITH clause precedes the verb)
