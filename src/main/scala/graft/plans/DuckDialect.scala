@@ -370,6 +370,16 @@ object DuckDialect {
             // NULLS FIRST/LAST) — as exprs their inline ORDER BY /
             // IGNORE NULLS forms get the call() rewrites
             out += expr(0)
+          case TWord(w) if w.equalsIgnoreCase("RANGE") && peekAt(1).exists {
+            case TOp(op) => !Set("(", ")", ";").contains(op)
+            case TWord(x) => x.equalsIgnoreCase("AS")
+            case _ => false
+          } =>
+            // `range` as a COLUMN name (the range(...) table
+            // function's default output column, e.g. `range::varchar`
+            // or `range % 3`): RANGE is glue only in window-frame /
+            // table-function position
+            out += expr(0)
           case TWord(w) if GLUE(w.toUpperCase) =>
             next(); lastGlue = w.toUpperCase; out += w
           case TOp(",") =>
@@ -405,6 +415,16 @@ object DuckDialect {
             // first(...)/last(...) calls (the words are glue only for
             // NULLS FIRST/LAST) — as exprs their inline ORDER BY /
             // IGNORE NULLS forms get the call() rewrites
+            out += expr(0)
+          case TWord(w) if w.equalsIgnoreCase("RANGE") && peekAt(1).exists {
+            case TOp(op) => !Set("(", ")", ";").contains(op)
+            case TWord(x) => x.equalsIgnoreCase("AS")
+            case _ => false
+          } =>
+            // `range` as a COLUMN name (the range(...) table
+            // function's default output column, e.g. `range::varchar`
+            // or `range % 3`): RANGE is glue only in window-frame /
+            // table-function position
             out += expr(0)
           case TWord(w) if GLUE(w.toUpperCase) =>
             next(); lastGlue = w.toUpperCase; out += w
@@ -1290,7 +1310,15 @@ object DuckDialect {
                   peekAt(1).exists(_.text.equalsIgnoreCase("NAME"))) {
                 next(); next(); " BY NAME"
               } else ""
-            val rhs = expr(0)
+            // the RHS may be a BARE statement (`(q1) INTERSECT ALL
+            // select * from t u(x)`) — a statement parse, not an
+            // expression-list item
+            val rhs = peek match {
+              case TWord(w) if Set("SELECT", "WITH", "FROM", "VALUES",
+                  "TABLE")(w.toUpperCase) =>
+                s"(${statement()})"
+              case _ => expr(0)
+            }
             parts(parts.length - 1) = parts.last + s" $op$mod$byName $rhs"
           }
           if (peekOp(",")) next()
@@ -1598,6 +1626,12 @@ object DuckDialect {
             // when the sort key IS the collected expression; any
             // other key falls through to the general struct-sort form
             s"array_sort($fname(${renderArgs(parts.toSeq)}))"
+          else if ((low == "array_agg" || low == "list") &&
+              parts.headOption.contains("DISTINCT") &&
+              parts.filterNot(p => p == "," || p == "DISTINCT")
+                .mkString(", ") == ob)
+            // list(DISTINCT x ORDER BY x): sorted distinct list
+            s"array_sort(collect_set(${parts.filterNot(p => p == "," || p == "DISTINCT").mkString(", ")}))"
           else {
             // (key, desc, nullsFirst) triples from the flat buffer;
             // the reference's default null order is NULLS LAST

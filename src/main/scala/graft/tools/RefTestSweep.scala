@@ -175,6 +175,9 @@ object RefTestSweep {
         // columnsPass BEFORE Spark's parser (f51-gated) — parse-grading
         // the unexpanded text would be a false failure
         "(?is)(^|[^\\w])COLUMNS\\s*\\(".r.findFirstIn(sql).isDefined ||
+        // `* REPLACE (expr AS col, …)` expands in GraftSql's
+        // schema-aware starReplacePass (f50-gated) — same reasoning
+        "(?is)\\*\\s*(EXCLUDE|EXCEPT|REPLACE)\\s*\\(".r.findFirstIn(sql).isDefined ||
         "(?is)\\bLIMIT\\s+\\d+(\\.\\d+)?\\s*(%|PERCENT)\\s*;?\\s*$".r.findFirstIn(sql).isDefined ||
         sql.linesIterator.map(_.trim).forall(l => l.isEmpty || l.startsWith("--"))
       if (layerRouted) routed += 1
