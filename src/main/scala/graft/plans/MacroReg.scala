@@ -83,9 +83,9 @@ object MacroReg {
         require(tail.toUpperCase.startsWith("AS"),
           s"CREATE MACRO: missing AS after parameter list in $bare")
         tail = tail.substring(2).trim
-        // the body runs to the next TOP-LEVEL `, (` signature start
-        // (bodies are single expressions — a bare top-level comma
-        // only ever separates signatures)
+        // the body runs to the next TOP-LEVEL `, (` signature start.
+        // ONLY a comma followed by `(` separates signatures — `AS
+        // TABLE select a,b from t` bodies carry bare top-level commas
         var depth = 0
         var i = 0
         var cut = -1
@@ -94,7 +94,11 @@ object MacroReg {
           if (c == '\'') { i += 1; while (i < tail.length && tail.charAt(i) != '\'') i += 1 }
           else if (c == '(' || c == '[') depth += 1
           else if (c == ')' || c == ']') depth -= 1
-          else if (c == ',' && depth == 0) cut = i
+          else if (c == ',' && depth == 0) {
+            var j = i + 1
+            while (j < tail.length && tail.charAt(j).isWhitespace) j += 1
+            if (j < tail.length && tail.charAt(j) == '(') cut = i
+          }
           i += 1
         }
         val (body, next) =
@@ -181,25 +185,39 @@ object MacroReg {
         // macros registered bare, the qualifier names the schema
         val CallRe = ("(?i)(?<![\\w.])(?:[A-Za-z_]\\w*\\.)?" +
           java.util.regex.Pattern.quote(name) + "\\s*\\(").r
-        var m = CallRe.findFirstMatchIn(sql)
+        var from = 0
         var spins = 0
-        while (m.isDefined && spins < 64) {
+        var go = true
+        while (go && spins < 64) {
           spins += 1
-          val open = sql.indexOf('(', m.get.start)
-          val close = SqlPasses.matchParen(sql, open)
-          val args = topSplit(sql.substring(open + 1, close), ',')
-          var expanded: String = null
-          var firstErr: String = null
-          sigs.foreach { sig =>
-            if (expanded == null) bind(name, sig, args) match {
-              case Right(e) => expanded = e
-              case Left(err) => if (firstErr == null) firstErr = err
-            }
+          CallRe.findFirstMatchIn(sql.substring(from)) match {
+            case None => go = false
+            case Some(mm) =>
+              val start = from + mm.start
+              val open = sql.indexOf('(', start)
+              val close = SqlPasses.matchParen(sql, open)
+              val args = topSplit(sql.substring(open + 1, close), ',')
+              var expanded: String = null
+              sigs.foreach { sig =>
+                if (expanded == null) bind(name, sig, args) match {
+                  case Right(e) => expanded = e
+                  case Left(_) =>
+                }
+              }
+              if (expanded != null) {
+                sql = sql.substring(0, start) + s"($expanded)" +
+                  sql.substring(close + 1)
+                changed = true
+              } else {
+                // no signature fits this call's arity/names: leave the
+                // site for the engine's BUILT-IN of the same name —
+                // the reference's catalog rule (test_table_macro.test
+                // creates a macro named `range`; `FROM range(3)` still
+                // hits the built-in). True mistakes surface at
+                // analysis instead.
+                from = close + 1
+              }
           }
-          require(expanded != null, firstErr)
-          sql = sql.substring(0, m.get.start) + s"($expanded)" + sql.substring(close + 1)
-          changed = true
-          m = CallRe.findFirstMatchIn(sql)
         }
       }
     }
