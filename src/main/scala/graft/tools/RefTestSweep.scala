@@ -178,6 +178,9 @@ object RefTestSweep {
         // `* REPLACE (expr AS col, …)` expands in GraftSql's
         // schema-aware starReplacePass (f50-gated) — same reasoning
         "(?is)\\*\\s*(EXCLUDE|EXCEPT|REPLACE)\\s*\\(".r.findFirstIn(sql).isDefined ||
+        // `(DESCRIBE …)` / `(SUMMARIZE …)` relations materialize in
+        // GraftSql's subStatementPass (s16/s10-gated) — same reasoning
+        "(?i)\\(\\s*(DESCRIBE|SUMMARIZE)\\b".r.findFirstIn(sql).isDefined ||
         "(?is)\\bLIMIT\\s+\\d+(\\.\\d+)?\\s*(%|PERCENT)\\s*;?\\s*$".r.findFirstIn(sql).isDefined ||
         sql.linesIterator.map(_.trim).forall(l => l.isEmpty || l.startsWith("--"))
       if (layerRouted) routed += 1
