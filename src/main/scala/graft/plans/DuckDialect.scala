@@ -933,6 +933,49 @@ object DuckDialect {
         digits.length > 38
       }
 
+    /** Date/timestamp literals beyond Spark's ±9999 literal-parser
+      * range (timestamp_limits.test: years to ±290308) — Spark's
+      * int64-micros TimestampType HOLDS them (year ±292471); only the
+      * string parser refuses. Precompute the micros/epoch-days at
+      * translate time and emit timestamp_micros()/
+      * date_from_unix_date(). Returns None when not a big literal
+      * (the normal path keeps the typed literal). */
+    private val BigTs =
+      ("^'(\\d{4,6})-(\\d{2})-(\\d{2})" +
+        "(?: \\(BC\\))?(?: (\\d{2}):(\\d{2}):(\\d{2})(\\.\\d{1,6})?)?( \\(BC\\))?\\s*'$").r
+    private def bigTemporal(lit: String, isDate: Boolean): Option[String] = {
+      val t = lit.trim
+      t match {
+        case BigTs(y, mo, d, h, mi, s, frac, bc2) =>
+          val bc = bc2 != null || t.contains("(BC)")
+          if (y.length <= 4 && !bc) return None // in-range: normal path
+          if (y.length <= 4 && bc) return None  // small BC: bcLiteral path
+          try {
+            val year = if (bc) -(y.toLong - 1) else y.toLong
+            if (isDate && h == null) {
+              val days = java.time.LocalDate
+                .of(Math.toIntExact(year), mo.toInt, d.toInt).toEpochDay
+              Some(s"date_from_unix_date(${Math.toIntExact(days)})")
+            } else {
+              val ld = java.time.LocalDateTime.of(Math.toIntExact(year),
+                mo.toInt, d.toInt,
+                if (h == null) 0 else h.toInt,
+                if (mi == null) 0 else mi.toInt,
+                if (s == null) 0 else s.toInt)
+              val micros = Math.addExact(
+                Math.multiplyExact(ld.toEpochSecond(java.time.ZoneOffset.UTC),
+                  1000000L),
+                if (frac == null) 0L
+                else (frac.drop(1).padTo(6, '0').take(6)).toLong)
+              Some(s"timestamp_micros(${micros}L)")
+            }
+          } catch { case _: ArithmeticException | _: java.time.DateTimeException =>
+            None // past even int64 micros: let Spark raise
+          }
+        case _ => None
+      }
+    }
+
     /** `'0044-03-15 (BC)'`-style literal (the reference's BC date/
       * timestamp rendering, date_t::FromString) → astronomical
       * negative year for Spark's proleptic parser: year N BC = year
@@ -1411,7 +1454,15 @@ object DuckDialect {
         case "MAP" if peekOp("{") => mapLiteral()
         case "EXISTS" if peekOp("(") => "EXISTS " + primaryParen()
         case "DATE" | "TIMESTAMP" if more && peek.isInstanceOf[TStr] =>
-          s"$w ${next().text}"
+          // the reference's literal parser trims/collapses whitespace
+          // and accepts a trailing UTC zone name (the session zone
+          // here, so it drops as identity) — Spark's typed-literal
+          // parser accepts neither
+          val lit0 = next().text
+          val lit = "'" + lit0.stripPrefix("'").stripSuffix("'").trim
+            .replaceAll("\\s+", " ")
+            .replaceAll("(?i)\\s+(utc|z)$", "") + "'"
+          bigTemporal(lit, w.equalsIgnoreCase("DATE")).getOrElse(s"$w $lit")
         // TIMESTAMPTZ ≡ the session-zone instant type (Spark TIMESTAMP)
         case "TIMESTAMPTZ" if more && peek.isInstanceOf[TStr] =>
           s"TIMESTAMP ${next().text}"
@@ -1873,6 +1924,9 @@ object DuckDialect {
       else if (rawTy == "VARINT")
         (if (isHuge(e)) s"varint(${hugePre(e, "")}_str($e))" else s"varint($e)")
       else if ((rawTy == "DATE" || rawTy.startsWith("TIMESTAMP")) &&
+          bigTemporal(e, rawTy == "DATE").isDefined)
+        bigTemporal(e, rawTy == "DATE").get
+      else if ((rawTy == "DATE" || rawTy.startsWith("TIMESTAMP")) &&
           bcLiteral(e).isDefined)
         s"$kw(${bcLiteral(e).get} AS $ty)"
       else if (isHuge(e))
@@ -2068,6 +2122,9 @@ object DuckDialect {
               else if (rawTy == "VARINT")
                 (if (isHuge(base)) s"varint(${hugePre(base, "")}_str($base))"
                  else s"varint($base)")
+              else if ((rawTy == "DATE" || rawTy.startsWith("TIMESTAMP")) &&
+                  bigTemporal(base, rawTy == "DATE").isDefined)
+                bigTemporal(base, rawTy == "DATE").get
               else if ((rawTy == "DATE" || rawTy.startsWith("TIMESTAMP")) &&
                   bcLiteral(base).isDefined)
                 s"CAST(${bcLiteral(base).get} AS $ty)"
