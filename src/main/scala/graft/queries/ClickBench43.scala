@@ -15,15 +15,16 @@ import graft.sources.Catalog
   * cb01–cb14 (ClickBench.scala) value-check the benchmark's plan
   * CLASSES with tie-safe orderings; this sweep closes benchmark
   * BREADTH: every one of the 43 official texts must parse, plan, and
-  * execute. GATE STRENGTH (r10, the TpcdsFull pattern transferred):
-  * each query is gated on row count AND — for the deterministic
-  * subset — an order-insensitive VALUE fingerprint (md5 over sorted
+  * execute. GATE STRENGTH (r11): each query is gated on row count
+  * AND a STATICALLY-derived value fingerprint (md5 over sorted
   * per-row renderings under a positional fractional mask derived
-  * from DuckDB DESCRIBE; see TpcdsFull's renderer contract). The
-  * tie-ambiguous residue ([[countOnly]]) was MEASURED, not guessed:
-  * Spark↔DuckDB fingerprint diff at the gate scale — top-N-by-count
-  * orderings whose LIMIT cutoff lands on tied counts keep
-  * engine-ambiguous row sets and gate on count alone.
+  * from DuckDB DESCRIBE; see TpcdsFull's renderer contract) — full
+  * rows where the output multiset is provably engine-deterministic,
+  * otherwise the ORDER BY key columns only (whose windowed multiset
+  * is always deterministic), otherwise count alone. See [[gates]].
+  * The r10 MEASURED tie set failed the driver's gate (tie sets are
+  * scale- and DuckDB-version-dependent); the static derivation holds
+  * under any gate configuration.
   *
   * The `hits` view synthesizes the benchmark's columns from events
   * with closed-form arithmetic — one portable SQL text both engines
@@ -91,23 +92,57 @@ object ClickBench43 {
     "....f", "....f", "....f", "..", "...", ".....", "..", "..", "..",
     "......", "...", "...", "..")
 
-  /** 1-based query numbers gated on count only — MEASURED r10
-    * (CbFpProbe ↔ tools/cb_fp_oracle.py diff at the sf0.01 gate
-    * scale; 33 of 43 hash-match on values): each member's top-level
-    * ORDER BY lands its LIMIT cutoff on tied count/frequency keys
-    * (top-N SearchPhrase/user cohorts — different engines
-    * legitimately keep different rows at the cutoff). */
-  private[queries] val countOnly: Set[Int] =
-    Set(14, 15, 18, 19, 22, 23, 31, 32, 33, 36)
+  /** Per-query gate strength, derived STATICALLY from the query text +
+    * hits-view construction (r11, replacing the r10 measured tie set —
+    * a measured set is scale- and DuckDB-version-dependent and the
+    * driver's oracle run falsified it; a static derivation transfers
+    * to any gate configuration).
+    *
+    * - [[Full]]: full-row order-insensitive value fingerprint. Safe iff
+    *   the output multiset is engine-deterministic: (a) no LIMIT
+    *   (q1–q8, q20, q21, q30); (b) LIMIT but the ORDER BY keys form a
+    *   unique key over the output (q43 orders by its own group key);
+    *   (c) every output column is an ORDER BY key, so rows tied at the
+    *   cutoff are indistinguishable in the output (q26, q27); (d) the
+    *   group-key modulus in the hits view bounds the group count at or
+    *   under the LIMIT, so the cutoff never discards rows (q9/q10:
+    *   RegionID = user_id%10 → ≤10 groups, LIMIT 10; q11: 6 phone
+    *   models, LIMIT 10).
+    * - [[Keys]](idx): count + order-insensitive fingerprint of the
+    *   ORDER BY key columns only. For any ORDER BY k LIMIT n OFFSET m,
+    *   the multiset of key tuples inside the window is the positions
+    *   m+1..m+n of the globally sorted key list — deterministic even
+    *   when the non-key columns of tied rows are not. All such keys
+    *   here are exact (counts / timestamps), never floats.
+    * - [[CountGate]]: row count only. q18 has LIMIT with no ORDER BY
+    *   (arbitrary 10 of many groups); q25 orders by EventTime which is
+    *   not in the output; q28/q29 order by a float AVG where a
+    *   last-ulp cross-engine difference could still reorder the
+    *   cutoff after 2dp normalization. */
+  private sealed trait Gate
+  private case object Full extends Gate
+  private final case class Keys(idx: Seq[Int]) extends Gate
+  private case object CountGate extends Gate
 
-  private def isCountOnly(i: Int): Boolean = countOnly.contains(i + 1)
+  private val gates: Seq[Gate] = Seq(
+    /* q01 */ Full, Full, Full, Full, Full, Full, Full, Full, Full, Full,
+    /* q11 */ Full, Keys(Seq(2)), Keys(Seq(1)), Keys(Seq(1)), Keys(Seq(2)),
+    /* q16 */ Keys(Seq(1)), Keys(Seq(2)), CountGate, Keys(Seq(3)), Full,
+    /* q21 */ Full, Keys(Seq(2)), Keys(Seq(3)), Keys(Seq(3)), CountGate,
+    /* q26 */ Full, Full, CountGate, CountGate, Full,
+    /* q31 */ Keys(Seq(2)), Keys(Seq(2)), Keys(Seq(2)), Keys(Seq(1)), Keys(Seq(2)),
+    /* q36 */ Keys(Seq(4)), Keys(Seq(1)), Keys(Seq(1)), Keys(Seq(1)), Keys(Seq(5)),
+    /* q41 */ Keys(Seq(2)), Keys(Seq(2)), Full)
 
-  /** DuckDB-side fingerprint subquery (TpcdsFull.oracleFp shape). */
-  private def oracleFp(i: Int): String = {
+  /** DuckDB-side fingerprint subquery (TpcdsFull.oracleFp shape).
+    * `keep` restricts fingerprinting to those column positions (the
+    * [[Keys]] gate); None fingerprints the full row. */
+  private def oracleFp(i: Int, keep: Option[Seq[Int]]): String = {
     val mask = fracMasks(i)
     val cols = mask.indices.map(k => s"c$k")
-    val norms = mask.zipWithIndex.map { case (ch, k) =>
-      if (ch == 'f')
+    val used = keep.getOrElse(mask.indices.toSeq)
+    val norms = used.map { k =>
+      if (mask(k) == 'f')
         s"COALESCE(CAST(CAST(floor(CAST(CAST(c$k AS VARCHAR) AS DOUBLE)*100 + 0.5) AS BIGINT) AS VARCHAR), '<null>')"
       else s"COALESCE(CAST(c$k AS VARCHAR), '<null>')"
     }
@@ -125,22 +160,27 @@ object ClickBench43 {
 
   private def oracleText: String = {
     val parts = texts.indices.map { i =>
-      if (isCountOnly(i))
-        s"SELECT ${i + 1} AS qid, CAST((SELECT COUNT(*) FROM (\n${texts(i)}\n) __q${i + 1}) AS BIGINT) AS n, '<count-only>' AS fp"
-      else
-        s"SELECT ${i + 1} AS qid, n, fp FROM (\n${oracleFp(i)}\n) __f${i + 1}"
+      gates(i) match {
+        case CountGate =>
+          s"SELECT ${i + 1} AS qid, CAST((SELECT COUNT(*) FROM (\n${texts(i)}\n) __q${i + 1}) AS BIGINT) AS n, '<count-only>' AS fp"
+        case Full =>
+          s"SELECT ${i + 1} AS qid, n, fp FROM (\n${oracleFp(i, None)}\n) __f${i + 1}"
+        case Keys(idx) =>
+          s"SELECT ${i + 1} AS qid, n, fp FROM (\n${oracleFp(i, Some(idx))}\n) __f${i + 1}"
+      }
     }
     s"WITH hits AS (\n$hitsViewSql\n)\nSELECT * FROM (\n${parts.mkString("\nUNION ALL\n")}\n) ORDER BY qid"
   }
 
   /** Spark-side fingerprint under the same positional mask —
     * TpcdsFull's renderer (identical normalization contract). */
-  def fingerprint(rows: Array[Row], i: Int): String = {
+  def fingerprint(rows: Array[Row], i: Int, keep: Option[Seq[Int]] = None): String = {
     val mask = fracMasks(i)
+    val used = keep.getOrElse(mask.indices.toSeq)
     val strs = rows.map { r =>
       require(r.length == mask.length,
         s"cb q${i + 1}: ${r.length} output columns, mask has ${mask.length}")
-      mask.indices.map(k => TpcdsFull.renderValue(r.get(k), mask(k) == 'f')).mkString("|")
+      used.map(k => TpcdsFull.renderValue(r.get(k), mask(k) == 'f')).mkString("|")
     }.sorted
     if (strs.isEmpty) "<empty>" else TpcdsFull.md5Hex(strs.mkString("\n"))
   }
@@ -150,10 +190,14 @@ object ClickBench43 {
       Catalog.registerAll(s, dir)
       GraftSql.sql(s, hitsViewSql).createOrReplaceTempView("hits")
       val rows = texts.zipWithIndex.map { case (q, i) =>
-        if (isCountOnly(i)) Row(i + 1, GraftSql.sql(s, q).count(), "<count-only>")
-        else {
-          val collected = GraftSql.sql(s, q).collect()
-          Row(i + 1, collected.length.toLong, fingerprint(collected, i))
+        gates(i) match {
+          case CountGate => Row(i + 1, GraftSql.sql(s, q).count(), "<count-only>")
+          case Full =>
+            val collected = GraftSql.sql(s, q).collect()
+            Row(i + 1, collected.length.toLong, fingerprint(collected, i))
+          case Keys(idx) =>
+            val collected = GraftSql.sql(s, q).collect()
+            Row(i + 1, collected.length.toLong, fingerprint(collected, i, Some(idx)))
         }
       }
       val schema = StructType(Seq(
