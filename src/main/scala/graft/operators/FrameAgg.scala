@@ -125,8 +125,10 @@ object FrameKernel {
         case _ if nn.isEmpty => null
         case "sum" => elem match {
           case ByteType | ShortType | IntegerType | LongType =>
+            // no Double detour: a Long > 2^53 would silently lose
+            // precision round-tripping through toDouble
             var s = 0L
-            nn.foreach(v => s += toDouble(v).toLong)
+            nn.foreach(v => s += v.asInstanceOf[Number].longValue)
             s
           case d: DecimalType =>
             var s = BigDecimal(0)
@@ -370,15 +372,23 @@ case class ExcludeAgg(arr: Expression, cur: Expression, kindE: Expression,
           i += 1
         }
       case "ties" =>
-        var sawCurrent = false
+        // EXCLUDE TIES keeps the CURRENT ROW at its original frame
+        // position and drops the other peers — order matters for the
+        // positional kernels routed here (first/last/nth/array_agg),
+        // so keep exactly one keys+value match IN PLACE rather than
+        // remove-all-then-append (the r10 bug: FIRST_VALUE ... ROWS
+        // BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE TIES
+        // must return the current row's value, not the first non-peer)
+        var kept = false
         var i = 0
         while (i < n) {
           val r = ad.getStruct(i, nFields)
           if (!keysEq(r, cr)) out += valueOf(r)
-          else if (fieldEq(nFields - 1, r, cr)) sawCurrent = true
+          else if (!kept && fieldEq(nFields - 1, r, cr)) {
+            kept = true; out += valueOf(r)
+          }
           i += 1
         }
-        if (sawCurrent) out += valueOf(cr)
     }
     FrameKernel.compute(fn, q, out.toIndexedSeq, vType)
   }

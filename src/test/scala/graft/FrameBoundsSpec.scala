@@ -88,6 +88,33 @@ class FrameBoundsSpec extends AnyFunSuite {
     assert(ld.map(_(1)) == Seq("x", null, "y", null))
   }
 
+  test("EXCLUDE TIES keeps the current row IN PLACE for positional kernels (DuckDB-pinned)") {
+    setup()
+    // r10 ADVICE bug: the ties branch removed the whole peer group and
+    // appended the current row's value at the END, so FIRST_VALUE over
+    // [CURRENT ROW, UNBOUNDED FOLLOWING) returned the first non-peer
+    // instead of the current row. Expectations = DuckDB 1.0.0.
+    val f = rows("SELECT id, FIRST_VALUE(x) OVER (ORDER BY o ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS f FROM fb2 ORDER BY id")
+    assert(f.map(_(1)) == Seq(10, 20, 30, 40, 50, 60))
+    val l = rows("SELECT id, LAST_VALUE(x) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS f FROM fb2 ORDER BY id")
+    assert(l.map(_(1)) == Seq(10, 20, 30, 40, 50, 60))
+    val n2 = rows("SELECT id, NTH_VALUE(x, 2) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS f FROM fb2 ORDER BY id")
+    assert(n2.map(_(1)) == Seq(40, 40, 40, 20, 20, 20))
+    val ag = rows("SELECT id, ARRAY_AGG(x) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS f FROM fb2 ORDER BY id")
+    assert(ag.map(_(1).asInstanceOf[scala.collection.Seq[Any]].toSeq) == Seq(
+      Seq(10, 40, 50, 60), Seq(20, 40, 50, 60), Seq(30, 40, 50, 60),
+      Seq(10, 20, 30, 40, 60), Seq(10, 20, 30, 50, 60), Seq(10, 20, 30, 40, 50, 60)))
+  }
+
+  test("integer window SUM is exact past 2^53 (no Double detour)") {
+    GraftSql.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW fb5 AS SELECT * FROM (VALUES (1, 9007199254740993), (2, 1), (3, 2)) v(i, x)")
+    // DuckDB: 9007199254740993 + 1 = 9007199254740994 exactly; a
+    // Double round-trip yields ...992 + 1
+    val r = rows("SELECT i, SUM(x) OVER (ORDER BY i ROWS BETWEEN (i*0) PRECEDING AND (i*0+1) FOLLOWING) AS s FROM fb5 ORDER BY i")
+    assert(r.map(_(1)) == Seq(9007199254740994L, 3L, 2L))
+  }
+
   test("literal bounds stay on Spark's native window frames") {
     val sql = "SELECT SUM(x) OVER (ORDER BY i ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) FROM fb1"
     assert(graft.plans.SqlPasses.windowExprBoundsPass(sql) == sql)
