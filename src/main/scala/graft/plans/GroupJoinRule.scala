@@ -110,6 +110,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => GroupJoinRule)
     e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    // secondary-transaction reader snapshots (sources/Txn): post-hoc
+    // so relations are already resolved to their file sources
+    e.injectPostHocResolutionRule(s => SecondarySnapshotRule(s))
     SqlRegistry.registerAll(e)
     SqlRegistry2.registerAll(e)
     RefAliases.registerAll(e)

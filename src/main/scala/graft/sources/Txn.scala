@@ -60,13 +60,25 @@ import org.apache.spark.sql.SparkSession
   *     connection, and a secondary's deferred deletes adopt the
   *     pin-trash protocol when the primary holds a read pin.
   *
+  * SECONDARY READER SNAPSHOTS (r11): a secondary connection's BEGIN
+  * listing doubles as its READ snapshot. Reads on that connection
+  * resolve, at analysis time (plans/SecondarySnapshot, keyed on the
+  * thread's connection id), to exactly the BEGIN file list; every
+  * writer's trash-rename re-points the pin, so connection n's
+  * repeated read inside an open transaction is stable across a
+  * concurrent committed write (DuckDB: conn 2 mid-txn still reads
+  * its snapshot; after COMMIT it sees the other writer's state).
+  * The transaction's first own write to a table drops that table's
+  * pin (own-write visibility), and pin-trash files are swept when
+  * their last reader ends.
+  *
   * Granularity divergence (honest): the reference conflicts on
   * ROWS; this model conflicts on FILES for committed-vs-live
   * overlap and on TABLES between two LIVE writers (two live
   * transactions rewriting one table cannot both keep file-level
-  * undo). Reads on secondary connections see live state — the
-  * shadow-view snapshot (one temp-view namespace per session)
-  * protects the primary connection only.
+  * undo). A transaction that BEGINs while another transaction has
+  * uncommitted file swaps in flight snapshots the live listing —
+  * file-level, not row-level, MVCC.
   *
   * Remaining honest divergences: DDL (CREATE/DROP) autocommits.
   */
@@ -93,8 +105,19 @@ object Txn {
     // key(path) -> files at BEGIN (managed tables; unknown paths join
     // lazily at first touch)
     val beginListing = mutable.HashMap.empty[String, Set[String]]
+    // key(path) -> the files this transaction's READS resolve to
+    // (r11 repeatable reads): starts as the BEGIN listing, re-pointed
+    // when a concurrent writer trash-renames a member, and DROPPED at
+    // the transaction's first own write to the table (own-write
+    // visibility). plans/SecondarySnapshot consults this per thread.
+    val readPin = mutable.HashMap.empty[String, Seq[String]]
     val written = mutable.LinkedHashSet.empty[String] // key(path)
     val paths = mutable.HashMap.empty[String, String] // key -> path
+    // key -> qualified table name: refreshByPath does NOT invalidate
+    // a catalog table's cached relation (DmlSql refreshes by NAME for
+    // the same reason) — a read cached mid-transaction would survive
+    // this transaction's end and serve deleted files
+    val names = mutable.HashMap.empty[String, String]
     val created = mutable.HashMap.empty[String, mutable.LinkedHashSet[String]]
     val preWrite = mutable.HashMap.empty[String, Set[String]]
     def createdSet(k: String): mutable.LinkedHashSet[String] =
@@ -115,10 +138,11 @@ object Txn {
     try body finally connId.set(prev)
   }
 
-  /** An open transaction exists on the CURRENT connection (the
-    * swap/delete path defers deletes for it), or the primary is open
-    * (a foreign/autocommit writer must defer deletes for its pins). */
-  def isActive: Boolean = open || secs.contains(connId.get())
+  /** An open transaction exists ANYWHERE (the swap/delete path must
+    * route through [[trash]] so deletes can be deferred for every
+    * open reader's pinned snapshot — primary pins AND secondary read
+    * pins — not just the current connection's undo). */
+  def isActive: Boolean = synchronized { open || secs.nonEmpty }
 
   /** Runs `body` as a SECOND logical connection: its swaps defer
     * deletes for the open reader's pins but record NO undo — a
@@ -143,9 +167,12 @@ object Txn {
   }
 
   /** BEGIN on a secondary connection: snapshot every managed table's
-    * file list (conflict baseline — NOT a read pin: one temp-view
-    * namespace per session, so shadow views protect the primary
-    * connection only). */
+    * file list. The listing is both the write-conflict baseline AND
+    * (r11) the connection's read snapshot — reads on this thread
+    * resolve to exactly these files via the analyzer hook
+    * (plans/SecondarySnapshot; the one temp-view namespace belongs to
+    * the primary's pins, so secondaries pin at plan-resolution time
+    * instead of with shadow views). */
   private def beginSecondary(spark: SparkSession, n: Int): Unit = {
     require(!secs.contains(n), s"BEGIN: connection $n already has an active transaction")
     val tx = new SecTx(n)
@@ -157,14 +184,48 @@ object Txn {
             val meta = cat.getTableMetadata(id)
             if (meta.provider.exists(_.equalsIgnoreCase("parquet"))) {
               val path = meta.location.toString
-              tx.beginListing(key(path)) = dataFiles(spark, path).toSet
+              val files = dataFiles(spark, path)
+              tx.beginListing(key(path)) = files.toSet
               tx.paths(key(path)) = path
+              tx.names(key(path)) = id.unquotedString
+              if (files.nonEmpty) tx.readPin(key(path)) = files
             }
           } catch { case _: Exception => }
         }
       }
     }
     secs(n) = tx
+  }
+
+  /** Normed table root → pinned file list for the CURRENT thread's
+    * open secondary transaction (consulted by the analyzer hook on
+    * every plan resolution; empty when the thread has no secondary
+    * transaction). Keys and files are URI-path-normed. */
+  def threadReadPins: Map[String, Seq[String]] = synchronized {
+    secs.get(connId.get()) match {
+      case Some(tx) => tx.readPin.map { case (k, v) => norm(k) -> v }.toMap
+      case None => Map.empty
+    }
+  }
+
+  /** Re-point every live secondary transaction's read pin after a
+    * writer renamed `from` to `to` under `path`'s trash. */
+  private def repointSecs(path: String, from: String, to: String): Unit = {
+    val kn = norm(key(path))
+    secs.values.foreach { tx =>
+      tx.readPin.keys.find(k => norm(k) == kn).foreach { k =>
+        tx.readPin(k) = tx.readPin(k).map(f => if (norm(f) == norm(from)) to else f)
+      }
+    }
+  }
+
+  /** Some live secondary transaction's read pin still maps `file`. */
+  private def pinnedBySecs(path: String, file: String): Boolean = {
+    val kn = norm(key(path))
+    val fn = norm(file)
+    secs.values.exists(_.readPin.exists { case (k, fs) =>
+      norm(k) == kn && fs.exists(norm(_) == fn)
+    })
   }
 
   /** Snapshot every managed table in the current database behind a
@@ -327,6 +388,9 @@ object Txn {
           "transaction began (committed by a concurrent transaction)")
     }
     tx.written += k
+    // own-write visibility: reads on this connection now follow the
+    // live listing (its replaced files are hidden in trash anyway)
+    tx.readPin.remove(k)
     tx.preWrite(k) = dataFiles(spark, path).toSet
   }
 
@@ -363,17 +427,21 @@ object Txn {
     */
   def trash(spark: SparkSession, path: String, file: String): Unit = {
     val hfs = fs(spark, path)
-    secs.get(connId.get()) match {
+    val secOpt = synchronized { secs.get(connId.get()) }
+    secOpt match {
       case Some(tx) => trashSecondary(spark, tx, path, file); return
       case None =>
     }
-    if (foreignMode.get()) {
-      // concurrent-writer path: the delete is deferred ONLY to keep
-      // the open reader's pinned snapshot readable — rename under the
-      // pin-trash and re-point the pinned view at the moved bytes
+    if (foreignMode.get() || !open) {
+      // concurrent-writer path (foreign one-shot, or an autocommit
+      // statement while another connection holds an open reader):
+      // the delete is deferred ONLY to keep open readers' pinned
+      // snapshots readable — rename under the pin-trash and re-point
+      // every pin at the moved bytes
       val pinnedHere = synchronized {
         pins.get(key(path)).exists(p =>
-          p.active && p.files.exists(norm(_) == norm(file)))
+          p.active && p.files.exists(norm(_) == norm(file))) ||
+        pinnedBySecs(path, file)
       }
       if (!pinnedHere) {
         hfs.delete(new Path(file), false)
@@ -384,21 +452,34 @@ object Txn {
       val src = new Path(file)
       val dst = new Path(dir, src.getName)
       require(hfs.rename(src, dst), s"txn: failed to pin-trash $file")
-      synchronized { repoint(spark, path, file, dst.toString) }
+      synchronized {
+        repoint(spark, path, file, dst.toString)
+        repointSecs(path, file, dst.toString)
+      }
       return
     }
     val inSnapshot = synchronized {
       undo.get(key(path)).exists(_.snapshot.contains(file))
     }
     if (!inSnapshot) {
-      hfs.delete(new Path(file), false)
+      // created inside this transaction — but a secondary reader that
+      // began mid-transaction may still pin it
+      if (synchronized { pinnedBySecs(path, file) }) {
+        val dir = new Path(trashDir(path), "pin")
+        if (!hfs.exists(dir)) hfs.mkdirs(dir)
+        val src = new Path(file)
+        val dst = new Path(dir, src.getName)
+        require(hfs.rename(src, dst), s"txn: failed to pin-trash $file")
+        synchronized { repointSecs(path, file, dst.toString) }
+      } else hfs.delete(new Path(file), false)
       return
     }
     val dir = trashDir(path)
     if (!hfs.exists(dir)) hfs.mkdirs(dir)
     val src = new Path(file)
-    require(hfs.rename(src, new Path(dir, src.getName)),
-      s"txn: failed to trash $file")
+    val dst = new Path(dir, src.getName)
+    require(hfs.rename(src, dst), s"txn: failed to trash $file")
+    synchronized { repointSecs(path, file, dst.toString) }
   }
 
   /** Secondary-transaction undo: files from the BEGIN listing move to
@@ -423,6 +504,7 @@ object Txn {
     val dst = new Path(dir, src.getName)
     require(hfs.rename(src, dst), s"txn: failed to trash $file")
     repoint(spark, path, file, dst.toString)
+    repointSecs(path, file, dst.toString)
   }
 
   private def commitSecondary(spark: SparkSession, tx: SecTx): Unit = {
@@ -436,15 +518,18 @@ object Txn {
           val st = it.next()
           val f = st.getPath.toString
           val pinnedHere = pins.get(k).exists(o =>
-            o.active && o.files.exists(norm(_) == norm(f)))
+            o.active && o.files.exists(norm(_) == norm(f))) ||
+            pinnedBySecs(p, f)
           if (pinnedHere) {
-            // the primary's open reader still maps this file — adopt
-            // the pin-trash protocol and defer the delete to ITS end
+            // an open reader (primary pin or another secondary's read
+            // pin) still maps this file — adopt the pin-trash protocol
+            // and defer the delete to ITS end
             val pinDir = new Path(trashDir(p), "pin")
             if (!hfs.exists(pinDir)) hfs.mkdirs(pinDir)
             val dst = new Path(pinDir, st.getPath.getName)
             require(hfs.rename(st.getPath, dst), s"txn: failed to pin-defer $f")
             repoint(spark, p, f, dst.toString)
+            repointSecs(p, f, dst.toString)
           } else hfs.delete(st.getPath, false)
         }
         hfs.delete(dir, true)
@@ -452,10 +537,48 @@ object Txn {
       // the primary's own later write to this table must conflict —
       // this commit happened inside its transaction window
       if (open) foreignTouched += k
-      try spark.catalog.refreshByPath(p) catch { case _: Exception => }
+      refreshEnded(spark, tx, k, p)
     }
     secs.remove(tx.conn)
+    sweepPins(spark, tx)
   }
+
+  /** Invalidate both cache layers for a table this transaction
+    * touched: refreshByPath alone does NOT drop a catalog table's
+    * cached relation, so a plan resolved mid-transaction (e.g. the
+    * transaction's own post-write read) would keep serving a file
+    * list containing files this end-of-transaction just deleted. */
+  private def refreshEnded(spark: SparkSession, tx: SecTx,
+      k: String, p: String): Unit = {
+    try spark.catalog.refreshByPath(p) catch { case _: Exception => }
+    tx.names.get(k).foreach { n =>
+      try spark.catalog.refreshTable(n) catch { case _: Exception => }
+    }
+  }
+
+  /** A secondary transaction ended: pin-trash files that no remaining
+    * reader (primary pin or live secondary read pin) maps are the
+    * deferred deletes whose last reader just left — delete them. */
+  private def sweepPins(spark: SparkSession, ended: SecTx): Unit =
+    ended.paths.foreach { case (k, p) =>
+      val hfs = fs(spark, p)
+      val pinDir = new Path(trashDir(p), "pin")
+      if (hfs.exists(pinDir)) {
+        hfs.listStatus(pinDir).foreach { f =>
+          val fn = f.getPath.toString
+          val stillPinned =
+            pins.get(key(p)).exists(o =>
+              o.active && o.files.exists(norm(_) == norm(fn))) ||
+            pinnedBySecs(p, fn)
+          if (!stillPinned) hfs.delete(f.getPath, false)
+        }
+        if (hfs.listStatus(pinDir).isEmpty) hfs.delete(pinDir, true)
+      }
+      val dir = trashDir(p)
+      if (hfs.exists(dir) && hfs.listStatus(dir).isEmpty)
+        hfs.delete(dir, true)
+      refreshEnded(spark, ended, k, p)
+    }
 
   private def rollbackSecondary(spark: SparkSession, tx: SecTx): Unit = {
     tx.written.foreach { k =>
@@ -472,12 +595,14 @@ object Txn {
           val dst = new Path(p, st.getPath.getName)
           require(hfs.rename(st.getPath, dst), s"txn: failed to restore ${st.getPath}")
           repoint(spark, p, st.getPath.toString, dst.toString)
+          repointSecs(p, st.getPath.toString, dst.toString)
         }
         hfs.delete(dir, true)
       }
-      try spark.catalog.refreshByPath(p) catch { case _: Exception => }
+      refreshEnded(spark, tx, k, p)
     }
     secs.remove(tx.conn)
+    sweepPins(spark, tx)
   }
 
   private def dropPins(spark: SparkSession): Unit = {
@@ -497,11 +622,30 @@ object Txn {
       val dir = trashDir(p)
       if (hfs.exists(dir)) {
         // a LIVE secondary transaction's undo subdir must survive the
-        // primary's purge (its rollback still needs those files)
+        // primary's purge (its rollback still needs those files), and
+        // so must pin/ files a live secondary's read pin still maps
         val live = secs.values.map(t => s"sec${t.conn}").toSet
         hfs.listStatus(dir).foreach { st =>
-          if (!(st.isDirectory && live.contains(st.getPath.getName)))
-            hfs.delete(st.getPath, true)
+          if (st.isDirectory && live.contains(st.getPath.getName)) {
+            // keep: live secondary undo
+          } else if (st.isDirectory && st.getPath.getName == "pin") {
+            hfs.listStatus(st.getPath).foreach { f =>
+              if (!pinnedBySecs(p, f.getPath.toString))
+                hfs.delete(f.getPath, false)
+            }
+            if (hfs.listStatus(st.getPath).isEmpty)
+              hfs.delete(st.getPath, true)
+          } else if (st.isFile && pinnedBySecs(p, st.getPath.toString)) {
+            // a top-level trashed file (this transaction's own swap)
+            // that a mid-transaction secondary reader pinned — defer
+            // its delete to that reader's end under pin/
+            val pinDir = new Path(dir, "pin")
+            if (!hfs.exists(pinDir)) hfs.mkdirs(pinDir)
+            val dst = new Path(pinDir, st.getPath.getName)
+            require(hfs.rename(st.getPath, dst),
+              s"txn: failed to pin-defer ${st.getPath}")
+            repointSecs(p, st.getPath.toString, dst.toString)
+          } else hfs.delete(st.getPath, true)
         }
         if (hfs.listStatus(dir).isEmpty) hfs.delete(dir, true)
       }
@@ -545,10 +689,15 @@ object Txn {
         val it = hfs.listFiles(dir, false)
         while (it.hasNext) {
           val st = it.next()
-          require(hfs.rename(st.getPath, new Path(u.path, st.getPath.getName)),
+          val dst = new Path(u.path, st.getPath.getName)
+          require(hfs.rename(st.getPath, dst),
             s"txn: failed to restore ${st.getPath}")
+          repointSecs(u.path, st.getPath.toString, dst.toString)
         }
-        hfs.delete(dir, true)
+        // the non-file entries (pin/, secN/) survive: pin/ holds
+        // foreign writers' committed swaps still mapped by open
+        // readers, secN/ a live secondary's own undo
+        if (hfs.listStatus(dir).isEmpty) hfs.delete(dir, true)
       }
       spark.catalog.refreshByPath(u.path)
     }

@@ -308,4 +308,67 @@ class DmlSqlSpec extends AnyFunSuite {
       spark.sql("USE default")
     }
   }
+
+  test("secondary connection gets repeatable reads: pinned snapshot across a concurrent commit") {
+    // Pinned against two python-duckdb connections on one database
+    // file (duck_transaction_manager.cpp MVCC contract, captured this
+    // session, r11):
+    //   c2 BEGIN; c2 SUM(y) = 600
+    //   c1 UPDATE (autocommit) → c1 sees 5600, c2 STILL sees 600
+    //   c2 COMMIT → c2 sees 5600
+    //   c2 BEGIN; COUNT=3; c1 INSERT; c2 COUNT still 3; c2 ROLLBACK → 4
+    //   c2's OWN write is visible to c2 inside its transaction
+    import graft.sources.Txn
+    spark.sql("CREATE DATABASE IF NOT EXISTS txn3db")
+    spark.sql("USE txn3db")
+    spark.sql("DROP TABLE IF EXISTS t3")
+    def sumY: Long = spark.sql("SELECT SUM(y) FROM t3").collect()(0).getLong(0)
+    def cnt: Long = spark.sql("SELECT COUNT(*) FROM t3").collect()(0).getLong(0)
+    try {
+      GraftSql.runScript(spark,
+        """CREATE OR REPLACE TABLE t3 (x INTEGER, y BIGINT);
+          |INSERT INTO t3 VALUES (1, 100), (2, 200), (3, 300)""".stripMargin)
+
+      // --- repeatable read across a concurrent committed UPDATE ---
+      Txn.onConnection(2) { GraftSql.sql(spark, "BEGIN") }
+      assert(Txn.onConnection(2) { sumY } === 600L)
+      GraftSql.sql(spark, "UPDATE t3 SET y = y + 5000 WHERE x = 1") // conn 0, autocommit
+      assert(sumY === 5600L, "the writer's own connection sees its commit")
+      assert(Txn.onConnection(2) { sumY } === 600L,
+        "connection 2's repeated read inside its open transaction is stable (DuckDB: 600)")
+      Txn.onConnection(2) { GraftSql.sql(spark, "COMMIT") }
+      assert(Txn.onConnection(2) { sumY } === 5600L,
+        "after COMMIT the snapshot is dropped (DuckDB: 5600)")
+
+      // --- repeatable read across a concurrent committed INSERT ---
+      Txn.onConnection(2) { GraftSql.sql(spark, "BEGIN") }
+      assert(Txn.onConnection(2) { cnt } === 3L)
+      GraftSql.sql(spark, "INSERT INTO t3 VALUES (4, 400)")
+      assert(Txn.onConnection(2) { cnt } === 3L,
+        "a concurrent committed append stays invisible (DuckDB: 3)")
+      assert(cnt === 4L)
+      Txn.onConnection(2) { GraftSql.sql(spark, "ROLLBACK") }
+      assert(Txn.onConnection(2) { cnt } === 4L, "DuckDB: 4 after rollback")
+
+      // --- own-write visibility inside the secondary's transaction ---
+      Txn.onConnection(2) { GraftSql.sql(spark, "BEGIN") }
+      Txn.onConnection(2) { GraftSql.sql(spark, "UPDATE t3 SET y = 1 WHERE x = 2") }
+      assert(Txn.onConnection(2) {
+        spark.sql("SELECT y FROM t3 WHERE x = 2").collect()(0).getLong(0)
+      } === 1L, "DuckDB: own write visible (1)")
+      Txn.onConnection(2) { GraftSql.sql(spark, "ROLLBACK") }
+      assert(spark.sql("SELECT y FROM t3 WHERE x = 2").collect()(0).getLong(0) === 200L)
+
+      // no trash residue once every transaction has ended
+      val loc = spark.sql("DESCRIBE EXTENDED t3").collect()
+        .find(_.getString(0) == "Location").get.getString(1)
+      val trash = new java.io.File(new java.net.URI(loc).getPath, ".graft_trash")
+      assert(!trash.exists(), s"pin-trash not swept: ${Option(trash.list()).map(_.toSeq)}")
+    } finally {
+      Txn.onConnection(2) { if (Txn.isActive) try Txn.rollback(spark) catch { case _: Exception => } }
+      if (Txn.isActive) try Txn.rollback(spark) catch { case _: Exception => }
+      spark.sql("DROP TABLE IF EXISTS t3")
+      spark.sql("USE default")
+    }
+  }
 }
