@@ -952,7 +952,10 @@ object DuckDialect {
           if (y.length <= 4 && bc) return None  // small BC: bcLiteral path
           try {
             val year = if (bc) -(y.toLong - 1) else y.toLong
-            if (isDate && h == null) {
+            if (isDate) {
+              // a DATE target truncates any time component (the
+              // reference: CAST('10000-01-01 10:00:00' AS DATE) is a
+              // DATE) — always emit a DATE-typed expression
               val days = java.time.LocalDate
                 .of(Math.toIntExact(year), mo.toInt, d.toInt).toEpochDay
               Some(s"date_from_unix_date(${Math.toIntExact(days)})")
@@ -1046,10 +1049,13 @@ object DuckDialect {
             case Some(TStr(_)) => true // 'key' / '$.path' — json operator
             // integer operand = array-index extraction ('[1,2,3]'->0,
             // json issue13948) — but ONLY when the left side cannot be
-            // a lambda parameter (a bare identifier), else `x -> 0`
-            // inside transform() would stop being a lambda
+            // a lambda parameter list: a bare identifier (`x -> 0` in
+            // transform) or a parenthesized identifier list (`(a, b)
+            // -> 0` in list_reduce) must stay lambdas
             case Some(TNum(_)) =>
-              !left.trim.matches("[A-Za-z_][A-Za-z0-9_]*")
+              val l = left.trim
+              !l.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+              !l.matches("""\(\s*[A-Za-z_]\w*\s*(,\s*[A-Za-z_]\w*\s*)+\)""")
             case _ => false            // anything else: a lambda body
           }) =>
             next(); left = s"get_json_object($left, ${jsonPath(expr(51))})"

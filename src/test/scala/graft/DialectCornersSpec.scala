@@ -44,6 +44,20 @@ class DialectCornersSpec extends AnyFunSuite {
     // lambdas with numeric bodies are untouched
     assert(one("SELECT transform(array(1,2), x -> 0) AS t") ==
       Seq(Seq(0, 0)))
+    // ...including MULTI-parameter lambdas (r10 ADVICE: `(a, b) -> 0`
+    // must not be read as get_json_object((a, b), '$[0]'))
+    assert(one("SELECT list_reduce([1,2,3], (a, b) -> 0) AS r") == Seq(0))
+    assert(one("SELECT aggregate(array(1,2,3), 0, (acc, x) -> acc + x) AS s") == Seq(6))
+  }
+
+  test("big temporal literal with a time component CAST to DATE stays a DATE") {
+    // reference: CAST('10000-01-01 10:00:00' AS DATE) = DATE
+    // '10000-01-01' (time truncated), not a TIMESTAMP
+    val df = GraftSql.sql(spark, "SELECT CAST('10000-01-01 10:00:00' AS DATE) AS d")
+    assert(df.schema.fields(0).dataType ==
+      org.apache.spark.sql.types.DateType)
+    assert(df.collect()(0).getDate(0).toLocalDate ==
+      java.time.LocalDate.of(10000, 1, 1))
   }
 
   test("ordered-set quantiles: quantile_cont/disc(x, q ORDER BY ...) — DuckDB-pinned") {
