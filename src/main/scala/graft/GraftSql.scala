@@ -22,7 +22,7 @@ object GraftSql {
     ("""(?is)^\s*(WITH\b.+?\))?\s*(?:SELECT\s+\*\s+)?FROM\s+([\w.]+)\s+PIVOT\s*\(\s*(.+?)\s+FOR\s+""" +
       """([\w.]+)\s+IN\s*\((.+?)\)\s*GROUP\s+BY\s+(.+?)\s*\)\s*;?\s*$""").r
 
-  private val LimitPercent = """(?is)^(.*)\bLIMIT\s+(\d+(?:\.\d+)?)\s*(?:%|PERCENT)\s*;?\s*$""".r
+  private val LimitPercent = """(?is)^(.*)\bLIMIT\s+(\d+(?:\.\d+)?|\([^()]*\))\s*(?:%|PERCENT)\s*(?:OFFSET\s+(\d+))?\s*;?\s*$""".r
   private val Explain = """(?is)^\s*EXPLAIN(\s+ANALYZE)?\s+(.*)$""".r
   private val CheckpointRe = """(?is)^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$""".r
   private val AnalyzeRe = """(?is)^\s*ANALYZE(\s+[\w.]+)?\s*;?\s*$""".r
@@ -70,6 +70,14 @@ object GraftSql {
     unionByNamePass(spark, text) match {
       case Some(v) => return sql(spark, v)
       case None =>
+    }
+    // NATURAL SEMI/ANTI JOIN (reference natural-join extension,
+    // test/sql/join/natural): Spark's NATURAL covers inner/outer
+    // only, so resolve the common columns from the catalog and emit
+    // LEFT SEMI/ANTI ... USING
+    locally {
+      val v = naturalSemiAntiPass(spark, text)
+      if (v != text) return sql(spark, v)
     }
     // FROM-suffix pivot carrying its own GROUP BY
     // (`FROM t PIVOT (agg FOR c IN (vals) GROUP BY g)`, the
@@ -293,10 +301,22 @@ object GraftSql {
       // LIMIT n% (reference percentage limit): top fraction of the
       // result — needs the total, so one counting pass then limit
       // (the q65 operator's own plan shape)
-      case LimitPercent(inner, pct) =>
+      case LimitPercent(inner, pctRaw, off) =>
+        // percentage of the PRE-offset total; a parenthesized percent
+        // is a constant expression (the reference errors on column
+        // references — Spark's analyzer does too, FROM-less here);
+        // OFFSET skips first, then pct% of the total follows
+        // (test_limit_percent.test:102 pinned: range(10) LIMIT 50%
+        // OFFSET 2 = rows 2..6)
+        val pct =
+          if (pctRaw.startsWith("("))
+            spark.sql(s"SELECT CAST($pctRaw AS DOUBLE)").first.getDouble(0)
+          else pctRaw.toDouble
         val df = spark.sql(translate(inner))
         val n = df.count()
-        return df.limit(math.floor(n * pct.toDouble / 100.0).toInt)
+        val keep = math.floor(n * pct / 100.0).toInt
+        val base = if (off != null) df.offset(off.toInt) else df
+        return base.limit(keep)
       case _ =>
     }
     text match {
@@ -493,6 +513,31 @@ object GraftSql {
     * its columns (lazy — no execution), then project explicitly with
     * the replaced expressions substituted in place.
     */
+  private val NaturalSemiAnti =
+    """(?i)([\w.`"]+)\s+NATURAL\s+(SEMI|ANTI)\s+JOIN\s+([\w.`"]+)""".r
+
+  /** `A NATURAL SEMI|ANTI JOIN B` → `A LEFT SEMI|ANTI JOIN B USING
+    * (common)` with the common columns probed from the catalog (both
+    * operands must be named relations; anything else passes through
+    * and errors loudly). */
+  private def naturalSemiAntiPass(spark: SparkSession, sql0: String): String = {
+    if (!"(?i)NATURAL\\s+(SEMI|ANTI)\\s+JOIN".r.findFirstIn(sql0).isDefined) return sql0
+    NaturalSemiAnti.replaceAllIn(sql0, m => {
+      val rep =
+        try {
+          val lt = m.group(1).replace("\"", "")
+          val rt = m.group(3).replace("\"", "")
+          val l = spark.table(lt).columns
+          val r = spark.table(rt).columns.map(_.toLowerCase).toSet
+          val common = l.filter(c => r.contains(c.toLowerCase))
+          if (common.isEmpty) m.matched
+          else s"${m.group(1)} LEFT ${m.group(2).toUpperCase} JOIN ${m.group(3)} " +
+            s"USING (${common.map(c => s"`$c`").mkString(", ")})"
+        } catch { case _: Exception => m.matched }
+      java.util.regex.Matcher.quoteReplacement(rep)
+    })
+  }
+
   private def starReplacePass(spark: SparkSession, sql0: String): String = {
     val Re = "(?i)SELECT\\s+\\*\\s*(EXCEPT\\s*\\([^)]*\\)\\s*)?REPLACE\\s*\\(".r
     val m = Re.findFirstMatchIn(sql0).getOrElse(return sql0)

@@ -689,7 +689,9 @@ object DuckDialect {
       val order = ArrayBuffer.empty[String]
       if (peekWord("ORDER")) {
         next(); require(peekWord("BY"), "duck-dialect: ORDER without BY"); next()
-        while (more && !peekOp(")")) {
+        // a trailing LIMIT/OFFSET belongs OUTSIDE the rewritten
+        // window spec — stop the order scan there
+        while (more && !peekOp(")") && !peekWord("LIMIT") && !peekWord("OFFSET")) {
           peek match {
             case TWord(w) if GLUE(w.toUpperCase) => next(); order += w
             case TOp(",") => next(); order += ","
@@ -697,12 +699,28 @@ object DuckDialect {
           }
         }
       }
-      val part = keys.mkString(", ")
+      val limitTail = ArrayBuffer.empty[String]
+      while (more && !peekOp(")") && !peekOp(";")) limitTail += next().text
+      // ordinal keys (`DISTINCT ON (1) i, j` = first select item, the
+      // Postgres ordinal rule) must resolve to the select expression —
+      // a bare literal in PARTITION BY is a constant, not an ordinal
+      val selItems = ArrayBuffer(ArrayBuffer.empty[String])
+      sel.foreach { s =>
+        if (s == ",") selItems += ArrayBuffer.empty[String]
+        else selItems.last += s
+      }
+      def keyExpr(k: String): String =
+        if (k.matches("\\d+") && k.toInt >= 1 && k.toInt <= selItems.length)
+          selItems(k.toInt - 1).mkString(" ")
+            .replaceAll("(?is)\\s+AS\\s+[\\w`\"]+\\s*$", "")
+        else k
+      val part = keys.map(keyExpr).mkString(", ")
       val ord = if (order.nonEmpty) order.mkString(" ") else part
       val orderTail = if (order.nonEmpty) s" ORDER BY ${order.mkString(" ")}" else ""
+      val tail = if (limitTail.nonEmpty) " " + limitTail.mkString(" ") else ""
       Some(s"SELECT * EXCEPT (__rn) FROM (SELECT ${sel.mkString(" ")}, " +
         s"row_number() OVER (PARTITION BY $part ORDER BY $ord) AS __rn " +
-        s"${fromPart.mkString(" ")}) WHERE __rn = 1$orderTail")
+        s"${fromPart.mkString(" ")}) WHERE __rn = 1$orderTail$tail")
     }
 
     /** QUALIFY rewrite. The reference filters on window results after
@@ -916,6 +934,12 @@ object DuckDialect {
           s.replaceAll("[-.]", "").length > 38)
         // DECIMAL literal past 38 digits: the reference reads DOUBLE
         s"CAST('$s' AS DOUBLE)"
+      else if (s.matches("(?i)-?[0-9]+(\\.[0-9]+)?E[+-]?[0-9]+") &&
+          java.lang.Double.isInfinite(s.toDouble))
+        // exponent literal past DOUBLE range: the reference reads inf
+        // (test_numeric_overflow.test: SELECT 1e1000 = inf); Spark's
+        // parser raises INVALID_NUMERIC_LITERAL_RANGE instead
+        s"CAST('${if (s.startsWith("-")) "-" else ""}Infinity' AS DOUBLE)"
       else if (s.length <= 38 || !s.matches("-?[0-9]+")) s
       else {
         val v = new java.math.BigInteger(s)
@@ -941,15 +965,19 @@ object DuckDialect {
       * date_from_unix_date(). Returns None when not a big literal
       * (the normal path keeps the typed literal). */
     private val BigTs =
-      ("^'(\\d{4,6})-(\\d{2})-(\\d{2})" +
+      ("^'(-?\\d{1,6})-(\\d{2})-(\\d{2})" +
         "(?: \\(BC\\))?(?: (\\d{2}):(\\d{2}):(\\d{2})(\\.\\d{1,6})?)?( \\(BC\\))?\\s*'$").r
     private def bigTemporal(lit: String, isDate: Boolean): Option[String] = {
       val t = lit.trim
       t match {
         case BigTs(y, mo, d, h, mi, s, frac, bc2) =>
           val bc = bc2 != null || t.contains("(BC)")
-          if (y.length <= 4 && !bc) return None // in-range: normal path
-          if (y.length <= 4 && bc) return None  // small BC: bcLiteral path
+          // Spark's typed-literal parser handles exactly the 4-digit
+          // positive-year form; everything else (short years
+          // '209-03-22', astronomical negatives '-8-01-01', >4-digit
+          // years) precomputes here
+          if (y.length == 4 && !y.startsWith("-") && !bc) return None
+          if (y.length <= 4 && !y.startsWith("-") && bc) return None // bcLiteral path
           try {
             val year = if (bc) -(y.toLong - 1) else y.toLong
             if (isDate) {
@@ -1045,6 +1073,18 @@ object DuckDialect {
           case TOp("->>") if 50 >= min =>
             // JSON text extraction (bundled json extension `->>`)
             next(); left = s"get_json_object($left, ${jsonPath(expr(51))})"
+          case TOp("->") if 50 >= min && peekAt(1).contains(TOp("[")) && {
+            // `json -> ['path', …]` extracts a LIST of paths
+            // (test_json_extract.test:211) — but `x -> [x]` in
+            // transform() is a lambda with a list-literal BODY; same
+            // left-side guard as the integer-index case
+            val l = left.trim
+            !l.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+            !l.matches("""\(\s*[A-Za-z_]\w*\s*(,\s*[A-Za-z_]\w*\s*)+\)""")
+          } =>
+            next()
+            val paths = expr(51)
+            left = s"transform($paths, __jp -> get_json_object($left, __jp))"
           case TOp("->") if 50 >= min && (peekAt(1) match {
             case Some(TStr(_)) => true // 'key' / '$.path' — json operator
             // integer operand = array-index extraction ('[1,2,3]'->0,
@@ -1180,6 +1220,9 @@ object DuckDialect {
               if (peekOp("(")) { val r = primaryParen(); left = s"($left NOT IN $r)" }
               else left = inCollection(left, negate = true)
             }
+            else if (t == "GLOB") {
+              next(); left = globEmit(left, expr(31), negate = true)
+            }
             else { next(); val r = expr(31); left = s"($left NOT $t $r)" }
           case TWord(w) if w.equalsIgnoreCase("IN") && 30 >= min =>
             next()
@@ -1190,6 +1233,8 @@ object DuckDialect {
             if (kw == "SIMILAR") { // SIMILAR TO p → full-match regex
               require(peekWord("TO"), "duck-dialect: SIMILAR without TO"); next()
               val r = expr(31); left = s"regexp_full_match($left, $r)"
+            } else if (kw == "GLOB") {
+              left = globEmit(left, expr(31), negate = false)
             } else {
               val r = expr(31)
               val esc =
@@ -1265,6 +1310,67 @@ object DuckDialect {
       * '$…' passes through, a bare key becomes '$.key', an integer
       * becomes the '$[n]' array index (json extension operators).
       */
+    /** `s GLOB pattern` (reference glob operator, like.cpp Glob):
+      * `*`/`?` wildcards, `[class]`/`[!class]` (a `]` in first
+      * position is literal), backslash escapes. A LITERAL pattern
+      * compiles to an anchored RLIKE regex at translate time; Spark
+      * has no runtime glob matcher, so non-literal patterns pass
+      * through (and error loudly). */
+    private def globRegex(raw: String): Option[String] = {
+      val sb = new StringBuilder
+      var i = 0
+      def lit(c: Char): Unit =
+        if ("\\^$.|?*+()[]{}".indexOf(c) >= 0) { sb += '\\'; sb += c }
+        else sb += c
+      while (i < raw.length) {
+        raw.charAt(i) match {
+          case '*' => sb ++= ".*"; i += 1
+          case '?' => sb += '.'; i += 1
+          case '\\' =>
+            if (i + 1 >= raw.length) return None
+            lit(raw.charAt(i + 1)); i += 2
+          case '[' =>
+            val cls = new StringBuilder
+            var j = i + 1
+            var neg = false
+            if (j < raw.length && raw.charAt(j) == '!') { neg = true; j += 1 }
+            var first = true
+            var closed = false
+            while (j < raw.length && !closed) {
+              val c = raw.charAt(j)
+              if (c == ']' && !first) closed = true
+              else {
+                if ("\\^]&".indexOf(c) >= 0) { cls += '\\'; cls += c }
+                else cls += c // '-' kept: ranges
+                first = false
+                j += 1
+              }
+            }
+            if (!closed || cls.isEmpty) return None
+            sb += '['; if (neg) sb += '^'; sb ++= cls.toString(); sb += ']'
+            i = j + 1
+          case c => lit(c); i += 1
+        }
+      }
+      Some("^" + sb.toString + "$")
+    }
+
+    private def globEmit(left: String, r: String, negate: Boolean): String = {
+      val raw =
+        if (r.length >= 2 && r.head == '\'' && r.last == '\'' &&
+            !r.substring(1, r.length - 1).contains("'"))
+          // undo emitStr's backslash doubling to recover the raw bytes
+          Some(r.substring(1, r.length - 1).replace("\\\\", "\\"))
+        else None
+      raw.flatMap(globRegex) match {
+        case Some(re) =>
+          val cond = s"($left RLIKE '${emitStr(re)}')"
+          if (negate) s"(NOT $cond)" else cond
+        case None =>
+          if (negate) s"($left NOT GLOB $r)" else s"($left GLOB $r)"
+      }
+    }
+
     private def jsonPath(r: String): String = {
       val Lit = "^'(.*)'$".r
       r match {
@@ -1468,7 +1574,24 @@ object DuckDialect {
           val lit = "'" + lit0.stripPrefix("'").stripSuffix("'").trim
             .replaceAll("\\s+", " ")
             .replaceAll("(?i)\\s+(utc|z)$", "") + "'"
-          bigTemporal(lit, w.equalsIgnoreCase("DATE")).getOrElse(s"$w $lit")
+          val isDate = w.equalsIgnoreCase("DATE")
+          lit.stripPrefix("'").stripSuffix("'").toLowerCase match {
+            // the reference's infinity sentinels ARE the extreme
+            // representable values (date_t/timestamp_t::[n]infinity =
+            // ±INT32/INT64_MAX) — same ordering under Spark's int
+            // days / int64 micros; rendering diverges ('infinity' vs
+            // the extreme date), comparisons do not
+            case "infinity" =>
+              if (isDate) "date_from_unix_date(2147483647)"
+              else "timestamp_micros(9223372036854775807L)"
+            case "-infinity" =>
+              if (isDate) "date_from_unix_date(-2147483647)"
+              else "timestamp_micros(-9223372036854775807L)"
+            case "epoch" =>
+              if (isDate) "date_from_unix_date(0)" else "timestamp_micros(0L)"
+            case _ =>
+              bigTemporal(lit, isDate).getOrElse(s"$w $lit")
+          }
         // TIMESTAMPTZ ≡ the session-zone instant type (Spark TIMESTAMP)
         case "TIMESTAMPTZ" if more && peek.isInstanceOf[TStr] =>
           s"TIMESTAMP ${next().text}"
@@ -2013,7 +2136,12 @@ object DuckDialect {
       // compound quantities, decade/century units, ms/us suffixes —
       // those compile to make_interval (CalendarIntervalType carries
       // mixed fields)
-      mixedInterval(out.toSeq).getOrElse(out.mkString(" "))
+      mixedInterval(out.toSeq).getOrElse {
+        // the reference also accepts quantity-glued-to-unit forms
+        // ('1294967296months', test_interval.test:259) — Spark's
+        // literal parser needs the space
+        out.mkString(" ").replaceAll("(?<=[0-9])(?=[A-Za-z])", " ")
+      }
     }
 
     /** Parse `INTERVAL '<q unit …>' [unit…]` into make_interval when
@@ -2038,6 +2166,10 @@ object DuckDialect {
       var days = 0.0
       var micros = 0.0
       var odd = false // anything Spark's literal parser can't hold
+      // a REPEATED unit ('1294967296months -1294967296months' sums to
+      // zero in the reference, test_interval.test:268) has no Spark
+      // literal form either
+      if (pairs.map(_._2).distinct.length != pairs.length) odd = true
       pairs.foreach { case (q, u) =>
         def frac = q != math.floor(q)
         u match {
@@ -2211,6 +2343,9 @@ object DuckDialect {
       "INT1" -> "TINYINT", "INT2" -> "SMALLINT", "INT4" -> "INTEGER",
       "INT8" -> "BIGINT", "SIGNED" -> "BIGINT", "INT" -> "INTEGER",
       "VARCHAR" -> "STRING", "TEXT" -> "STRING", "BPCHAR" -> "STRING",
+      // bare CHAR is VARCHAR in the reference (no padding semantics);
+      // Spark's CHAR demands a length parameter
+      "CHAR" -> "STRING",
       "BLOB" -> "BINARY", "BYTEA" -> "BINARY", "VARBINARY" -> "BINARY",
       "REAL" -> "FLOAT", "FLOAT4" -> "FLOAT", "FLOAT8" -> "DOUBLE",
       // bare DECIMAL/NUMERIC/DEC (no parameter list): the reference
@@ -2297,8 +2432,12 @@ object DuckDialect {
           }
           expectOp(")")
           val mapped = up match {
-            case "VARCHAR" | "BPCHAR" | "TEXT" => "STRING" // drop length
+            case "VARCHAR" | "BPCHAR" | "TEXT" | "CHAR" => "STRING" // drop length
             case "NUMERIC" | "DECIMAL" | "DEC" => "DECIMAL"
+            // precision parameter is storage advice (TIMESTAMP(0)…(9),
+            // timestamp_precision.test) — micros either way here
+            case "TIMESTAMP" | "TIMESTAMPTZ" => return "TIMESTAMP"
+            case "TIME" => return (if (nativeTime) "TIME" else "STRING")
             case other => TYPE_MAP.getOrElse(other, other)
           }
           if (mapped == "STRING") "STRING"
@@ -2363,13 +2502,32 @@ object DuckDialect {
   // Spark's grammar requires LIMIT … OFFSET
   private val OffsetLimitRe =
     """(?is)\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)\b""".r
+  // catalog/schema-qualified builtin table functions resolve to the
+  // builtin (`FROM new_db.my_schema.range(3)`, attach_table_info) —
+  // Spark's TVF namespace is unqualified
+  private val QualifiedTvfRe =
+    """(?is)\b(FROM|JOIN)\s+(?:\w+\.){1,2}(range|generate_series|unnest)\s*\(""".r
+  private val InsertByPosRe =
+    """(?is)\b(INSERT\s+(?:OR\s+\w+\s+)?INTO\s+[\w."`]+)\s+BY\s+POSITION\b""".r
+  private val InsertParenValuesRe =
+    """(?is)^(\s*INSERT\s+(?:OR\s+\w+\s+)?INTO\s+[\w."`]+)\s*\(\s*(VALUES\b.*)\)\s*;?\s*$""".r
 
   def translate(sql0: String): String = {
     val sql1 = sql0 match {
       case DropModRe(head, tail) => head + tail
       case other => other
     }
-    val sql = OffsetLimitRe.replaceAllIn(sql1, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    val sql2 = OffsetLimitRe.replaceAllIn(sql1, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    // `INSERT INTO t BY POSITION …` — positional is the default;
+    // `INSERT INTO t (VALUES …)` — Spark reads the paren as a column
+    // list, so route the VALUES through a subquery
+    val sql2b = QualifiedTvfRe.replaceAllIn(sql2, m => s"${m.group(1)} ${m.group(2)}(")
+    val sql3 = InsertByPosRe.replaceAllIn(sql2b, m => m.group(1))
+    val sql = sql3 match {
+      case InsertParenValuesRe(head, values) =>
+        s"$head SELECT * FROM ($values)"
+      case other => other
+    }
     val p = new P(lex(sql))
     val out = p.statement()
     // early-return statement paths (DDL, DISTINCT ON, QUALIFY) leave

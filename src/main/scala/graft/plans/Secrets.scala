@@ -32,7 +32,10 @@ object Secrets {
   val CreateRe =
     """(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:(PERSISTENT|TEMPORARY)\s+)?SECRET\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+\s+)?\(\s*(.*?)\s*\)\s*;?\s*$""".r
   val DropRe =
-    """(?is)^\s*DROP\s+SECRET\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*$""".r
+    // optional PERSISTENT/TEMPORARY qualifier and `FROM <storage>`
+    // suffix (drop_secret syntax) — the storage operand is advisory
+    // here (one in-memory registry backs both persistence modes)
+    """(?is)^\s*DROP\s+(?:(?:PERSISTENT|TEMPORARY)\s+)?SECRET\s+(?:(IF\s+EXISTS)\s+)?(\w+)(?:\s+FROM\s+\w+)?\s*;?\s*$""".r
 
   private def defaultScope(typ: String): Seq[String] = typ.toLowerCase match {
     case "s3" => Seq("s3://", "s3n://", "s3a://")

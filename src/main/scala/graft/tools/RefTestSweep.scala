@@ -171,6 +171,9 @@ object RefTestSweep {
         // UNION BY NAME / LIMIT n% / comment-only blocks: GraftSql
         // statement-layer passes
         "(?is)\\bUNION\\s+(ALL\\s+)?BY\\s+NAME\\b".r.findFirstIn(sql).isDefined ||
+        // NATURAL SEMI/ANTI rewrites in GraftSql's schema-aware
+        // naturalSemiAntiPass (catalog-probed USING list)
+        "(?is)\\bNATURAL\\s+(SEMI|ANTI)\\s+JOIN\\b".r.findFirstIn(sql).isDefined ||
         // COLUMNS('re') / *COLUMNS(*) expand in GraftSql's schema-aware
         // columnsPass BEFORE Spark's parser (f51-gated) — parse-grading
         // the unexpanded text would be a false failure
@@ -181,7 +184,7 @@ object RefTestSweep {
         // `(DESCRIBE …)` / `(SUMMARIZE …)` relations materialize in
         // GraftSql's subStatementPass (s16/s10-gated) — same reasoning
         "(?i)\\(\\s*(DESCRIBE|SUMMARIZE)\\b".r.findFirstIn(sql).isDefined ||
-        "(?is)\\bLIMIT\\s+\\d+(\\.\\d+)?\\s*(%|PERCENT)\\s*;?\\s*$".r.findFirstIn(sql).isDefined ||
+        "(?is)\\bLIMIT\\s+(\\d+(\\.\\d+)?|\\([^()]*\\))\\s*(%|PERCENT)\\s*(OFFSET\\s+\\d+)?\\s*;?\\s*$".r.findFirstIn(sql).isDefined ||
         sql.linesIterator.map(_.trim).forall(l => l.isEmpty || l.startsWith("--"))
       if (layerRouted) routed += 1
       else {

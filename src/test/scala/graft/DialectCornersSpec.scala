@@ -50,6 +50,74 @@ class DialectCornersSpec extends AnyFunSuite {
     assert(one("SELECT aggregate(array(1,2,3), 0, (acc, x) -> acc + x) AS s") == Seq(6))
   }
 
+  test("sweep tail: huge-exponent literals, glued/repeated interval units, JSON -> path list") {
+    // reference test_numeric_overflow.test: 1e1000 reads as inf
+    assert(one("SELECT 1e1000 = 'inf'::DOUBLE AS a, -1e1000 = '-inf'::DOUBLE AS b, CAST(1e1000 AS REAL) = 'inf'::REAL AS c")
+      == Seq(true, true, true))
+    // reference test_interval.test:259/268 — quantity glued to unit,
+    // and a repeated unit summing to zero
+    assert(one("SELECT INTERVAL '1294967296months' = make_ym_interval(0, 1294967296) AS i") == Seq(true))
+    assert(one("SELECT CAST(INTERVAL '1294967296months -1294967296months' AS STRING) AS z") ==
+      Seq("0 seconds")) // the reference renders 00:00:00 — zero either way
+    // reference test_json_extract.test:211 — `->` over a LIST of paths
+    assert(one("""SELECT '{"b": [1,2,3,4]}'::JSON -> ['$.b[0]', '$.b[3]'] AS a""") ==
+      Seq(Seq("1", "4")))
+    // lambda with a list-literal body is untouched
+    assert(one("SELECT transform(array(1,2), x -> [x]) AS t") == Seq(Seq(Seq(1), Seq(2))))
+  }
+
+  test("GLOB operator compiles literal patterns to anchored regexes (DuckDB-pinned)") {
+    // every case below returns the same value in DuckDB 1.0.0
+    assert(one("SELECT '3' GLOB '[0-9]' a, '012' GLOB '[0-9][0-9][0-9]' b, 'a' GLOB '[!0-9]' c") ==
+      Seq(true, true, true))
+    assert(one("""SELECT '*' GLOB '\*' d, '3]' GLOB '[]3][]]' e, '?' GLOB '[?]' f, '*' GLOB '[*]' g""") ==
+      Seq(true, true, true, true))
+    assert(one("SELECT '6' GLOB '[1-35-7]' h, 'b3' GLOB '[abc0-9][abc0-9]' i, 'abc' GLOB 'a*c' j, 'abc' GLOB 'a?c' k") ==
+      Seq(true, true, true, true))
+    assert(one("SELECT 'abc' GLOB 'A*' l, 'abc' NOT GLOB 'a*' m") == Seq(false, false))
+  }
+
+  test("DATE/TIMESTAMP infinity sentinels and short-year literals (DuckDB semantics)") {
+    // the reference's ±infinity ARE the extreme int32-day/int64-micro
+    // values — ordering matches; rendering is the one divergence
+    assert(one("SELECT DATE 'infinity' > DATE '9999-12-31' a, TIMESTAMP 'infinity' > TIMESTAMP '9999-12-31 23:59:59' b, " +
+      "DATE '-infinity' < DATE '0001-01-01' c, CAST(DATE 'epoch' AS STRING) e") ==
+      Seq(true, true, true, "1970-01-01"))
+    // short/negative years: century(209-03-22) = 3 (DuckDB-pinned);
+    // '-8-01-01' is astronomical year -8 = 9 BC
+    assert(one("SELECT century(TIMESTAMP '209-03-22') c, year(TIMESTAMP '-8-01-01 00:00:01.5') y") ==
+      Seq(3L, -8))
+  }
+
+  test("DISTINCT ON: ordinal keys and trailing LIMIT (DuckDB-pinned)") {
+    GraftSql.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW don AS SELECT * FROM (VALUES (1,10),(1,20),(2,30)) v(i,j)")
+    assert(GraftSql.sql(spark, "SELECT DISTINCT ON (1) i, j FROM don ORDER BY i LIMIT 1")
+      .collect().map(_.toSeq).toSeq == Seq(Seq(1, 10)))
+    assert(GraftSql.sql(spark, "SELECT DISTINCT ON (1) i, j FROM don ORDER BY i, j DESC")
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Int]) ==
+      Seq(Seq(1, 20), Seq(2, 30)))
+  }
+
+  test("NATURAL SEMI/ANTI JOIN resolves common columns from the catalog (DuckDB-pinned)") {
+    GraftSql.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW nsj_l AS SELECT * FROM (VALUES (1,10),(2,20),(3,30)) v(k, a)")
+    GraftSql.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW nsj_r AS SELECT * FROM (VALUES (1,99),(1,98)) v(k, b)")
+    assert(GraftSql.sql(spark, "SELECT * FROM nsj_l NATURAL SEMI JOIN nsj_r ORDER BY k")
+      .collect().map(_.toSeq).toSeq == Seq(Seq(1, 10)))
+    assert(GraftSql.sql(spark, "SELECT * FROM nsj_l NATURAL ANTI JOIN nsj_r ORDER BY k")
+      .collect().map(_.toSeq).toSeq == Seq(Seq(2, 20), Seq(3, 30)))
+  }
+
+  test("LIMIT percent: expression percents and OFFSET (test_limit_percent.test pinned)") {
+    GraftSql.sql(spark, "CREATE OR REPLACE TEMP VIEW lp AS SELECT * FROM range(10) t(a)")
+    assert(GraftSql.sql(spark, "SELECT a FROM lp LIMIT 50% OFFSET 2")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 4L, 5L, 6L))
+    assert(GraftSql.sql(spark, "SELECT a FROM lp LIMIT (30-10) %")
+      .collect().length == 2)
+  }
+
   test("big temporal literal with a time component CAST to DATE stays a DATE") {
     // reference: CAST('10000-01-01 10:00:00' AS DATE) = DATE
     // '10000-01-01' (time truncated), not a TIMESTAMP
