@@ -33,6 +33,14 @@ object Tpch {
       .join(tab("orders").filter(col("o_orderdate") < ts("1997-06-01"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
         col("c_custkey") === col("o_custkey"))
+      // build side MUST be this (customer-filtered orders, ~5% of
+      // lineitem's row count): without the hint Spark's estimates
+      // pick BuildRight and hash-build the ~30M-row FACT side — 3×
+      // the stage CPU, and the allocation burst is the r10 verdict's
+      // "bimodal" variance (measured r11: 16–53 s of task CPU for
+      // the same rows). Hinting the dimension side is also the only
+      // choice that survives 100×: the fact side never fits.
+      .hint("shuffle_hash")
       .join(tab("lineitem").filter(col("l_shipdate") > ts("1997-06-01"))
           .select(col("l_orderkey"),
             revenueUnits(col("l_extendedprice"), col("l_discount")).as("__rev")),
@@ -83,6 +91,11 @@ object Tpch {
     val rev = tab("orders")
       .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-07-01"))
       .select(col("o_orderkey"), col("o_custkey"))
+      // the 6-month orders slice is ~10× smaller than the R-flag
+      // lineitem side — pin it as the hash build side (Spark already
+      // picks it today, but the estimate could flip at another scale
+      // and fact-side builds don't survive 100×)
+      .hint("shuffle_hash")
       .join(tab("lineitem").filter(col("l_returnflag") === "R")
           .select(col("l_orderkey"),
             revenueUnits(col("l_extendedprice"), col("l_discount")).as("__rev")),
@@ -102,7 +115,11 @@ object Tpch {
     ordHigh
       .join(tab("lineitem")
           .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
-          .select(col("l_orderkey"), col("l_linestatus")),
+          .select(col("l_orderkey"), col("l_linestatus"))
+          // build from the date-filtered lineitem year (~60% the row
+          // count of the unfiltered orders side Spark's estimates
+          // would otherwise hash-build)
+          .hint("shuffle_hash"),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_linestatus"))
       .agg(
