@@ -40,8 +40,7 @@ object StreamingQ {
         |         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+        |GROUP BY user_id""".stripMargin) { (s, dir) =>
       // SessionCountAgg (operators/SessionCount.scala): per-user
       // timestamps collect into primitive buffers with map-side
       // partial aggregation — the exchange carries one buffer row per
@@ -59,7 +58,9 @@ object StreamingQ {
         .agg(graft.operators.SessionCount
           .sessionCount(col("ms"), 30L * 60 * 1000000)
           .cast("bigint").as("n_sessions"))
-        .orderBy(col("user_id"))
+      // no trailing display sort: the correctness gate sorts rows
+      // before hashing, and the r10 precedent (t02/t04) drops
+      // display-only sorts from BOTH engines' texts
     },
 
     // ST3: stream-batch (fact-dim) join shape: events enriched with a

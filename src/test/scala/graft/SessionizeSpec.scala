@@ -27,8 +27,9 @@ class SessionizeSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
 
     // st02's plan: the SessionCountAgg typed imperative aggregate
+    // st02 dropped its display sort (r11) — order here for comparison
     val aggregated = SparkEntry.queries("st02_sessionize")(spark, sfDir)
-      .as[(Long, Long)].collect().toSeq
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
 
     // the window-lag formulation st02 used to run (kept here as the
     // independent cross-check)
