@@ -104,6 +104,30 @@ object FunctionsQ10 {
         | CAST('340282366920938463463374607431768211455'::UHUGEINT - n_nationkey::UHUGEINT AS VARCHAR) AS umax_minus
         |FROM nation ORDER BY n_nationkey""".stripMargin),
 
+    // F90 (r11 dialect tail): GLOB operator (literal patterns compile
+    // to anchored regexes), DATE/TIMESTAMP infinity sentinels (the
+    // reference's ±INT32/INT64_MAX extremes — ordering identical;
+    // only their RENDERING diverges, so the row compares booleans),
+    // short-year temporal literals, huge-exponent literals (1e1000 =
+    // inf), glued/repeated interval units, DISTINCT ON with ordinal
+    // key + trailing LIMIT. One text, both engines.
+    verbatim("f90_dialect_tail",
+      """SELECT
+        | '3' GLOB '[0-9]' AS g1, '012' GLOB '[0-9][0-9][0-9]' AS g2,
+        | 'a' GLOB '[!0-9]' AS g3, '3]' GLOB '[]3][]]' AS g4,
+        | '6' GLOB '[1-35-7]' AS g5, 'abc' GLOB 'a*c' AS g6,
+        | NOT ('abc' GLOB 'A*') AS g7, 'b3' GLOB '[abc0-9][abc0-9]' AS g8,
+        | DATE 'infinity' > DATE '9999-12-31' AS i1,
+        | TIMESTAMP '-infinity' < TIMESTAMP '0001-01-01 00:00:00' AS i2,
+        | DATE 'epoch' = DATE '1970-01-01' AS i3,
+        | century(TIMESTAMP '209-03-22') AS c1,
+        | year(TIMESTAMP '-8-01-01 00:00:01.5') AS c2,
+        | 1e1000 = 'inf'::DOUBLE AS e1, -1e1000 < -1e308 AS e2,
+        | INTERVAL '25months' = INTERVAL '2 years 1 month' AS v1,
+        | (SELECT count(*) FROM (SELECT DISTINCT ON (1) o_custkey, o_orderkey FROM orders
+        |    ORDER BY o_custkey, o_orderkey LIMIT 5) __d) AS d1
+        |""".stripMargin),
+
     verbatim("f85_ordered_agg",
       """SELECT n_regionkey,
         | array_to_string(list(n_name ORDER BY n_name DESC), ',') AS names_desc,
