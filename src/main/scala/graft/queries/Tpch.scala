@@ -78,7 +78,7 @@ object Tpch {
     // BOTH columns as equi keys and re-shuffles both orderkey-bucketed
     // facts on the composite key; the subtraction form stays a
     // post-match filter on the orderkey join
-    li.join(co, col("l_orderkey") === col("o_orderkey")
+    li.join(co.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey")
         && (col("s_nationkey") - col("c_nationkey")) === 0)
       .groupBy(col("s_nationkey"))
       .agg(sumFromUnits(col("__rev")).as("revenue"))
