@@ -1371,6 +1371,32 @@ object DuckDialect {
       }
     }
 
+    /** `agg(x) EXPORT_STATE` → a mergeable struct state
+      * (k: kind, c: count component, v: sum/min/max component).
+      * Covered aggregates: count/count(*)/sum/avg/min/max — the
+      * reference's own test surface; anything else errors loudly. */
+    private def exportState(base: String): String = {
+      val m = "^(?is)\\s*(count|sum|avg|min|max)\\s*\\(".r
+        .findFirstMatchIn(base).getOrElse(throw new IllegalArgumentException(
+          s"EXPORT_STATE: unsupported aggregate: ${base.take(60)}"))
+      val fn = m.group(1).toLowerCase
+      val open = base.indexOf('(', m.start)
+      val close = matchingClose(base, open)
+      require(close == base.trim.length - 1,
+        s"EXPORT_STATE: expected a single aggregate call, got: ${base.take(60)}")
+      val arg = base.substring(open + 1, close).trim
+      fn match {
+        case "count" =>
+          s"named_struct('k', 'count', 'c', CAST($base AS BIGINT), 'v', CAST(NULL AS BIGINT))"
+        case "sum" =>
+          s"named_struct('k', 'sum', 'c', COUNT($arg), 'v', $base)"
+        case "avg" =>
+          s"named_struct('k', 'avg', 'c', COUNT($arg), 'v', SUM($arg))"
+        case "min" | "max" =>
+          s"named_struct('k', '$fn', 'c', COUNT($arg), 'v', $base)"
+      }
+    }
+
     private def jsonPath(r: String): String = {
       val Lit = "^'(.*)'$".r
       r match {
@@ -1549,6 +1575,31 @@ object DuckDialect {
         case "MATERIALIZED" if peekOp("(") => primaryParen()
         // ANSI `POSITION(needle IN haystack)` — the inner IN is the
         // two-argument separator, not containment
+        case "FINALIZE" if peekOp("(") =>
+          // FINALIZE(state): evaluate an exported aggregate state
+          // (DOUBLE-typed result for the numeric aggregates covered;
+          // NULL state → NULL, matching the reference's left-join
+          // behavior in test_state_export.test)
+          expectOp("(")
+          val a = expr(0)
+          expectOp(")")
+          s"(CASE WHEN ($a).k = 'count' THEN CAST(($a).c AS DOUBLE) " +
+            s"WHEN ($a).k = 'avg' THEN CAST(($a).v AS DOUBLE) / ($a).c " +
+            s"ELSE CAST(($a).v AS DOUBLE) END)"
+        case "COMBINE" if peekOp("(") =>
+          // COMBINE(a, b): merge two states of the same aggregate;
+          // NULL acts as the empty state (COMBINE(NULL, x) = x)
+          expectOp("(")
+          val a = expr(0)
+          if (peekOp(",")) next()
+          val b = expr(0)
+          expectOp(")")
+          s"(CASE WHEN ($a) IS NULL THEN ($b) WHEN ($b) IS NULL THEN ($a) " +
+            s"ELSE named_struct('k', ($a).k, 'c', ($a).c + ($b).c, 'v', " +
+            s"CASE WHEN ($a).k = 'min' THEN least(($a).v, ($b).v) " +
+            s"WHEN ($a).k = 'max' THEN greatest(($a).v, ($b).v) " +
+            s"WHEN ($a).v IS NULL THEN ($b).v WHEN ($b).v IS NULL THEN ($a).v " +
+            s"ELSE ($a).v + ($b).v END) END)"
         case "POSITION" if peekOp("(") =>
           expectOp("(")
           val a = expr(31)
@@ -2251,6 +2302,18 @@ object DuckDialect {
                 throw new IllegalArgumentException(
                   "duck-dialect: empty subscript"))})"
             }
+          case TWord(w) if w.equalsIgnoreCase("EXPORT_STATE") =>
+            // `agg(x) EXPORT_STATE` (reference aggregate state export,
+            // test_state_export.test): the state is a TRANSPARENT
+            // mergeable struct here — (kind, count-component,
+            // value-component) — rather than the reference's opaque
+            // blob; FINALIZE/COMBINE below work on it. Persisting
+            // partial aggregates and combining them later is exactly
+            // the incremental-aggregation primitive a 100 TB pipeline
+            // wants (combine yesterday's state with today's delta
+            // without rescanning).
+            next()
+            base = exportState(base)
           case TOp("::") =>
             next()
             val rawTy = peek.text.toUpperCase

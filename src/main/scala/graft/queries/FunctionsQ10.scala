@@ -128,6 +128,22 @@ object FunctionsQ10 {
         |    ORDER BY o_custkey, o_orderkey LIMIT 5) __d) AS d1
         |""".stripMargin),
 
+    // F91 (r11): aggregate state export — `agg(x) EXPORT_STATE`,
+    // FINALIZE, COMBINE (test_state_export.test). The state is a
+    // transparent mergeable struct here vs the reference's opaque
+    // blob, so the comparable surface is FINALIZE outputs — which is
+    // also the part a user consumes. One text, both engines (DuckDB
+    // runs its native states).
+    verbatim("f91_state_export",
+      """SELECT n_regionkey,
+        | finalize(count(*) EXPORT_STATE)::BIGINT AS c,
+        | finalize(sum(n_nationkey) EXPORT_STATE)::BIGINT AS s,
+        | finalize(avg(n_nationkey) EXPORT_STATE) AS av,
+        | finalize(min(n_nationkey) EXPORT_STATE)::BIGINT AS mn,
+        | finalize(max(n_nationkey) EXPORT_STATE)::BIGINT AS mx,
+        | finalize(combine(sum(n_nationkey) EXPORT_STATE, sum(n_nationkey) EXPORT_STATE))::BIGINT AS s2
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
     verbatim("f85_ordered_agg",
       """SELECT n_regionkey,
         | array_to_string(list(n_name ORDER BY n_name DESC), ',') AS names_desc,

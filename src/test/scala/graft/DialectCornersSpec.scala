@@ -118,6 +118,35 @@ class DialectCornersSpec extends AnyFunSuite {
       .collect().length == 2)
   }
 
+  test("aggregate state export: EXPORT_STATE / FINALIZE / COMBINE (test_state_export.test pinned)") {
+    GraftSql.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW dummy AS SELECT id % 10 AS g, id AS d FROM range(100)")
+    // reference: SELECT count(*), sum(d), min(d), max(d) == finalized states
+    assert(one("SELECT finalize(count(*) EXPORT_STATE)::BIGINT AS a, finalize(sum(d) EXPORT_STATE)::BIGINT AS b, " +
+      "finalize(min(d) EXPORT_STATE)::BIGINT AS mn, finalize(max(d) EXPORT_STATE)::BIGINT AS mx FROM dummy") ==
+      Seq(100L, 4950L, 0L, 99L))
+    // self-combine doubles the sum (reference res2: sum(d)*2)
+    assert(one("SELECT FINALIZE(COMBINE(SUM(d) EXPORT_STATE, SUM(d) EXPORT_STATE))::BIGINT AS s FROM dummy") ==
+      Seq(9900L))
+    // persisted state + NULL-state combine through left joins — the
+    // reference's own expected rows (g 0..4: 450/NULL/450 ... 490/490/980)
+    GraftSql.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW st2 AS SELECT g, sum(d) EXPORT_STATE sum_state FROM dummy WHERE g < 5 GROUP BY g")
+    val joined = GraftSql.sql(spark,
+      "with groups as (select distinct g from dummy) " +
+      "select g, FINALIZE(sum_state)::BIGINT f1, FINALIZE(sum_state2)::BIGINT f2, " +
+      "FINALIZE(COMBINE(sum_state, sum_state2))::BIGINT fc " +
+      "from groups left join st2 using(g) left join " +
+      "(select g, sum(d) EXPORT_STATE sum_state2 from dummy where g >= 3 GROUP BY g) using (g) " +
+      "order by g").collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2), r.getLong(3))).toSeq
+    assert(joined.take(5) == Seq(
+      (0L, 450L, null, 450L), (1L, 460L, null, 460L), (2L, 470L, null, 470L),
+      (3L, 480L, 480L, 960L), (4L, 490L, 490L, 980L)))
+    assert(joined(5) == ((5L, null, 500L, 500L)))
+  }
+
   test("big temporal literal with a time component CAST to DATE stays a DATE") {
     // reference: CAST('10000-01-01 10:00:00' AS DATE) = DATE
     // '10000-01-01' (time truncated), not a TIMESTAMP
