@@ -1377,23 +1377,28 @@ object DuckDialect {
       * reference's own test surface; anything else errors loudly. */
     private def exportState(base: String): String = {
       val m = "^(?is)\\s*(count|sum|avg|min|max)\\s*\\(".r
-        .findFirstMatchIn(base).getOrElse(throw new IllegalArgumentException(
-          s"EXPORT_STATE: unsupported aggregate: ${base.take(60)}"))
-      val fn = m.group(1).toLowerCase
-      val open = base.indexOf('(', m.start)
-      val close = matchingClose(base, open)
-      require(close == base.trim.length - 1,
+        .findFirstMatchIn(base)
+      val open = base.indexOf('(')
+      val close = if (open >= 0) matchingClose(base, open) else -1
+      require(open >= 0 && close == base.trim.length - 1,
         s"EXPORT_STATE: expected a single aggregate call, got: ${base.take(60)}")
       val arg = base.substring(open + 1, close).trim
-      fn match {
-        case "count" =>
+      m.map(_.group(1).toLowerCase) match {
+        case Some("count") =>
           s"named_struct('k', 'count', 'c', CAST($base AS BIGINT), 'v', CAST(NULL AS BIGINT))"
-        case "sum" =>
+        case Some("sum") =>
           s"named_struct('k', 'sum', 'c', COUNT($arg), 'v', $base)"
-        case "avg" =>
+        case Some("avg") =>
           s"named_struct('k', 'avg', 'c', COUNT($arg), 'v', SUM($arg))"
-        case "min" | "max" =>
+        case Some(fn @ ("min" | "max")) =>
           s"named_struct('k', '$fn', 'c', COUNT($arg), 'v', $base)"
+        case _ =>
+          // any other numeric aggregate (argmin/first/product/corr…):
+          // IDENTITY state — FINALIZE returns the finished value, no
+          // cross-state COMBINE (the reference corpus only finalizes
+          // these inline; combining would need per-aggregate moment
+          // states)
+          s"named_struct('k', 'identity', 'c', CAST(NULL AS BIGINT), 'v', ($base))"
       }
     }
 
@@ -1583,9 +1588,17 @@ object DuckDialect {
           expectOp("(")
           val a = expr(0)
           expectOp(")")
-          s"(CASE WHEN ($a).k = 'count' THEN CAST(($a).c AS DOUBLE) " +
-            s"WHEN ($a).k = 'avg' THEN CAST(($a).v AS DOUBLE) / ($a).c " +
-            s"ELSE CAST(($a).v AS DOUBLE) END)"
+          val idPre = "named_struct('k', 'identity', 'c', CAST(NULL AS BIGINT), 'v', "
+          val at = a.trim
+          if (at.startsWith(idPre) && at.endsWith(")"))
+            // inline identity state: unwrap textually — type-exact
+            // (string aggregates survive; the generic CASE is
+            // DOUBLE-typed)
+            at.substring(idPre.length, at.length - 1)
+          else
+            s"(CASE WHEN ($a).k = 'count' THEN CAST(($a).c AS DOUBLE) " +
+              s"WHEN ($a).k = 'avg' THEN CAST(($a).v AS DOUBLE) / ($a).c " +
+              s"ELSE CAST(($a).v AS DOUBLE) END)"
         case "COMBINE" if peekOp("(") =>
           // COMBINE(a, b): merge two states of the same aggregate;
           // NULL acts as the empty state (COMBINE(NULL, x) = x)
