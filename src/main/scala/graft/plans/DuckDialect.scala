@@ -2074,6 +2074,41 @@ object DuckDialect {
       }
     }
 
+    /** Integer-family cast targets round in the reference (double →
+      * half-to-even, decimal/varchar → half away; Spark truncates) —
+      * wrap the operand in graft_rint (plans/DuckNames.DuckRint) so
+      * the outer cast truncates an already-rounded value. Skip when
+      * the operand is a LITERAL integer (nothing to round — and the
+      * hugeint/varint literal ladders depend on the raw text). */
+    private val INT_CAST_TARGETS = Set(
+      "TINYINT", "SMALLINT", "INTEGER", "INT", "BIGINT",
+      "INT1", "INT2", "INT4", "INT8", "INT16", "INT32", "INT64",
+      "SIGNED", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+      "UINT8", "UINT16", "UINT32", "UINT64", "SHORT", "LONG",
+      // DECIMAL(38/20,0)-mapped integral types: Spark's decimal cast
+      // rounds HALF_UP where the reference rints (48.5 differs)
+      "HUGEINT", "UHUGEINT", "INT128", "UINT128")
+    private def rintWrap(e: String, rawTy: String, ty: String,
+        lenient: Boolean = false): String = {
+      val tyU = ty.toUpperCase
+      // rawTy is the PEEKED first type token — `INT[]` peeks "INT";
+      // only wrap when the PARSED target is the plain integral type
+      val scalarTarget = !(tyU.startsWith("ARRAY") || tyU.startsWith("STRUCT") ||
+        tyU.startsWith("MAP"))
+      // a GENERATOR operand must stay the direct child of the CAST —
+      // SqlPasses.generatorPass hoists the `CAST(unnest(x) AS T)`
+      // shape, and Spark rejects generators nested in expressions
+      val generatorHead = "(?is)^(unnest|explode|posexplode|generate_series|generate_subscripts)\\s*\\(.*".r
+        .pattern.matcher(e.trim).matches()
+      if (scalarTarget && !generatorHead && INT_CAST_TARGETS(rawTy) &&
+          !e.trim.matches("[+-]?[0-9]+") &&
+          // NULL needs no rounding — and GraftSql.mapType recovers
+          // type text from a translated CAST(NULL AS ty)
+          !e.trim.equalsIgnoreCase("NULL"))
+        s"${if (lenient) "graft_rint_try" else "graft_rint"}($e)"
+      else e
+    }
+
     private def castCall(kw: String): String = {
       expectOp("(")
       // Special shape: CAST(union_value(k := v) AS UNION(a T, b U))
@@ -2126,7 +2161,7 @@ object DuckDialect {
         castHuge(e, rawTy, ty).getOrElse(s"$kw(${hugePre(e, "")}_str($e) AS $ty)")
       else if (Set("HUGEINT", "UHUGEINT", "INT128", "UINT128")(rawTy) && outOf38(e))
         s"${if (rawTy.startsWith("U")) "uhugeint" else "hugeint"}($e)"
-      else s"$kw($e AS $ty)"
+      else s"$kw(${rintWrap(e, rawTy, ty, lenient = kw == "TRY_CAST")} AS $ty)"
     }
 
     /** UNION( a T, b U ) member list; consumes through `)`. */
@@ -2347,7 +2382,7 @@ object DuckDialect {
               else if (Set("HUGEINT", "UHUGEINT", "INT128", "UINT128")(rawTy) &&
                   outOf38(base))
                 s"${if (rawTy.startsWith("U")) "uhugeint" else "hugeint"}($base)"
-              else s"CAST($base AS $ty)"
+              else s"CAST(${rintWrap(base, rawTy, ty)} AS $ty)"
           case TOp("!") =>
             next()
             base = s"factorial($base)"

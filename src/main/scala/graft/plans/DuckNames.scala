@@ -135,9 +135,9 @@ object DuckNames {
 
     // full-match regex (the reference's `~` operator; Spark RLIKE is
     // a partial match, so anchor with a non-capturing group)
-    // finalize(agg EXPORT_STATE) ≡ the aggregate itself: exported
-    // state is engine-internal bytes, and within one statement the
-    // reference's finalize(EXPORT_STATE) round-trip is the identity
+    // finalize: kept for NAME closure only — the dialect front door
+    // rewrites FINALIZE(state) structurally (r11 EXPORT_STATE struct
+    // states, DuckDialect); a bare Spark-dialect call is the identity
     register(e, "finalize")(args => args.head)
 
     // sequence functions (nextval.cpp) — session registry in Sequences
@@ -279,6 +279,11 @@ object DuckNames {
     // count for lists (BIGINT, like the reference). Registered over
     // the built-in to widen it — string results are bit-identical.
     register(e, "len")(args => LenPoly(args.head))
+    // numeric→integer cast rounding parity (DuckDialect wraps integer
+    // cast targets in these; see DuckRint). _try: unparsable strings
+    // yield NULL (TRY_CAST); plain: they error (CAST, both engines)
+    register(e, "graft_rint")(args => DuckRint(args.head))
+    register(e, "graft_rint_try")(args => DuckRint(args.head, strict = false))
 
     // ---- named-argument constructors, positional form -------------
     // (the `k := v` spelling is rewritten to these by DuckDialect)
@@ -679,6 +684,75 @@ case class ListExtract(input: Expression, index: Expression)
   * reference; binary → bytes). Registered over the string-only
   * built-in so dialect queries like len(list_filter(...)) resolve.
   */
+/** The reference's numeric→integer CAST rounds; Spark's truncates.
+  * This expression applies the reference's per-type rounding rule so
+  * `CAST(graft_rint(x) AS INT)` (what the dialect emits for integer
+  * cast targets) matches DuckDB bit-for-bit:
+  *   DOUBLE/FLOAT → round half to EVEN (std::nearbyint,
+  *     cast_operators double→integral: 49.5→50, 48.5→48);
+  *   DECIMAL → round half AWAY from zero (decimal_cast 49.5→50,
+  *     48.5→49, −49.5→−50);
+  *   VARCHAR → parse as double, half away ('48.5'→49);
+  *   integral and everything else → identity (the outer cast already
+  *     agrees).
+  * Output type: input type for numerics (value rounded to an
+  * integral), DOUBLE for strings — the outer integer CAST then
+  * truncates an already-rounded value. Codegen'd: this sits inside
+  * arbitrary cast chains and must not break whole-stage spans.
+  */
+case class DuckRint(input: Expression, strict: Boolean = true) extends UnaryExpression {
+  override def child: Expression = input
+  override def dataType: DataType = input.dataType match {
+    case StringType => DoubleType
+    case other => other
+  }
+  override def nullSafeEval(in: Any): Any = input.dataType match {
+    case DoubleType => Math.rint(in.asInstanceOf[Double])
+    case FloatType => Math.rint(in.asInstanceOf[Float].toDouble).toFloat
+    case d: DecimalType =>
+      // HALF_UP on java BigDecimal = half away from zero (both signs)
+      val bd = in.asInstanceOf[Decimal].toJavaBigDecimal
+        .setScale(0, java.math.RoundingMode.HALF_UP).setScale(d.scale)
+      Decimal(bd, d.precision, d.scale)
+    case StringType =>
+      val s = in.asInstanceOf[UTF8String].toString.trim
+      try {
+        val v = java.lang.Double.parseDouble(s)
+        // half away from zero, like the reference's string→int parse
+        if (v >= 0) Math.floor(v + 0.5) else Math.ceil(v - 0.5)
+      } catch {
+        case e: NumberFormatException =>
+          // plain CAST errors in BOTH engines; TRY_CAST yields NULL
+          if (strict) throw new NumberFormatException(
+            s"Cast: invalid input syntax for integer: '$s'")
+          else null
+      }
+    case _ => in
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    input.dataType match {
+      case DoubleType => defineCodeGen(ctx, ev, c => s"java.lang.Math.rint($c)")
+      case FloatType =>
+        defineCodeGen(ctx, ev, c => s"(float) java.lang.Math.rint((double) $c)")
+      case _: DecimalType | StringType =>
+        val self = ctx.addReferenceObj("duckRint", this, classOf[DuckRint].getName)
+        nullSafeCodeGen(ctx, ev, c => {
+          val out =
+            if (dataType == DoubleType) "((java.lang.Double) __r).doubleValue()"
+            else s"(${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.boxedType(dataType)}) __r"
+          s"""Object __r = $self.nullSafeEval($c);
+             |if (__r == null) { ${ev.isNull} = true; } else {
+             |  ${ev.value} = $out;
+             |}""".stripMargin
+        })
+      case _ => defineCodeGen(ctx, ev, c => c) // integral & friends: identity
+    }
+  override protected def withNewChildInternal(c: Expression): DuckRint = copy(input = c)
+}
+
 case class LenPoly(input: Expression) extends UnaryExpression {
   override def child: Expression = input
   override def dataType: DataType = input.dataType match {

@@ -144,6 +144,19 @@ object FunctionsQ10 {
         | finalize(combine(sum(n_nationkey) EXPORT_STATE, sum(n_nationkey) EXPORT_STATE))::BIGINT AS s2
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
 
+    // F92 (r11): integer-cast rounding parity — the reference's
+    // numeric→integral CAST rounds (double: half to even; decimal and
+    // parsed strings: half away from zero) where Spark truncates;
+    // integer cast targets route through graft_rint (DuckNames
+    // .DuckRint). One text, both engines.
+    verbatim("f92_cast_rounding",
+      """SELECT 49.5::DOUBLE::INTEGER AS a, 48.5::DOUBLE::INTEGER AS b,
+        | (-49.5)::DOUBLE::INTEGER AS c, CAST(2.7::DOUBLE AS INTEGER) AS d,
+        | CAST(CAST(48.5 AS DECIMAL(4,1)) AS INTEGER) AS e,
+        | CAST(CAST(-49.5 AS DECIMAL(4,1)) AS INTEGER) AS f,
+        | '48.5'::INTEGER AS g, '-48.5'::INTEGER AS h,
+        | TRY_CAST('abc' AS INTEGER) AS i, TRY_CAST('48.5' AS INTEGER) AS j""".stripMargin),
+
     verbatim("f85_ordered_agg",
       """SELECT n_regionkey,
         | array_to_string(list(n_name ORDER BY n_name DESC), ',') AS names_desc,

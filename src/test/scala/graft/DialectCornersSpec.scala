@@ -147,6 +147,26 @@ class DialectCornersSpec extends AnyFunSuite {
     assert(joined(5) == ((5L, null, 500L, 500L)))
   }
 
+  test("integer cast targets round like the reference (DuckDB-pinned)") {
+    // double → integral: round half to EVEN (cast_operators rint)
+    assert(one("SELECT 49.5::DOUBLE::INTEGER a, 48.5::DOUBLE::INTEGER b, (-49.5)::DOUBLE::INTEGER c, CAST(2.7::DOUBLE AS INTEGER) e") ==
+      Seq(50, 48, -50, 3))
+    // decimal → integral: half AWAY from zero
+    assert(one("SELECT CAST(CAST(49.5 AS DECIMAL(4,1)) AS INTEGER) a, CAST(CAST(48.5 AS DECIMAL(4,1)) AS INTEGER) b, CAST(CAST(-49.5 AS DECIMAL(4,1)) AS INTEGER) c") ==
+      Seq(50, 49, -50))
+    // string → integral: parse then half away; TRY_CAST tolerates junk
+    assert(one("SELECT '48.5'::INTEGER s1, '-48.5'::INTEGER s2, TRY_CAST('abc' AS INTEGER) s3, TRY_CAST('48.5' AS INTEGER) s4") ==
+      Seq(49, -49, null, 49))
+    // integral identity and array targets untouched
+    assert(one("SELECT 42::BIGINT i1, NULL::INTEGER n, CAST(array(1,2) AS INT[]) arr") ==
+      Seq(42L, null, Seq(1, 2)))
+    // plain CAST of junk strings still errors (both engines)
+    val e = intercept[Exception] {
+      GraftSql.sql(spark, "SELECT CAST('abc' AS INTEGER)").collect()
+    }
+    assert(Option(e.getMessage).getOrElse(e.toString).contains("invalid input"))
+  }
+
   test("big temporal literal with a time component CAST to DATE stays a DATE") {
     // reference: CAST('10000-01-01 10:00:00' AS DATE) = DATE
     // '10000-01-01' (time truncated), not a TIMESTAMP

@@ -77,8 +77,11 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(t("SELECT x[a:-:s]") === "SELECT duck_slice(x, a, NULL, s, false, true)")
     assert(t("SELECT struct_pack(a := 1, b := c)") === "SELECT named_struct('a', 1, 'b', c)")
     assert(t("SELECT struct_insert(s, v := 9)") === "SELECT struct_insert(s, 'v', 9)")
-    assert(t("SELECT x::UBIGINT") === "SELECT CAST(x AS DECIMAL(20,0))")
-    assert(t("SELECT x::HUGEINT") === "SELECT CAST(x AS DECIMAL(38,0))")
+    // r11: integer-family cast targets round via graft_rint (the
+    // reference's double→integral cast is rint, Spark's truncates —
+    // and its decimal-cast HALF_UP differs from rint at 48.5)
+    assert(t("SELECT x::UBIGINT") === "SELECT CAST(graft_rint(x) AS DECIMAL(20,0))")
+    assert(t("SELECT x::HUGEINT") === "SELECT CAST(graft_rint(x) AS DECIMAL(38,0))")
     assert(t("SELECT CAST(x AS VARCHAR)") === "SELECT CAST(x AS STRING)")
     assert(t("SELECT CAST(x AS INT[])") === "SELECT CAST(x AS ARRAY<INTEGER>)")
     assert(t("SELECT CAST(x AS STRUCT(a INT, b VARCHAR))")
