@@ -1072,7 +1072,7 @@ object DuckDialect {
         peek match {
           case TOp("->>") if 50 >= min =>
             // JSON text extraction (bundled json extension `->>`)
-            next(); left = s"get_json_object($left, ${jsonPath(expr(51))})"
+            next(); left = jsonExtractEmit(left, expr(51))
           case TOp("->") if 50 >= min && peekAt(1).contains(TOp("[")) && {
             // `json -> ['path', …]` extracts a LIST of paths
             // (test_json_extract.test:211) — but `x -> [x]` in
@@ -1098,7 +1098,7 @@ object DuckDialect {
               !l.matches("""\(\s*[A-Za-z_]\w*\s*(,\s*[A-Za-z_]\w*\s*)+\)""")
             case _ => false            // anything else: a lambda body
           }) =>
-            next(); left = s"get_json_object($left, ${jsonPath(expr(51))})"
+            next(); left = jsonExtractEmit(left, expr(51))
           case TOp("->") if LAMBDA_PREC >= min =>
             next(); val body = expr(LAMBDA_PREC + 1)
             left = s"$left -> $body" // Spark lambda: never parenthesize
@@ -1402,6 +1402,47 @@ object DuckDialect {
       }
     }
 
+    /** Literal JSON paths with from-the-end indices — `[-N]` and the
+      * reference's `[#-N]` spelling (test_json_extract.test:163-226):
+      * get_json_object has no negative indexing, so each such segment
+      * resolves through json_array_length at query time. `[-0]`/`[#-0]`
+      * is index 0 (the reference's "just like python" rule); an
+      * out-of-range or non-array prefix yields NULL in both engines. */
+    private val NegJsonIdx = "\\[#?-[0-9]+\\]".r
+    private def negJsonChain(base: String, body0: String): String = {
+      val body = if (body0.startsWith("$")) body0.substring(1) else body0
+      var cur = base
+      val sb = new StringBuilder
+      val m = java.util.regex.Pattern.compile("\\[#?-([0-9]+)\\]").matcher(body)
+      var last = 0
+      while (m.find()) {
+        sb.append(body.substring(last, m.start))
+        val n = m.group(1).toLong
+        if (n == 0) sb.append("[0]") // [-0] ≡ [0]
+        else {
+          val pre = "$" + sb.toString
+          cur = s"get_json_object($cur, concat('$pre[', " +
+            s"CAST(json_array_length(get_json_object($cur, '$pre')) - $n AS STRING), ']'))"
+          sb.setLength(0)
+        }
+        last = m.end()
+      }
+      sb.append(body.substring(last))
+      if (sb.nonEmpty) s"get_json_object($cur, '$$${sb.toString}')" else cur
+    }
+
+    /** `json -> path` / json_extract emission: literal paths carrying
+      * negative indices route through [[negJsonChain]]. */
+    private def jsonExtractEmit(left: String, r: String): String = {
+      val p = jsonPath(r)
+      val Lit = "^'(.*)'$".r
+      p match {
+        case Lit(body) if NegJsonIdx.findFirstIn(body).isDefined =>
+          negJsonChain(left, body)
+        case _ => s"get_json_object($left, $p)"
+      }
+    }
+
     private def jsonPath(r: String): String = {
       val Lit = "^'(.*)'$".r
       r match {
@@ -1580,6 +1621,26 @@ object DuckDialect {
         case "MATERIALIZED" if peekOp("(") => primaryParen()
         // ANSI `POSITION(needle IN haystack)` — the inner IN is the
         // two-argument separator, not containment
+        case "JSON_EXTRACT" | "JSON_EXTRACT_STRING" | "JSON_EXTRACT_PATH" |
+             "JSON_EXTRACT_PATH_TEXT" if peekOp("(") =>
+          // literal paths with negative indices route through the
+          // [-N]/[#-N] chain; everything else keeps the registered
+          // name (DuckNames → get_json_object)
+          expectOp("(")
+          val args = ArrayBuffer.empty[String]
+          while (more && !peekOp(")")) {
+            args += expr(0)
+            if (peekOp(",")) next()
+          }
+          expectOp(")")
+          if (args.length == 2 && args(1).matches("(?s)^'.*'$") &&
+              NegJsonIdx.findFirstIn(args(1)).isDefined)
+            jsonExtractEmit(args(0), args(1))
+          else if (args.length == 2 && !args(1).trim.startsWith("array("))
+            // same emission as the `->` operator (the repo's existing
+            // json_extract_string ≡ get_json_object precedent)
+            s"get_json_object(${args(0)}, ${jsonPath(args(1))})"
+          else s"${w.toLowerCase}(${args.mkString(", ")})"
         case "FINALIZE" if peekOp("(") =>
           // FINALIZE(state): evaluate an exported aggregate state
           // (DOUBLE-typed result for the numeric aggregates covered;

@@ -157,6 +157,19 @@ object FunctionsQ10 {
         | '48.5'::INTEGER AS g, '-48.5'::INTEGER AS h,
         | TRY_CAST('abc' AS INTEGER) AS i, TRY_CAST('48.5' AS INTEGER) AS j""".stripMargin),
 
+    // F93 (r11): JSON from-the-end path indices `[-N]` / `[#-N]`
+    // (test_json_extract.test:163-226) — resolved through
+    // json_array_length chains at query time; out-of-range and
+    // non-array prefixes yield NULL in both engines.
+    verbatim("f93_json_negidx",
+      """SELECT
+        | CAST(json_extract('{"b": [1,2,3,4]}', '$.b[#-1]') AS BIGINT) AS a,
+        | CAST(json_extract('{"b": [1,2,3,4]}', '$.b[-2]') AS BIGINT) AS b,
+        | CAST(json_extract('{"b": [1,2,3,4]}', '$.b[#-0]') AS BIGINT) AS c,
+        | json_extract('{"b": [1,2,3,4]}', '$.b[#-5]') IS NULL AS d,
+        | json_extract('{"a": 1}', '$.a[#-1]') IS NULL AS e,
+        | CAST('{"b": [[1,2],[3]]}'->'$.b[#-2][#-1]' AS BIGINT) AS f""".stripMargin),
+
     verbatim("f85_ordered_agg",
       """SELECT n_regionkey,
         | array_to_string(list(n_name ORDER BY n_name DESC), ',') AS names_desc,
