@@ -309,12 +309,18 @@ object GraftSql {
         // (test_limit_percent.test:102 pinned: range(10) LIMIT 50%
         // OFFSET 2 = rows 2..6)
         val pct =
-          if (pctRaw.startsWith("("))
-            spark.sql(s"SELECT CAST($pctRaw AS DOUBLE)").first.getDouble(0)
-          else pctRaw.toDouble
+          if (pctRaw.startsWith("(")) {
+            val row = spark.sql(s"SELECT CAST($pctRaw AS DOUBLE)").first
+            // NULL percent is an error in the reference (not an NPE);
+            // clamp to [0,100] — a negative/overlarge fraction yields
+            // 0/all rows there, never a negative limit
+            if (row.isNullAt(0)) throw new IllegalArgumentException(
+              "LIMIT percent expression must not evaluate to NULL")
+            row.getDouble(0)
+          } else pctRaw.toDouble
         val df = spark.sql(translate(inner))
         val n = df.count()
-        val keep = math.floor(n * pct / 100.0).toInt
+        val keep = math.floor(n * (pct.max(0.0).min(100.0)) / 100.0).toInt
         val base = if (off != null) df.offset(off.toInt) else df
         return base.limit(keep)
       case _ =>
@@ -514,24 +520,32 @@ object GraftSql {
     * the replaced expressions substituted in place.
     */
   private val NaturalSemiAnti =
-    """(?i)([\w.`"]+)\s+NATURAL\s+(SEMI|ANTI)\s+JOIN\s+([\w.`"]+)""".r
+    """(?i)(\bFROM\s+|,\s*|\(\s*)([\w.`"]+)\s+NATURAL\s+(SEMI|ANTI)\s+JOIN\s+([\w.`"]+)""".r
 
   /** `A NATURAL SEMI|ANTI JOIN B` → `A LEFT SEMI|ANTI JOIN B USING
-    * (common)` with the common columns probed from the catalog (both
-    * operands must be named relations; anything else passes through
-    * and errors loudly). */
+    * (common)` with the common columns probed from the catalog.
+    * Anchored so the rewrite only fires when the ENTIRE left operand
+    * of the NATURAL join is the captured named relation (directly
+    * after FROM, a comma, or an opening paren) — in
+    * `a NATURAL JOIN b NATURAL SEMI JOIN c` the reference derives
+    * USING from the whole (a⋈b) schema, which a single-name capture
+    * would silently get wrong, so that shape passes through and fails
+    * loudly in Spark's parser instead. Matches inside string literals
+    * are skipped (quote-parity check). */
   private def naturalSemiAntiPass(spark: SparkSession, sql0: String): String = {
     if (!"(?i)NATURAL\\s+(SEMI|ANTI)\\s+JOIN".r.findFirstIn(sql0).isDefined) return sql0
     NaturalSemiAnti.replaceAllIn(sql0, m => {
+      val inLiteral = sql0.substring(0, m.start).count(_ == '\'') % 2 == 1
       val rep =
-        try {
-          val lt = m.group(1).replace("\"", "")
-          val rt = m.group(3).replace("\"", "")
+        if (inLiteral) m.matched
+        else try {
+          val lt = m.group(2).replace("\"", "")
+          val rt = m.group(4).replace("\"", "")
           val l = spark.table(lt).columns
           val r = spark.table(rt).columns.map(_.toLowerCase).toSet
           val common = l.filter(c => r.contains(c.toLowerCase))
           if (common.isEmpty) m.matched
-          else s"${m.group(1)} LEFT ${m.group(2).toUpperCase} JOIN ${m.group(3)} " +
+          else s"${m.group(1)}${m.group(2)} LEFT ${m.group(3).toUpperCase} JOIN ${m.group(4)} " +
             s"USING (${common.map(c => s"`$c`").mkString(", ")})"
         } catch { case _: Exception => m.matched }
       java.util.regex.Matcher.quoteReplacement(rep)

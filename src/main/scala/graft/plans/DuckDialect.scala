@@ -1656,10 +1656,25 @@ object DuckDialect {
             // (string aggregates survive; the generic CASE is
             // DOUBLE-typed)
             at.substring(idPre.length, at.length - 1)
-          else
-            s"(CASE WHEN ($a).k = 'count' THEN CAST(($a).c AS DOUBLE) " +
-              s"WHEN ($a).k = 'avg' THEN CAST(($a).v AS DOUBLE) / ($a).c " +
-              s"ELSE CAST(($a).v AS DOUBLE) END)"
+          else "'k', '([a-z]+)'".r.findFirstMatchIn(at).map(_.group(1)) match {
+            // states are emitted inline by THIS parser (named_struct
+            // with a literal kind tag — also the first tag inside a
+            // COMBINE emission), so resolve the dispatch at translate
+            // time and keep the aggregate's NATIVE type: the
+            // reference's finalize returns the aggregate's own type,
+            // and CAST(v AS DOUBLE) is off by ulps for BIGINT sums
+            // past 2^53. Only avg genuinely divides through DOUBLE.
+            case Some("count") => s"($a).c"
+            case Some("avg") => s"CAST(($a).v AS DOUBLE) / ($a).c"
+            case Some("sum") | Some("min") | Some("max") |
+                 Some("identity") => s"($a).v"
+            case _ =>
+              // state from a column/opaque expression: generic
+              // DOUBLE-typed dispatch (documented approximation)
+              s"(CASE WHEN ($a).k = 'count' THEN CAST(($a).c AS DOUBLE) " +
+                s"WHEN ($a).k = 'avg' THEN CAST(($a).v AS DOUBLE) / ($a).c " +
+                s"ELSE CAST(($a).v AS DOUBLE) END)"
+          }
         case "COMBINE" if peekOp("(") =>
           // COMBINE(a, b): merge two states of the same aggregate;
           // NULL acts as the empty state (COMBINE(NULL, x) = x)

@@ -696,14 +696,17 @@ case class ListExtract(input: Expression, index: Expression)
   *   integral and everything else → identity (the outer cast already
   *     agrees).
   * Output type: input type for numerics (value rounded to an
-  * integral), DOUBLE for strings — the outer integer CAST then
-  * truncates an already-rounded value. Codegen'd: this sits inside
-  * arbitrary cast chains and must not break whole-stage spans.
+  * integral), DECIMAL(38,0) for strings — exact over the whole
+  * int64/int128 range (a Double detour silently corrupts digit
+  * strings past 2^53, e.g. '9223372036854775807'::BIGINT), and the
+  * outer integer CAST then truncates an already-rounded value.
+  * Codegen'd: this sits inside arbitrary cast chains and must not
+  * break whole-stage spans.
   */
 case class DuckRint(input: Expression, strict: Boolean = true) extends UnaryExpression {
   override def child: Expression = input
   override def dataType: DataType = input.dataType match {
-    case StringType => DoubleType
+    case StringType => DecimalType(38, 0)
     case other => other
   }
   override def nullSafeEval(in: Any): Any = input.dataType match {
@@ -717,9 +720,14 @@ case class DuckRint(input: Expression, strict: Boolean = true) extends UnaryExpr
     case StringType =>
       val s = in.asInstanceOf[UTF8String].toString.trim
       try {
-        val v = java.lang.Double.parseDouble(s)
-        // half away from zero, like the reference's string→int parse
-        if (v >= 0) Math.floor(v + 0.5) else Math.ceil(v - 0.5)
+        // exact arbitrary-precision parse + half away from zero, like
+        // the reference's string→int path (integer_cast_operator.hpp
+        // parses digits exactly; only the fraction rounds)
+        val bd = new java.math.BigDecimal(s)
+          .setScale(0, java.math.RoundingMode.HALF_UP)
+        if (bd.precision > 38) throw new NumberFormatException(
+          s"Cast: value out of range for integer: '$s'")
+        Decimal(bd, 38, 0)
       } catch {
         case e: NumberFormatException =>
           // plain CAST errors in BOTH engines; TRY_CAST yields NULL

@@ -29,14 +29,16 @@ object ScanProf {
             l.contains("BroadcastHashJoin")).foreach(l => println("  " + l.trim.take(150)))
         }
       case "runs" =>
-        val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long, Int)]()
+        // run/cpu as separate fields — a packed base-1e6 encoding
+        // overflows the modulus past ~16.7 min of total task CPU
+        val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long, Long, Int)]()
         s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onStageCompleted(
               sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
             val si = sc.stageInfo
             val wall = (for { a <- si.completionTime; b <- si.submissionTime } yield a - b).getOrElse(-1L)
             stages.put(si.stageId, (si.name.takeWhile(_ != '.'), wall,
-              si.taskMetrics.executorRunTime * 1000000 + si.taskMetrics.executorCpuTime / 1000000, si.numTasks))
+              si.taskMetrics.executorRunTime, si.taskMetrics.executorCpuTime / 1000000, si.numTasks))
           }
         })
         val n = args.lift(1).map(_.toInt).getOrElse(6)
@@ -62,8 +64,7 @@ object ScanProf {
           val gd = gcMillis - g0
           println(f"[run $i] $dt%.3f s  gc=${gd}ms  SMJ=$smj BHJ=$bhj ShufEx=$ex")
           import scala.jdk.CollectionConverters._
-          stages.asScala.toSeq.sortBy(_._1).foreach { case (id, (nm, wall, enc, nt)) =>
-            val run = enc / 1000000; val cpu = enc % 1000000
+          stages.asScala.toSeq.sortBy(_._1).foreach { case (id, (nm, wall, run, cpu, nt)) =>
             println(f"    stage $id%3d $nm%-20s wall=${wall}ms sumRun=${run}ms sumCpu=${cpu}ms tasks=$nt")
           }
           stages.clear()

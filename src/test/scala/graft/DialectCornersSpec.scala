@@ -189,6 +189,46 @@ class DialectCornersSpec extends AnyFunSuite {
     assert(multi == Seq((0L, 6.0), (1L, 7.0)))
   }
 
+  test("r12: big digit strings cast exactly (no Double detour past 2^53)") {
+    // the reference parses string→int digits exactly
+    // (integer_cast_operator.hpp); a Double round-trip corrupts
+    // >15-16 significant digits and overflows int64 max
+    assert(one("SELECT '9223372036854775807'::BIGINT a, " +
+      "'-9223372036854775808'::BIGINT b, '9007199254740993'::BIGINT c") ==
+      Seq(Long.MaxValue, Long.MinValue, 9007199254740993L))
+    // string COLUMN path (rintWrap fires on every non-literal operand)
+    GraftSql.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW bigs AS SELECT '9223372036854775806' AS s")
+    assert(one("SELECT s::BIGINT v FROM bigs") == Seq(9223372036854775806L))
+    // out-of-range parse errors cleanly in plain CAST; TRY_CAST → NULL
+    intercept[Exception] {
+      GraftSql.sql(spark, "SELECT '1e300'::BIGINT").collect()
+    }
+    assert(one("SELECT TRY_CAST('1e300' AS BIGINT) v") == Seq(null))
+    // fractional strings still round half away from zero
+    assert(one("SELECT '9007199254740992.5'::BIGINT v") == Seq(9007199254740993L))
+  }
+
+  test("r12: FINALIZE keeps the aggregate's native type (exact past 2^53)") {
+    GraftSql.sql(spark, "CREATE OR REPLACE TEMP VIEW fs2 AS " +
+      "SELECT CAST(9007199254740993 AS BIGINT) AS v UNION ALL SELECT CAST(2 AS BIGINT)")
+    // 2^53+1 + 2: a DOUBLE-cast finalize loses the low bit
+    assert(one("SELECT finalize(sum(v) EXPORT_STATE) s FROM fs2") ==
+      Seq(9007199254740995L))
+    assert(one("SELECT finalize(min(v) EXPORT_STATE) mn, " +
+      "finalize(max(v) EXPORT_STATE) mx FROM fs2") == Seq(2L, 9007199254740993L))
+    assert(one("SELECT finalize(count(*) EXPORT_STATE) c FROM fs2") == Seq(2L))
+  }
+
+  test("r12: LIMIT percent NULL/negative expression percents (reference error/0-row)") {
+    GraftSql.sql(spark, "CREATE OR REPLACE TEMP VIEW lp2 AS SELECT * FROM range(10) t(a)")
+    intercept[Exception] {
+      GraftSql.sql(spark, "SELECT a FROM lp2 LIMIT (NULL) %").collect()
+    }
+    assert(GraftSql.sql(spark, "SELECT a FROM lp2 LIMIT (0-50) %").collect().isEmpty)
+    assert(GraftSql.sql(spark, "SELECT a FROM lp2 LIMIT (200) %").collect().length == 10)
+  }
+
   test("BC dates: astronomical year mapping (year N BC = -(N-1))") {
     assert(one("SELECT year('0044-03-15 (BC)'::DATE) AS y, " +
       "('0044-03-15 (BC)'::DATE < '0001-01-01'::DATE) AS lt") == Seq(-43, true))
