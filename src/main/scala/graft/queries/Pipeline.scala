@@ -45,6 +45,13 @@ object Pipeline {
     },
 
     // L3: SimHash near-dedup pairs (hamming ≤ 3 on 64-bit fingerprints).
+    // Rows-only by necessity: the token hash is Spark's xxhash64
+    // (seed 42), which DuckDB 1.0.0 has no SQL-expressible equivalent
+    // of (its hash() is a different algorithm; reimplementing
+    // xxhash64's stripe/rotl finalizer per token in list_reduce is not
+    // expressible) — unlike t04's polynomial rolling hash, which IS
+    // replayed in the oracle. Value coverage lives in DedupSpec's
+    // planted-near-dup pins + the d06 union-find gate.
     QDef.rowsOnly("d03_dedup_simhash") { (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
     },
@@ -94,10 +101,21 @@ object Pipeline {
     },
 
     // L5: embedding-cosine near-dup pairs, blocked by label.
-    QDef.rowsOnly("d05_embed_neardup") { (s, dir) =>
+    // r12: oracle-gated — the kernel's left-to-right double cosine is
+    // bit-identical to DuckDB's list_sum-over-list_transform form
+    // (s01 precedent), so even threshold-boundary pairs agree.
+    QDef.sql("d05_embed_neardup",
+      """WITH p AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos_sim
+        | FROM embeddings a JOIN embeddings b
+        |   ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35""".stripMargin) { (s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           blockKey = col("label"), threshold = 0.35)
-        .orderBy(col("id_a"), col("id_b"))
     },
 
     // L6: brute-force cosine top-k ANN — SQL-checkable: DuckDB's
@@ -130,25 +148,54 @@ object Pipeline {
     },
 
     // L7b: IVF ANN — inverted-list index, nprobe-bounded search.
-    QDef.rowsOnly("s03_ann_ivf") { (s, dir) =>
+    // r12: the driver entry probes ALL lists (nprobe = maxCentroids),
+    // which is exactly brute force — so the brute-force cosine top-k
+    // oracle (s01's text) gates the whole IVF plan end to end
+    // (centroid seeding, assignment projection, probe ranking,
+    // semi-join, final top-k). The nprobe-BOUNDED approximate path
+    // keeps its recall ≥ 0.8 contract in ApproxSpec.
+    QDef.sql("s03_ann_ivf",
+      """WITH sims AS (
+        | SELECT e.vec_id,
+        |  list_sum(list_transform(list_zip(e.embedding, q.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos_sim
+        | FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+        |SELECT vec_id, cos_sim FROM sims
+        |ORDER BY cos_sim DESC, vec_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(
         emb, "embedding", "vec_id",
         emb.filter(col("vec_id") === 0), "embedding",
-        k = 10, maxCentroids = 16, nprobe = 4)
+        k = 10, maxCentroids = 16, nprobe = 16)
     },
 
     // L7c: persisted IVF index — build-once inverted lists on disk
     // (parquet partitioned by centroid), search via dynamic partition
-    // pruning. ApproxSpec ('persisted IVF index with full probe
-    // equals brute force') proves full-probe search == brute force.
-    QDef.rowsOnly("s04_ann_ivf_index") { (s, dir) =>
+    // pruning. r12: full-probe search (nprobe = maxCentroids) equals
+    // brute force — the ApproxSpec equality, promoted to the driver's
+    // hash gate via the s01 brute-force oracle (float vectors
+    // round-trip parquet exactly, so the persisted path stays
+    // bit-identical). The pruned nprobe path remains ApproxSpec-gated.
+    QDef.sql("s04_ann_ivf_index",
+      """WITH sims AS (
+        | SELECT e.vec_id,
+        |  list_sum(list_transform(list_zip(e.embedding, q.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos_sim
+        | FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+        |SELECT vec_id, cos_sim FROM sims
+        |ORDER BY cos_sim DESC, vec_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.hashCode.toHexString}"
       Similarity.writeIvfIndex(emb, "embedding", "vec_id", maxCentroids = 16, idx)
       Similarity.searchIvfIndex(s, idx,
         emb.filter(col("vec_id") === 0), "embedding", "vec_id", "embedding",
-        k = 10, nprobe = 4)
+        k = 10, nprobe = 16)
     },
 
     // L7e: int8-quantized brute-force ANN — the corpus rides as
@@ -218,10 +265,32 @@ object Pipeline {
     },
 
     // L8: language-ID heuristic (stopword profiles, argmax).
-    QDef.rowsOnly("t01_lang_id") { (s, dir) =>
+    // r12: oracle-gated — the heuristic is a deterministic function of
+    // the token multiset (integer hit counts / integer sizes → exact
+    // IEEE division in both engines; argmax ties break on lang string,
+    // byte order both sides). Oracle replays the same profiles.
+    QDef.sql("t01_lang_id",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(w, x -> list_contains(stop, x)))::DOUBLE
+        |      / greatest(len(w), 1) AS score
+        |  FROM toks, (VALUES
+        |    ('de', ['der','die','das','und','ist','nicht','ein','zu','mit','den']),
+        |    ('en', ['the','and','of','to','in','a','is','that','for','it']),
+        |    ('es', ['el','la','los','y','es','un','una','en','que','por']),
+        |    ('fr', ['le','la','les','et','est','un','une','dans','que','pour']),
+        |    ('zh', ['的','是','了','在','我','有','和','就','不','人'])) langs(lang, stop)),
+        |best AS (
+        |  SELECT doc_id, max({'score': score, 'lang': lang}) AS b
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS pred_lang
+        |FROM best""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
-        .orderBy(col("doc_id"))
     },
 
     // L9: text quality scoring — fully SQL-expressible.
@@ -452,9 +521,68 @@ object Pipeline {
 
     // L11: winnowing fingerprint (rolling-hash document id). Map-only
     // projection — a trailing total order would add a full corpus
-    // exchange to a scan-shaped operator (r10: it did, ~7 s at sf10)
-    QDef.rowsOnly("t04_fingerprint") { (s, dir) =>
+    // exchange to a scan-shaped operator (r10: it did, ~7 s at sf10).
+    // r12: oracle-gated — the oracle replays the kernel
+    // (HashKernels.winnowFingerprint, k=8 w=4 B=1315423911) in SQL:
+    // mod-2^64 wraparound emulated in HUGEINT (closed-form window sum
+    // with precomputed B^j mod 2^64 powers ≡ the kernel's rolling
+    // update in the mod-2^64 ring), signed window mins, FNV-1a fold
+    // via list_reduce with the same wrap. Statically guarded to
+    // ASCII docs longer than k bytes IN BOTH TEXTS (strlen=length ∧
+    // length>8) so bytes ≡ codepoints and the n≤k branch never runs.
+    QDef.sql("t04_fingerprint",
+      """WITH docs AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE strlen(text) = length(text) AND length(text) > 8),
+        |cvals AS (
+        |  SELECT doc_id, n, unnest(generate_series(1, n)) AS i,
+        |    unnest(list_transform(split(text, ''), s -> unicode(s)::HUGEINT)) AS c
+        |  FROM docs),
+        |hs AS (
+        |  SELECT doc_id, i AS p,
+        |    (c * 7338767820243804503::HUGEINT
+        |     + lead(c, 1) OVER w * 10030938618205820369::HUGEINT
+        |     + lead(c, 2) OVER w * 3132446466301724359::HUGEINT
+        |     + lead(c, 3) OVER w * 9116066114394809057::HUGEINT
+        |     + lead(c, 4) OVER w * 5531498854692111159::HUGEINT
+        |     + lead(c, 5) OVER w * 1730340065630535921::HUGEINT
+        |     + lead(c, 6) OVER w * 1315423911::HUGEINT
+        |     + lead(c, 7) OVER w) % 18446744073709551616::HUGEINT AS u
+        |  FROM cvals
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        |  QUALIFY i <= n - 7),
+        |sh AS (
+        |  SELECT doc_id, p,
+        |    (CASE WHEN u >= 9223372036854775808::HUGEINT
+        |     THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS h
+        |  FROM hs),
+        |mins AS (
+        |  SELECT doc_id, p,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+        |    count(*) OVER (PARTITION BY doc_id) AS m
+        |  FROM sh),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, mn FROM mins WHERE p <= greatest(1, m - 3))
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(-3750763034362895579::BIGINT, list(mn ORDER BY mn)),
+        |    (acc, x) -> (CASE WHEN ((CASE WHEN xor(acc, x) < 0
+        |        THEN xor(acc, x)::HUGEINT + 18446744073709551616::HUGEINT
+        |        ELSE xor(acc, x)::HUGEINT END) * 1099511628211::HUGEINT)
+        |        % 18446744073709551616::HUGEINT >= 9223372036854775808::HUGEINT
+        |      THEN ((CASE WHEN xor(acc, x) < 0
+        |        THEN xor(acc, x)::HUGEINT + 18446744073709551616::HUGEINT
+        |        ELSE xor(acc, x)::HUGEINT END) * 1099511628211::HUGEINT)
+        |        % 18446744073709551616::HUGEINT - 18446744073709551616::HUGEINT
+        |      ELSE ((CASE WHEN xor(acc, x) < 0
+        |        THEN xor(acc, x)::HUGEINT + 18446744073709551616::HUGEINT
+        |        ELSE xor(acc, x)::HUGEINT END) * 1099511628211::HUGEINT)
+        |        % 18446744073709551616::HUGEINT END)::BIGINT) AS fp
+        |FROM sel GROUP BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          octet_length(col("text")) > 8)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
     },
 
