@@ -47,6 +47,29 @@ import org.apache.spark.sql.types._
   */
 object FrameKernel {
 
+  /** Hard cap on a COLLECTED window frame/partition (the
+    * windowExprBoundsPass / excludeFallback plans materialize one
+    * array per partition). The collect is the reference's own cost
+    * model for expression bounds, and Catalyst shares it across rows
+    * — but a skewed partition at 100× scale would silently become a
+    * single executor-memory row. Past the cap we fail LOUDLY with the
+    * shard fallback documented instead of OOMing mid-stage (the
+    * NgramLm.MaxModelEntries discipline). 2^22 structs ≈ hundreds of
+    * MB per partition — far past where the plan is still the right
+    * one.
+    */
+  val MaxCollectedFrame: Int = 1 << 22
+
+  def guardFrame(a: ArrayData): ArrayData = {
+    if (a != null && a.numElements() > MaxCollectedFrame)
+      throw new IllegalStateException(
+        s"collected window frame exceeds $MaxCollectedFrame rows in one " +
+          "partition; this plan materializes a partition per row group — " +
+          "re-key the window PARTITION BY to bound partitions, or rewrite " +
+          "the frame with literal bounds so Spark's streaming frame is used")
+    a
+  }
+
   val fns: Set[String] = Set("sum", "avg", "count", "count_star", "min",
     "max", "median", "mode", "mad", "quantile_cont", "quantile_disc",
     "stddev", "var_samp", "first", "last",
@@ -271,6 +294,37 @@ case class FrameAgg(arr: Expression, fnE: Expression, qE: Expression)
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): FrameAgg = copy(c(0), c(1), c(2))
   override def prettyName: String = "graft_frame_agg"
+}
+
+/** graft_guard_frame(arr) — identity on a collected frame/partition
+  * array, failing LOUDLY past [[FrameKernel.MaxCollectedFrame]] with
+  * the shard fallback documented in the message. Wrapped around every
+  * collect_list the window fallbacks emit so a skewed partition at
+  * scale surfaces as a clear plan-shape error, not an executor OOM.
+  * Codegen'd: a static pass-through call, so it never breaks the
+  * whole-stage span the collect feeds.
+  */
+case class FrameSizeGuard(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = child.dataType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"guard_frame expects an array, got ${child.dataType}")
+
+  override def nullSafeEval(in: Any): Any =
+    FrameKernel.guardFrame(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.FrameKernel.guardFrame($c)")
+
+  override protected def withNewChildInternal(c: Expression): FrameSizeGuard =
+    copy(child = c)
 }
 
 /** graft_exclude_agg(frame_structs, cur_struct, 'kind', 'fn'[, q]) —

@@ -407,7 +407,10 @@ object SqlPasses {
     val fields = (keys.zipWithIndex.map { case (k, i) => s"'k$i', ($k)" } :+
       s"'v', ($vExpr)").mkString(", ")
     val spec = if (frameTail.trim.isEmpty) po else s"$po ${frameTail.trim}"
-    val arr = s"collect_list(named_struct($fields)) OVER ($spec)"
+    // size-guarded: a skewed partition at scale fails loudly with the
+    // shard fallback named (operators/FrameAgg.FrameSizeGuard) rather
+    // than OOMing inside the window exec
+    val arr = s"graft_guard_frame(collect_list(named_struct($fields)) OVER ($spec))"
     val cur = s"named_struct($fields)"
     val qArg = qOpt.map(q => s", CAST($q AS DOUBLE)").getOrElse("")
     s"graft_exclude_agg($arr, $cur, '${kind.toLowerCase}', '$kfn'$qArg)"
@@ -659,8 +662,9 @@ object SqlPasses {
     val (fnStart, fn, arg, ignoreNulls) = callBeforeOver(sql, overIdx, "frame bounds")
     val (kfn, vExpr, qOpt) = kernelFnOf(fn, arg, ignoreNulls)
     val rn = s"ROW_NUMBER() OVER ($po)"
-    val arr = s"collect_list(named_struct('v', ($vExpr))) OVER " +
-      s"($po ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    // size-guarded like excludeFallback's frame collect
+    val arr = s"graft_guard_frame(collect_list(named_struct('v', ($vExpr))) OVER " +
+      s"($po ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))"
     val sz = s"size($arr)"
     def idxOf(bound: String): String = {
       val b = bound.trim

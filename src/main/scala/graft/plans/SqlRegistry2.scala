@@ -309,6 +309,11 @@ object SqlRegistry2 {
       case n => throw new IllegalArgumentException(
         s"graft_frame_agg expects 2 or 3 arguments, got $n")
     })
+    register(e, "graft_guard_frame")(args => args.length match {
+      case 1 => graft.operators.FrameSizeGuard(args(0))
+      case n => throw new IllegalArgumentException(
+        s"graft_guard_frame expects 1 argument, got $n")
+    })
     register(e, "graft_exclude_agg")(args => args.length match {
       case 4 => graft.operators.ExcludeAgg(args(0), args(1), args(2), args(3),
         Literal(null, DoubleType))

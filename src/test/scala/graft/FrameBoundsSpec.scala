@@ -121,4 +121,23 @@ class FrameBoundsSpec extends AnyFunSuite {
     val unb = "SELECT SUM(x) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) FROM fb1"
     assert(graft.plans.SqlPasses.windowExprBoundsPass(unb) == unb)
   }
+
+  test("r12: partition-sized collects are size-guarded and fail loudly past the cap") {
+    setup()
+    // the rewrites wrap every collect_list in graft_guard_frame
+    val t1 = graft.plans.SqlPasses.windowExprBoundsPass(
+      "SELECT SUM(x) OVER (ORDER BY i ROWS BETWEEN (i%2) PRECEDING AND 0 FOLLOWING) FROM fb1")
+    assert(t1.contains("graft_guard_frame(collect_list("))
+    // guarded queries still answer (pass-through under the cap)
+    val r = rows("SELECT i, SUM(x) OVER (ORDER BY i ROWS BETWEEN (i%2) PRECEDING AND 0 FOLLOWING) AS s FROM fb1 ORDER BY i")
+    assert(r.map(_(1)) == Seq(10L, 20L, 50L, 40L, 90L))
+    // the kernel trips exactly past MaxCollectedFrame with the shard
+    // fallback in the message (cap-sized arrays pass)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val atCap = new GenericArrayData(new Array[Any](graft.operators.FrameKernel.MaxCollectedFrame))
+    assert(graft.operators.FrameKernel.guardFrame(atCap) eq atCap)
+    val past = new GenericArrayData(new Array[Any](graft.operators.FrameKernel.MaxCollectedFrame + 1))
+    val e = intercept[IllegalStateException] { graft.operators.FrameKernel.guardFrame(past) }
+    assert(e.getMessage.contains("re-key the window PARTITION BY"))
+  }
 }
