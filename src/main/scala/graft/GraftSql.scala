@@ -22,7 +22,57 @@ object GraftSql {
     ("""(?is)^\s*(WITH\b.+?\))?\s*(?:SELECT\s+\*\s+)?FROM\s+([\w.]+)\s+PIVOT\s*\(\s*(.+?)\s+FOR\s+""" +
       """([\w.]+)\s+IN\s*\((.+?)\)\s*GROUP\s+BY\s+(.+?)\s*\)\s*;?\s*$""").r
 
-  private val LimitPercent = """(?is)^(.*)\bLIMIT\s+(\d+(?:\.\d+)?|\([^()]*\))\s*(?:%|PERCENT)\s*(?:OFFSET\s+(\d+))?\s*;?\s*$""".r
+  /** `inner LIMIT <pct> % [OFFSET <expr>]` at statement tail — the
+    * percent operand is a number, a parenthesized expression of ANY
+    * nesting depth (scalar subqueries), or a bare call (RANDOM()).
+    * Hand-parsed: a regex cannot match arbitrarily nested parens.
+    */
+  private def limitPercentSplit(text0: String)
+      : Option[(String, String, Option[String])] = {
+    val text = text0.trim.stripSuffix(";")
+    val m = "(?is)\\bLIMIT\\s+".r.findAllMatchIn(text).toSeq.lastOption
+      .getOrElse(return None)
+    // top-level only
+    var depth = 0
+    var q = false
+    var i = 0
+    while (i < m.start) {
+      val c = text.charAt(i)
+      if (c == '\'') q = !q
+      else if (!q && c == '(') depth += 1
+      else if (!q && c == ')') depth -= 1
+      i += 1
+    }
+    if (depth != 0 || q) return None
+    var j = m.end
+    val pct =
+      if (j < text.length && text.charAt(j) == '(') {
+        val cl = graft.plans.SqlPasses.matchParen(text, j)
+        val s = text.substring(j, cl + 1); j = cl + 1; s
+      } else {
+        val num = "^(\\d+(?:\\.\\d+)?)".r.findFirstIn(text.substring(j))
+        val call = "^([A-Za-z_]\\w*\\s*\\()".r.findFirstMatchIn(text.substring(j))
+        (num, call) match {
+          case (Some(n), _) => j += n.length; n
+          case (_, Some(c)) =>
+            val open = j + c.group(1).length - 1
+            val cl = graft.plans.SqlPasses.matchParen(text, open)
+            val s = text.substring(j, cl + 1); j = cl + 1; s
+          case _ => return None
+        }
+      }
+    val afterPct = text.substring(j)
+    val pm = "(?is)^\\s*(%|PERCENT)\\s*".r.findFirstMatchIn(afterPct)
+      .getOrElse(return None)
+    val rest = afterPct.substring(pm.end).trim
+    val off =
+      if (rest.isEmpty) None
+      else "(?is)^OFFSET\\s+(.+)$".r.findFirstMatchIn(rest) match {
+        case Some(om) => Some(om.group(1).trim)
+        case None => return None // something else trails — not this form
+      }
+    Some((text.substring(0, m.start), pct, off))
+  }
   private val Explain = """(?is)^\s*EXPLAIN(\s+ANALYZE)?\s+(.*)$""".r
   private val CheckpointRe = """(?is)^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$""".r
   private val AnalyzeRe = """(?is)^\s*ANALYZE(\s+[\w.]+)?\s*;?\s*$""".r
@@ -77,6 +127,10 @@ object GraftSql {
     // LEFT SEMI/ANTI ... USING
     locally {
       val v = naturalSemiAntiPass(spark, text)
+      if (v != text) return sql(spark, v)
+    }
+    locally {
+      val v = positionalJoinPass(spark, text)
       if (v != text) return sql(spark, v)
     }
     // FROM-suffix pivot carrying its own GROUP BY
@@ -297,33 +351,37 @@ object GraftSql {
         return sql(spark, graft.plans.AsofSql.rewrite(spark, text))
       case _ =>
     }
-    text match {
+    limitPercentSplit(text) match {
       // LIMIT n% (reference percentage limit): top fraction of the
       // result — needs the total, so one counting pass then limit
       // (the q65 operator's own plan shape)
-      case LimitPercent(inner, pctRaw, off) =>
+      case Some((inner, pctRaw, off)) =>
         // percentage of the PRE-offset total; a parenthesized percent
         // is a constant expression (the reference errors on column
         // references — Spark's analyzer does too, FROM-less here);
         // OFFSET skips first, then pct% of the total follows
         // (test_limit_percent.test:102 pinned: range(10) LIMIT 50%
         // OFFSET 2 = rows 2..6)
-        val pct =
-          if (pctRaw.startsWith("(")) {
-            val row = spark.sql(s"SELECT CAST($pctRaw AS DOUBLE)").first
-            // NULL percent is an error in the reference (not an NPE);
-            // clamp to [0,100] — a negative/overlarge fraction yields
-            // 0/all rows there, never a negative limit
+        def evalNum(raw: String, what: String): Double =
+          if (raw.matches("""\d+(\.\d+)?""")) raw.toDouble
+          else {
+            val row = spark.sql(translate(s"SELECT CAST(($raw) AS DOUBLE)")).first
+            // NULL percent/offset is an error in the reference (not an
+            // NPE); clamping below keeps negatives from reaching Spark
             if (row.isNullAt(0)) throw new IllegalArgumentException(
-              "LIMIT percent expression must not evaluate to NULL")
+              s"LIMIT percent $what expression must not evaluate to NULL")
             row.getDouble(0)
-          } else pctRaw.toDouble
+          }
+        val pct = evalNum(pctRaw, "percent")
         val df = spark.sql(translate(inner))
         val n = df.count()
         val keep = math.floor(n * (pct.max(0.0).min(100.0)) / 100.0).toInt
-        val base = if (off != null) df.offset(off.toInt) else df
+        val base = off match {
+          case Some(o) => df.offset(evalNum(o, "offset").toInt.max(0))
+          case None => df
+        }
         return base.limit(keep)
-      case _ =>
+      case None =>
     }
     text match {
       // utility statements the reference treats as top-level verbs:
@@ -370,7 +428,8 @@ object GraftSql {
             val finalSql = graft.plans.SqlPasses.generatorPass(
               graft.plans.SqlPasses.windowExprBoundsPass(
                 graft.plans.SqlPasses.windowExcludePass(
-                  columnsPass(spark, starReplacePass(spark, t)))))
+                  graft.plans.SqlPasses.emptyGroupingPass(
+                    columnsPass(spark, starReplacePass(spark, t))))))
             val out =
               try spark.sql(finalSql)
               catch {
@@ -381,7 +440,8 @@ object GraftSql {
                 // with explicit casts from the table's schema
                 case e: Exception
                     if Option(e.getMessage).exists(_.contains("INVALID_INLINE_TABLE")) =>
-                  insertValuesCast(spark, finalSql) match {
+                  insertValuesCast(spark, finalSql)
+                    .orElse(mixedValuesCast(finalSql)) match {
                     case Some(rewritten) => spark.sql(rewritten)
                     case None => throw e
                   }
@@ -428,6 +488,53 @@ object GraftSql {
       case _ => None
     }
 
+  /** A mixed-type inline table OUTSIDE an INSERT (`FROM (VALUES
+    * (-0.5), ('inf')) t(v)`): the reference unifies numeric + varchar
+    * rows to DOUBLE ('inf' parses as infinity); Spark rejects the
+    * inline table outright. Wrap the string literals of any column
+    * that mixes numeric and string literals in CAST(… AS DOUBLE).
+    */
+  private def mixedValuesCast(sql: String): Option[String] = {
+    val m = "(?is)\\bVALUES\\s*\\(".r.findFirstMatchIn(sql).getOrElse(return None)
+    // collect the row groups
+    var i = m.end - 1
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var going = true
+    while (going && i < sql.length && sql.charAt(i) == '(') {
+      val close = graft.plans.SqlPasses.matchParen(sql, i)
+      rows += ((i, close))
+      var k = close + 1
+      while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+      if (k < sql.length && sql.charAt(k) == ',') {
+        k += 1
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        i = k
+      } else going = false
+    }
+    if (rows.length < 2) return None
+    val NumLit = """^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$""".r
+    val StrLit = """^'([^']|'')*'$""".r
+    val cells = rows.map { case (o, c) =>
+      graft.sources.DmlSql.topSplit(sql.substring(o + 1, c), ',').map(_.trim)
+    }
+    val width = cells.map(_.length).max
+    val mixedCols = (0 until width).filter { ci =>
+      val col = cells.flatMap(_.lift(ci))
+      col.exists(v => NumLit.findFirstIn(v).isDefined) &&
+        col.exists(v => StrLit.findFirstIn(v).isDefined)
+    }.toSet
+    if (mixedCols.isEmpty) return None
+    val newRows = cells.map { row =>
+      row.zipWithIndex.map { case (v, ci) =>
+        if (mixedCols(ci) && StrLit.findFirstIn(v).isDefined)
+          s"CAST($v AS DOUBLE)"
+        else v
+      }.mkString("(", ", ", ")")
+    }
+    Some(sql.substring(0, rows.head._1) + newRows.mkString(", ") +
+      sql.substring(rows.last._2 + 1))
+  }
+
   private val asofViewId = new java.util.concurrent.atomic.AtomicLong(100L)
 
   /** `(DESCRIBE …)` / `(SUMMARIZE …)` as a RELATION (reference
@@ -439,7 +546,9 @@ object GraftSql {
     * PivotStmt.pass, whose isStmt check treats a `(`-preceded PIVOT
     * keyword as the statement form.)
     */
-  private val SubStmtRe = "(?i)\\(\\s*(DESCRIBE|SUMMARIZE)\\b".r
+  // SHOW included: `FROM (SHOW databases) t` runs the SHOW verb
+  // through the statement layer and splices the result as a relation
+  private val SubStmtRe = "(?i)\\(\\s*(DESCRIBE|SUMMARIZE|SHOW)\\b".r
   private def subStatementPass(spark: SparkSession, text: String): Option[String] =
     SubStmtRe.findAllMatchIn(text)
       .find(m => !graft.plans.SqlPasses.inQuote(text, m.start))
@@ -550,6 +659,98 @@ object GraftSql {
         } catch { case _: Exception => m.matched }
       java.util.regex.Matcher.quoteReplacement(rep)
     })
+  }
+
+  /** `A POSITIONAL JOIN B` (reference positional join; the operator
+    * form is R35/operators/Joins.positionalJoin): zip by scan
+    * position, NULL-padding the shorter side — DuckDB-pinned:
+    * three ⋈pos two = [(1,10),(2,20),(3,NULL)]. Each side gets a
+    * scan-order row number (row_number over
+    * monotonically_increasing_id, which preserves scan order), then a
+    * FULL JOIN on it. A leading `SELECT * FROM` expands to the two
+    * relations' columns so the helper __pos never leaks.
+    */
+  private def positionalJoinPass(spark: SparkSession, sql0: String): String = {
+    val kwIdx = graft.sources.DmlSql.topIndexOf(sql0, "POSITIONAL")
+    if (kwIdx < 0) return sql0
+    val afterKw = sql0.substring(kwIdx + "POSITIONAL".length)
+    if (!afterKw.matches("(?is)^\\s+JOIN\\b.*")) return sql0
+    val joinEnd = kwIdx + "POSITIONAL".length +
+      "(?is)^\\s+JOIN".r.findFirstIn(afterKw).get.length
+    // left side: from the last top-level FROM (or comma) before the verb
+    val fromIdx = {
+      var best = -1
+      var i = 0
+      var depth = 0
+      while (i < kwIdx - 3) {
+        val c = sql0.charAt(i)
+        if (c == '\'') { i += 1; while (i < kwIdx && sql0.charAt(i) != '\'') i += 1 }
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && sql0.regionMatches(true, i, "FROM", 0, 4) &&
+            (i == 0 || !sql0.charAt(i - 1).isLetterOrDigit) &&
+            (i + 4 >= sql0.length || !sql0.charAt(i + 4).isLetterOrDigit))
+          best = i + 4
+        i += 1
+      }
+      best
+    }
+    if (fromIdx < 0) return sql0
+    val leftRaw = sql0.substring(fromIdx, kwIdx).trim
+    // right side: relation (paren group or name) + optional alias
+    var j = joinEnd
+    while (j < sql0.length && sql0.charAt(j).isWhitespace) j += 1
+    val (rightRel, afterRel) =
+      if (j < sql0.length && sql0.charAt(j) == '(') {
+        val close = graft.plans.SqlPasses.matchParen(sql0, j)
+        (sql0.substring(j, close + 1), close + 1)
+      } else {
+        var k = j
+        while (k < sql0.length && (sql0.charAt(k).isLetterOrDigit ||
+          "._`\"".indexOf(sql0.charAt(k)) >= 0)) k += 1
+        (sql0.substring(j, k), k)
+      }
+    val TailKw = Set("WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET", "HAVING",
+      "UNION", "EXCEPT", "INTERSECT", "QUALIFY", "WINDOW", "JOIN", "LEFT",
+      "RIGHT", "FULL", "INNER", "CROSS", "POSITIONAL", "ON", "USING")
+    val aliasM = "(?is)^\\s+(?:AS\\s+)?([A-Za-z_]\\w*)".r.findFirstMatchIn(
+      sql0.substring(afterRel))
+    val (rightAlias, rightEnd) = aliasM match {
+      case Some(m) if !TailKw(m.group(1).toUpperCase) =>
+        (m.group(1), afterRel + m.end)
+      case _ => ("__pjr", afterRel)
+    }
+    def split(rel: String): (String, String) = {
+      val t = rel.trim
+      if (t.startsWith("(")) {
+        val close = graft.plans.SqlPasses.matchParen(t, 0)
+        val al = t.substring(close + 1).trim.replaceAll("(?i)^AS\\s+", "")
+        (t.substring(0, close + 1), if (al.nonEmpty) al else "__pjl")
+      } else {
+        val parts = t.split("\\s+")
+        if (parts.length >= 2)
+          (parts.dropRight(1).mkString(" ").replaceAll("(?i)\\s+AS$", ""), parts.last)
+        else (t, t.replaceAll("[^\\w]", "_"))
+      }
+    }
+    val (lRel, lAl) = split(leftRaw)
+    val (rRel0, rAl) = (rightRel, rightAlias)
+    def wrap(rel: String, al: String): String =
+      s"(SELECT *, row_number() OVER (ORDER BY monotonically_increasing_id()) " +
+        s"AS __pos FROM $rel __pj_$al) $al"
+    val joined = s"${wrap(lRel, lAl)} FULL JOIN ${wrap(rRel0, rAl)} " +
+      s"ON $lAl.__pos = $rAl.__pos"
+    var out = sql0.substring(0, fromIdx) + " " + joined + sql0.substring(rightEnd)
+    // leading `SELECT * FROM` would leak __pos — expand to the two
+    // relations' columns (schema probe, lazy)
+    val StarHead = "(?is)^(\\s*SELECT\\s+)\\*(\\s+FROM\\b)".r
+    StarHead.findFirstMatchIn(out).foreach { m =>
+      val lc = sql(spark, s"SELECT * FROM $lRel __c").columns
+      val rc = sql(spark, s"SELECT * FROM $rRel0 __c").columns
+      val cols = (lc.map(c => s"$lAl.`$c`") ++ rc.map(c => s"$rAl.`$c`")).mkString(", ")
+      out = m.group(1) + cols + m.group(2) + out.substring(m.end)
+    }
+    out
   }
 
   private def starReplacePass(spark: SparkSession, sql0: String): String = {

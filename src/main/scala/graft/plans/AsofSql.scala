@@ -34,11 +34,40 @@ object AsofSql {
   private val ClauseKw = Set("WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY",
     "ORDER", "LIMIT", "UNION", "EXCEPT", "INTERSECT", "USING")
 
-  /** True when the statement contains a top-level `ASOF [LEFT] JOIN`. */
+  /** True when the statement contains a top-level `ASOF
+    * [LEFT|RIGHT|SEMI] JOIN` — or is a WITH statement whose CTE
+    * bodies contain one (the rewrite materializes CTE bodies through
+    * the front door, which routes their nested ASOF recursively). */
   def matches(text: String): Boolean =
     topIndexOf(text, "ASOF JOIN") >= 0 ||
       topIndexOf(text, "ASOF LEFT JOIN") >= 0 ||
-      topIndexOf(text, "ASOF RIGHT JOIN") >= 0
+      topIndexOf(text, "ASOF RIGHT JOIN") >= 0 ||
+      topIndexOf(text, "ASOF SEMI JOIN") >= 0 ||
+      (text.trim.toUpperCase.startsWith("WITH") && cteBodyAsof(text))
+
+  private def cteBodyAsof(text: String): Boolean =
+    try {
+      var i = text.toUpperCase.indexOf("WITH") + 4
+      var found = false
+      var more = true
+      while (more && !found) {
+        while (i < text.length && text.charAt(i).isWhitespace) i += 1
+        val nameEnd = text.indexWhere(c => !(c.isLetterOrDigit || c == '_'), i)
+        if (nameEnd <= i) return false
+        i = nameEnd
+        while (i < text.length && text.charAt(i).isWhitespace) i += 1
+        if (!text.regionMatches(true, i, "AS", 0, 2)) return false
+        i += 2
+        while (i < text.length && text.charAt(i).isWhitespace) i += 1
+        if (i >= text.length || text.charAt(i) != '(') return false
+        val close = SqlPasses.matchParen(text, i)
+        if (matches(text.substring(i + 1, close))) found = true
+        i = close + 1
+        while (i < text.length && text.charAt(i).isWhitespace) i += 1
+        if (i < text.length && text.charAt(i) == ',') i += 1 else more = false
+      }
+      found
+    } catch { case _: Exception => false }
 
   /** Execute the join and return the statement rewritten over the
     * registered view. A leading WITH clause is materialized first —
@@ -69,21 +98,26 @@ object AsofSql {
       }
       text = text.substring(i)
     }
+    val asofIdx = topIndexOf(text, "ASOF")
+    // WITH statement whose ASOF lived entirely inside the (already
+    // materialized) CTE bodies: nothing left to rewrite here
+    if (asofIdx < 0) return text
     val fromIdx = topIndexOf(text, "FROM")
     require(fromIdx >= 0, "ASOF JOIN: no FROM clause")
-    val asofIdx = topIndexOf(text, "ASOF")
     require(asofIdx > fromIdx, "ASOF JOIN: ASOF before FROM")
-    val (ltName, ltAlias) = tableRef(text.substring(fromIdx + 4, asofIdx))
+    val (ltName, ltAlias) = tableRef(spark, text.substring(fromIdx + 4, asofIdx))
     var rest = text.substring(asofIdx + 4).trim
     var leftOuter = false
     var rightOuter = false
+    var semi = false
     if (rest.toUpperCase.startsWith("LEFT")) { leftOuter = true; rest = rest.drop(4).trim }
     else if (rest.toUpperCase.startsWith("RIGHT")) { rightOuter = true; rest = rest.drop(5).trim }
+    else if (rest.toUpperCase.startsWith("SEMI")) { semi = true; rest = rest.drop(4).trim }
     require(rest.toUpperCase.startsWith("JOIN"), "ASOF: expected JOIN")
     rest = rest.drop(4).trim
     val onIdx = topIndexOf(rest, "ON")
     require(onIdx > 0, "ASOF JOIN: missing ON")
-    val (rtName, rtAlias) = tableRef(rest.substring(0, onIdx))
+    val (rtName, rtAlias) = tableRef(spark, rest.substring(0, onIdx))
     rest = rest.substring(onIdx + 2)
     // the ON condition runs to the next top-level clause keyword
     val condEnd = ClauseKw.iterator.map(k => topIndexOf(rest, k))
@@ -92,9 +126,29 @@ object AsofSql {
     val tail = rest.substring(condEnd)
 
     val lt = spark.table(ltName)
-    val rt = spark.table(rtName)
+    val rt0 = spark.table(rtName)
     val lNames = (Seq(ltName) ++ ltAlias).map(_.toLowerCase)
     val rNames = (Seq(rtName) ++ rtAlias).map(_.toLowerCase)
+    // name-colliding right columns: rename them (c → c__r) and
+    // rewrite the statement's QUALIFIED references so `t2.col0`
+    // survives when both sides spell the same column name — without
+    // this the collision rule silently dropped the right column and
+    // `t2.col0` resolved to the LEFT side
+    val collide = rt0.columns.filter(c => lt.columns.exists(_.equalsIgnoreCase(c)))
+    val rt =
+      if (collide.isEmpty) rt0
+      else rt0.toDF(rt0.columns.map(c =>
+        if (collide.contains(c)) s"${c}__r" else c).toIndexedSeq: _*)
+    def renameRefs(s: String): String = {
+      var out = s
+      for (q <- rNames; c <- collide)
+        out = out.replaceAll(
+          "(?i)\\b" + java.util.regex.Pattern.quote(q) + "\\s*\\.\\s*" +
+            java.util.regex.Pattern.quote(c) + "\\b",
+          s"${c}__r")
+      out
+    }
+    val textHead = renameRefs(text.substring(0, fromIdx))
     def strip(e: String): String = {
       var s = e
       for (q <- lNames ++ rNames)
@@ -123,7 +177,9 @@ object AsofSql {
     val leftKeys = scala.collection.mutable.ArrayBuffer.empty[Column]
     val rightKeys = scala.collection.mutable.ArrayBuffer.empty[Column]
     var time: Option[(Column, Column, String)] = None
-    for (conjunct <- splitAnd(cond)) {
+    val condR = renameRefs(cond)
+    val tailR = renameRefs(tail)
+    for (conjunct <- splitAnd(condR)) {
       val (lhs, op, rhs) = comparison(conjunct)
       val (le, re0, normOp) =
         if (sideOf(lhs) == "l") (lhs, rhs, op)
@@ -133,7 +189,7 @@ object AsofSql {
       if (normOp == "=") {
         leftKeys += expr(strip(le)); rightKeys += expr(strip(re0))
       } else {
-        require(time.isEmpty, s"ASOF JOIN: more than one inequality in `$cond`")
+        require(time.isEmpty, s"ASOF JOIN: more than one inequality in `$condR`")
         time = Some((expr(strip(le)), expr(strip(re0)), normOp))
       }
     }
@@ -149,20 +205,48 @@ object AsofSql {
     val lKey = keyStruct(leftKeys.toSeq)
     val rKey = keyStruct(rightKeys.toSeq)
     val payload = rt.columns.filterNot(c => lt.columns.contains(c)).toSeq
-    val joined = graft.operators.Joins.asofJoin(
+    val joined0 = graft.operators.Joins.asofJoin(
       lt, rt, lKey, rKey, ltime, rtime, payload,
       direction = dir, leftOuter = leftOuter, rightOuter = rightOuter)
+    // SEMI: an inner asof join emits each probe row at most once, so
+    // semi = project the probe side's columns (reference asof
+    // semi/anti join family)
+    val joined =
+      if (semi) joined0.select(lt.columns.map(col).toIndexedSeq: _*)
+      else joined0
     val view = s"__asof_${viewId.incrementAndGet()}"
     joined.createOrReplaceTempView(view)
-    strip(text.substring(0, fromIdx)) + "FROM " + view + " " + strip(tail)
+    strip(textHead) + "FROM " + view + " " + strip(tailR)
   }
 
-  private def tableRef(s: String): (String, Option[String]) = {
-    val parts = s.trim.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
-    require(parts.nonEmpty && parts.length <= 2,
-      s"ASOF JOIN: expected `table [alias]`, got: $s " +
-        "(subqueries in ASOF position are not supported — name them as views first)")
-    (parts(0), parts.lift(1))
+  private def tableRef(spark: SparkSession, s: String): (String, Option[String]) = {
+    val t = s.trim
+    if (t.startsWith("(")) {
+      // parenthesized relation (`(VALUES …) AS t1` / `(SELECT …) t1`):
+      // materialize through the front door as a temp view. Bare
+      // VALUES bodies get the reference's col0… column names (Spark
+      // numbers them col1…).
+      val close = SqlPasses.matchParen(t, 0)
+      var df = graft.GraftSql.sql(spark, t.substring(1, close))
+      if (t.substring(1, close).trim.toUpperCase.startsWith("VALUES") &&
+          df.columns.forall(_.matches("col\\d+")))
+        df = df.toDF(df.columns.map(c =>
+          "col" + (c.stripPrefix("col").toInt - 1)).toIndexedSeq: _*)
+      val aliasRaw = t.substring(close + 1).trim
+      val alias = aliasRaw.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
+        .headOption.filter(_.nonEmpty)
+      val view = s"__asof_rel_${viewId.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      // the alias must resolve in the spliced statement — register it
+      // as a second view name pointing at the same frame
+      alias.foreach(a => df.createOrReplaceTempView(a))
+      (view, alias)
+    } else {
+      val parts = t.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
+      require(parts.nonEmpty && parts.length <= 2,
+        s"ASOF JOIN: expected `table [alias]`, got: $s")
+      (parts(0), parts.lift(1))
+    }
   }
 
   private def splitAnd(s: String): Seq[String] = {

@@ -363,6 +363,8 @@ object DuckDialect {
           case TWord(w) if w.equalsIgnoreCase("USING") && peekAt(1).exists {
             case TWord(x) => x.equalsIgnoreCase("SAMPLE"); case _ => false
           } => out += usingSample()
+          case TWord(w) if w.equalsIgnoreCase("TABLESAMPLE") =>
+            next(); out += tablesampleClause()
           case _ if atPivotGroup => out += pivotGroup()
           case TWord(w) if Set("FIRST", "LAST")(w.toUpperCase) && peekAt(1)
               .exists { case TOp("(") => true; case _ => false } =>
@@ -380,7 +382,12 @@ object DuckDialect {
             // or `range % 3`): RANGE is glue only in window-frame /
             // table-function position
             out += expr(0)
-          case TWord(w) if GLUE(w.toUpperCase) =>
+          case TWord(w) if w.equalsIgnoreCase("AS") && peekAt(1).exists(_.isInstanceOf[TStr]) =>
+            // string-literal alias (`AS 'hello world'`) — legal in the
+            // reference, an identifier in Spark
+            next(); val __astr = next().text
+            out += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'"))
+          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) =>
             next(); lastGlue = w.toUpperCase; out += w
           case TOp(",") =>
             // the reference tolerates trailing commas in clause lists
@@ -409,6 +416,8 @@ object DuckDialect {
           case TWord(w) if w.equalsIgnoreCase("USING") && peekAt(1).exists {
             case TWord(x) => x.equalsIgnoreCase("SAMPLE"); case _ => false
           } => out += usingSample()
+          case TWord(w) if w.equalsIgnoreCase("TABLESAMPLE") =>
+            next(); out += tablesampleClause()
           case _ if atPivotGroup => out += pivotGroup()
           case TWord(w) if Set("FIRST", "LAST")(w.toUpperCase) && peekAt(1)
               .exists { case TOp("(") => true; case _ => false } =>
@@ -426,7 +435,12 @@ object DuckDialect {
             // or `range % 3`): RANGE is glue only in window-frame /
             // table-function position
             out += expr(0)
-          case TWord(w) if GLUE(w.toUpperCase) =>
+          case TWord(w) if w.equalsIgnoreCase("AS") && peekAt(1).exists(_.isInstanceOf[TStr]) =>
+            // string-literal alias (`AS 'hello world'`) — legal in the
+            // reference, an identifier in Spark
+            next(); val __astr = next().text
+            out += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'"))
+          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) =>
             next(); lastGlue = w.toUpperCase; out += w
           case TOp(",") =>
             // the reference tolerates trailing commas in clause lists
@@ -439,6 +453,37 @@ object DuckDialect {
         }
       }
       out.mkString(" ")
+    }
+
+    /** `TABLESAMPLE method(n)` — the reference's method spellings
+      * (RESERVOIR takes a row count, BERNOULLI/SYSTEM a percentage;
+      * sample_options.cpp) mapped onto Spark's TABLESAMPLE units.
+      * Methods are dropped for the same reason as usingSample().
+      */
+    private def tablesampleClause(): String = {
+      val isMethod = peek match {
+        case TWord(m) => Set("RESERVOIR", "BERNOULLI", "SYSTEM")(m.toUpperCase)
+        case _ => false
+      }
+      if (isMethod) {
+        val method = next().text.toUpperCase
+        expectOp("(")
+        val n = next().text
+        val unit =
+          if (peekOp("%")) { next(); "PERCENT" }
+          else if (peekWord("PERCENT")) { next(); "PERCENT" }
+          else if (peekWord("ROWS")) { next(); "ROWS" }
+          else if (method == "RESERVOIR") "ROWS" else "PERCENT"
+        expectOp(")")
+        s"TABLESAMPLE ($n $unit)"
+      } else {
+        val n = next().text
+        val unit =
+          if (peekOp("%")) { next(); "PERCENT" }
+          else if (peekWord("PERCENT")) { next(); "PERCENT" }
+          else { if (peekWord("ROWS")) next(); "ROWS" }
+        s"TABLESAMPLE ($n $unit)"
+      }
     }
 
     /** `USING SAMPLE 10%` / `10 PERCENT` / `100 ROWS` [ (method) ] →
@@ -667,11 +712,14 @@ object DuckDialect {
         if (peekOp(",")) next()
       }
       expectOp(")")
-      // select list: up to depth-0 FROM
+      // select list: up to depth-0 FROM — or the enclosing subquery's
+      // `)` / statement end (FROM-less correlated scalar subqueries
+      // carry DISTINCT ON too: `(SELECT DISTINCT ON(i) j)`)
       val sel = ArrayBuffer.empty[String]
-      while (more && !peekWord("FROM")) {
+      while (more && !peekWord("FROM") && !peekWord("ORDER") &&
+          !peekOp(")") && !peekOp(";")) {
         peek match {
-          case TWord(w) if GLUE(w.toUpperCase) => next(); sel += w
+          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) => next(); sel += w
           case TOp(",") => next(); sel += ","
           case _ => sel += expr(0)
         }
@@ -680,7 +728,12 @@ object DuckDialect {
       val fromPart = ArrayBuffer.empty[String]
       while (more && !peekOp(")") && !peekWord("ORDER")) {
         peek match {
-          case TWord(w) if GLUE(w.toUpperCase) =>
+          case TWord(w) if w.equalsIgnoreCase("AS") && peekAt(1).exists(_.isInstanceOf[TStr]) =>
+            // string-literal alias (`AS 'hello world'`) — legal in the
+            // reference, an identifier in Spark
+            next(); val __astr = next().text
+            fromPart += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'"))
+          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) =>
             next(); lastGlue = w.toUpperCase; fromPart += w
           case TOp(",") | TOp(";") => fromPart += next().text
           case _ => fromPart += expr(0)
@@ -693,7 +746,7 @@ object DuckDialect {
         // window spec — stop the order scan there
         while (more && !peekOp(")") && !peekWord("LIMIT") && !peekWord("OFFSET")) {
           peek match {
-            case TWord(w) if GLUE(w.toUpperCase) => next(); order += w
+            case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) => next(); order += w
             case TOp(",") => next(); order += ","
             case _ => order += expr(0)
           }
@@ -718,9 +771,16 @@ object DuckDialect {
       val ord = if (order.nonEmpty) order.mkString(" ") else part
       val orderTail = if (order.nonEmpty) s" ORDER BY ${order.mkString(" ")}" else ""
       val tail = if (limitTail.nonEmpty) " " + limitTail.mkString(" ") else ""
-      Some(s"SELECT * EXCEPT (__rn) FROM (SELECT ${sel.mkString(" ")}, " +
-        s"row_number() OVER (PARTITION BY $part ORDER BY $ord) AS __rn " +
-        s"${fromPart.mkString(" ")}) WHERE __rn = 1$orderTail$tail")
+      // FROM-less (a correlated scalar subquery carries exactly one
+      // row): DISTINCT ON over one row IS that row — and Spark cannot
+      // run a correlated window, so the plain projection is both
+      // correct and the only runnable plan
+      if (fromPart.isEmpty)
+        Some(s"SELECT ${sel.mkString(" ")}$tail")
+      else
+        Some(s"SELECT * EXCEPT (__rn) FROM (SELECT ${sel.mkString(" ")}, " +
+          s"row_number() OVER (PARTITION BY $part ORDER BY $ord) AS __rn " +
+          s"${fromPart.mkString(" ")}) WHERE __rn = 1$orderTail$tail")
     }
 
     /** QUALIFY rewrite. The reference filters on window results after
@@ -848,7 +908,12 @@ object DuckDialect {
           done = true
         } else if (isClauseStart(peek)) done = true
         else peek match {
-          case TWord(w) if GLUE(w.toUpperCase) =>
+          case TWord(w) if w.equalsIgnoreCase("AS") && peekAt(1).exists(_.isInstanceOf[TStr]) =>
+            // string-literal alias (`AS 'hello world'`) — legal in the
+            // reference, an identifier in Spark
+            next(); val __astr = next().text
+            fromPart += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'"))
+          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) =>
             next(); lastGlue = w.toUpperCase; fromPart += w
           case TOp(",") => next(); fromPart += ","
           case TOp("(") => fromPart += primaryParen()
@@ -858,7 +923,7 @@ object DuckDialect {
       val rest = new ArrayBuffer[String]
       while (more && !peekOp(")")) {
         peek match {
-          case TWord(w) if GLUE(w.toUpperCase) => next(); rest += w
+          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) => next(); rest += w
           case TOp(",") | TOp(";") => rest += next().text
           case _ => rest += expr(0)
         }
@@ -1096,12 +1161,27 @@ object DuckDialect {
               val l = left.trim
               !l.matches("[A-Za-z_][A-Za-z0-9_]*") &&
               !l.matches("""\(\s*[A-Za-z_]\w*\s*(,\s*[A-Za-z_]\w*\s*)+\)""")
-            case _ => false            // anything else: a lambda body
+            case _ =>
+              // non-literal right operand ('json' -> pathcol): a JSON
+              // path EXPRESSION — but only when the left side cannot
+              // be a lambda parameter list (bare identifier or
+              // parenthesized identifier list stays a lambda)
+              val l = left.trim
+              !l.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+              !l.matches("""\(\s*[A-Za-z_]\w*\s*(,\s*[A-Za-z_]\w*\s*)*\)""")
           }) =>
             next(); left = jsonExtractEmit(left, expr(51))
           case TOp("->") if LAMBDA_PREC >= min =>
             next(); val body = expr(LAMBDA_PREC + 1)
-            left = s"$left -> $body" // Spark lambda: never parenthesize
+            // Spark's grammar takes `x -> e` and `(a, b) -> e` but NOT
+            // a parenthesized SINGLE parameter — strip `(x)` to `x`
+            // (the reference accepts both spellings)
+            val lhs = {
+              val l = left.trim
+              val m = """^\(\s*([A-Za-z_]\w*)\s*\)$""".r.findFirstMatchIn(l)
+              m.map(_.group(1)).getOrElse(left)
+            }
+            left = s"$lhs -> $body" // Spark lambda: never parenthesize
           case TOp(o) if PASS_INFIX.contains(o) && PASS_INFIX(o) >= min =>
             next()
             if (!more || peekOp(")")) { // e.g. `LIMIT 1%`: no right operand
@@ -1223,7 +1303,15 @@ object DuckDialect {
             else if (t == "GLOB") {
               next(); left = globEmit(left, expr(31), negate = true)
             }
-            else { next(); val r = expr(31); left = s"($left NOT $t $r)" }
+            else if (t == "SIMILAR") {
+              next(); require(peekWord("TO"), "duck-dialect: SIMILAR without TO"); next()
+              val r = expr(31); left = s"(NOT regexp_full_match($left, $r))"
+            }
+            else {
+              next(); val r = expr(31)
+              val esc = if (peekWord("ESCAPE")) { next(); Some(expr(31)) } else None
+              left = likeEmit(left, t, r, esc, negate = true)
+            }
           case TWord(w) if w.equalsIgnoreCase("IN") && 30 >= min =>
             next()
             if (peekOp("(")) { val r = primaryParen(); left = s"($left IN $r)" }
@@ -1237,9 +1325,8 @@ object DuckDialect {
               left = globEmit(left, expr(31), negate = false)
             } else {
               val r = expr(31)
-              val esc =
-                if (peekWord("ESCAPE")) { next(); s" ESCAPE ${expr(31)}" } else ""
-              left = s"($left $kw $r$esc)"
+              val esc = if (peekWord("ESCAPE")) { next(); Some(expr(31)) } else None
+              left = likeEmit(left, kw, r, esc, negate = false)
             }
           case TWord(w) if w.equalsIgnoreCase("IS") && 30 >= min =>
             next()
@@ -1367,7 +1454,24 @@ object DuckDialect {
           val cond = s"($left RLIKE '${emitStr(re)}')"
           if (negate) s"(NOT $cond)" else cond
         case None =>
-          if (negate) s"($left NOT GLOB $r)" else s"($left GLOB $r)"
+          // non-literal (or malformed-literal) pattern: the reference
+          // evaluates glob per row — runtime kernel (DuckNames
+          // .GlobMatch; malformed patterns match nothing, pinned)
+          if (negate) s"(NOT graft_glob($left, $r))" else s"graft_glob($left, $r)"
+      }
+    }
+
+    /** LIKE/ILIKE emission with the reference's ESCAPE edges: a NULL
+      * escape makes the whole predicate NULL; an EMPTY escape means
+      * no escaping (both pinned vs DuckDB in DialectCornersSpec). */
+    private def likeEmit(left: String, kw: String, r: String,
+        esc: Option[String], negate: Boolean): String = {
+      val not = if (negate) "NOT " else ""
+      esc match {
+        case None => s"($left $not$kw $r)"
+        case Some(x) if x.trim.equalsIgnoreCase("NULL") => "CAST(NULL AS BOOLEAN)"
+        case Some("''") => s"($left $not$kw $r)"
+        case Some(x) => s"($left $not$kw $r ESCAPE $x)"
       }
     }
 
@@ -1450,7 +1554,10 @@ object DuckDialect {
         case Lit(body) if body.matches("-?\\d+") => s"'$$[$body]'"
         case Lit(body) => s"'$$.$body'"
         case n if n.matches("-?\\d+") => s"'$$[$n]'"
-        case other => other // runtime path expression — pass through
+        // runtime path expression: normalize per row with the same
+        // bare-key/integer/'$'-prefix rules as the literal cases
+        // (DuckNames.JsonPathNorm kernel)
+        case other => s"graft_json_path($other)"
       }
     }
 
@@ -1675,6 +1782,13 @@ object DuckDialect {
                 s"WHEN ($a).k = 'avg' THEN CAST(($a).v AS DOUBLE) / ($a).c " +
                 s"ELSE CAST(($a).v AS DOUBLE) END)"
           }
+        case "ROW" if peekOp("(") =>
+          // ROW(a, b, …) — the SQL-standard anonymous-struct
+          // constructor (the reference's row() = struct_pack
+          // positional form); Spark's struct() names fields col1…
+          // and a following ::STRUCT(a T, b U) cast renames
+          // positionally on both engines
+          "struct" + primaryParen()
         case "COMBINE" if peekOp("(") =>
           // COMBINE(a, b): merge two states of the same aggregate;
           // NULL acts as the empty state (COMBINE(NULL, x) = x)
@@ -1932,7 +2046,19 @@ object DuckDialect {
           p.toLowerCase.startsWith("max_depth =>"))
         out = s"explode(flatten(${pos.mkString(", ")}))"
       }
-      if (inlineOrder.nonEmpty) {
+      // inline ORDER BY on an order-INSENSITIVE aggregate is a no-op
+      // (sum/count/min/max are multiset functions; for mode/arg_max
+      // the reference's ORDER BY only pins tie-breaks, which this
+      // engine's kernels already make deterministic) — drop it
+      // instead of emitting syntax Spark rejects
+      val ORDER_NOOP = Set("sum", "count", "avg", "mean", "min", "max",
+        "median", "mode", "product", "entropy", "kurtosis", "skewness",
+        "stddev", "stddev_pop", "stddev_samp", "var_pop", "var_samp",
+        "variance", "bool_and", "bool_or", "bit_and", "bit_or", "bit_xor",
+        "arg_max", "arg_min", "argmax", "argmin", "max_by", "min_by",
+        "kahan_sum", "fsum", "sumkahan", "favg", "mad",
+        "approx_count_distinct", "bitstring_agg")
+      if (inlineOrder.nonEmpty && !ORDER_NOOP(low)) {
         val ob = inlineOrder.filterNot(_ == ",")
           .map(t => if (t.startsWith("NULLS_")) t.replace('_', ' ') else t)
           .mkString(", ")
@@ -1947,11 +2073,17 @@ object DuckDialect {
             // other key falls through to the general struct-sort form
             s"array_sort($fname(${renderArgs(parts.toSeq)}))"
           else if ((low == "array_agg" || low == "list") &&
-              parts.headOption.contains("DISTINCT") &&
-              parts.filterNot(p => p == "," || p == "DISTINCT")
-                .mkString(", ") == ob)
-            // list(DISTINCT x ORDER BY x): sorted distinct list
-            s"array_sort(collect_set(${parts.filterNot(p => p == "," || p == "DISTINCT").mkString(", ")}))"
+              parts.headOption.contains("DISTINCT") && {
+                val v = parts.filterNot(p => p == "," || p == "DISTINCT").mkString(", ")
+                // ob joins the flat order-token buffer with ", "
+                // so a direction keyword arrives as ", DESC"
+                ob == v || ob == s"$v, DESC" || ob == s"$v, ASC"
+              }) {
+            // list(DISTINCT x ORDER BY x [DESC]): sorted distinct list
+            val v = parts.filterNot(p => p == "," || p == "DISTINCT").mkString(", ")
+            val sorted = s"array_sort(collect_set($v))"
+            if (ob.endsWith(", DESC")) s"reverse($sorted)" else sorted
+          }
           else {
             // (key, desc, nullsFirst) triples from the flat buffer;
             // the reference's default null order is NULLS LAST
@@ -1984,22 +2116,29 @@ object DuckDialect {
                 s"(l, r) -> CASE $cmp ELSE 0 END), s -> s.__v)"
             }
             val isFirstLast = Set("first", "last", "arbitrary", "any_value")(low)
+            // DISTINCT is immaterial for an edge pick over a sorted
+            // multiset (first of sorted distinct = first of sorted) —
+            // strip it so first(DISTINCT a ORDER BY a) takes the
+            // min_by path
+            val partsFL: scala.collection.immutable.Seq[String] =
+              (if (isFirstLast) parts.filterNot(_ == "DISTINCT") else parts).toList
+            val singleFL = !partsFL.contains(",")
             if ((low == "array_agg" || low == "list") && single && keys.nonEmpty)
               sortedList(renderArgs(parts.toSeq))
-            else if (isFirstLast && single && keys.length == 1 &&
+            else if (isFirstLast && singleFL && keys.length == 1 &&
                 !keys.exists(_._3)) {
               // fast path: single key, default null order — min_by
               // skips NULL keys, which IS "NULLS LAST" for an edge pick
-              val v = renderArgs(parts.toSeq)
+              val v = renderArgs(partsFL)
               val (k, desc, _) = keys.head
               val fn =
                 if ((low == "last") != desc) "max_by" else "min_by"
               s"$fn($v, $k)"
-            } else if (isFirstLast && single && keys.nonEmpty) {
+            } else if (isFirstLast && singleFL && keys.nonEmpty) {
               // multi-key / explicit NULLS placement: edge of the
               // sorted list
               val pos = if (low == "last") "-1" else "1"
-              s"element_at(${sortedList(renderArgs(parts.toSeq))}, $pos)"
+              s"element_at(${sortedList(renderArgs(partsFL))}, $pos)"
             } else if (Set("quantile_cont", "quantile_disc", "quantile")(low) &&
                 keys.nonEmpty && parts.count(_ == ",") == 1 &&
                 !parts.contains("DISTINCT")) {
@@ -2027,7 +2166,19 @@ object DuckDialect {
           val cl = clauseParen()
           filterPred = cl.stripPrefix("(").stripSuffix(")").trim
             .replaceAll("(?is)^WHERE\\s+", "")
-          out += " FILTER " + cl
+          // an ordered-aggregate REWRITE may have nested the real
+          // aggregate inside array_sort/reverse — Spark only allows
+          // FILTER directly on an aggregate, so fold the predicate
+          // into the collected value instead (collect_set never keeps
+          // NULLs, so a CASE guard is exactly the filter)
+          val csIdx = out.indexOf("collect_set(")
+          if (csIdx >= 0 && !out.toLowerCase.startsWith(low + "(")) {
+            val open = csIdx + "collect_set".length
+            val close = matchingClose(out, open)
+            val arg = out.substring(open + 1, close)
+            out = out.substring(0, open + 1) +
+              s"CASE WHEN $filterPred THEN ($arg) END" + out.substring(close)
+          } else out += " FILTER " + cl
         }
         else if (peekWord("OVER")) {
           next()
@@ -2233,6 +2384,11 @@ object DuckDialect {
       else if ((rawTy == "DATE" || rawTy.startsWith("TIMESTAMP")) &&
           bcLiteral(e).isDefined)
         s"$kw(${bcLiteral(e).get} AS $ty)"
+      else if ((rawTy == "DATE" || rawTy.startsWith("TIMESTAMP")) &&
+          e.trim.matches("'\\d{4}/\\d{1,2}/\\d{1,2}([ T][^']*)?'"))
+        // the reference's date parser accepts '/' separators
+        // (date.cpp); Spark's cast does not
+        s"$kw(${e.trim.replace('/', '-')} AS $ty)"
       else if (isHuge(e))
         castHuge(e, rawTy, ty).getOrElse(s"$kw(${hugePre(e, "")}_str($e) AS $ty)")
       else if (Set("HUGEINT", "UHUGEINT", "INT128", "UINT128")(rawTy) && outOf38(e))
@@ -2273,7 +2429,8 @@ object DuckDialect {
       "YEAR", "YEARS", "MONTH", "MONTHS", "DAY", "DAYS", "HOUR", "HOURS",
       "MINUTE", "MINUTES", "SECOND", "SECONDS", "MILLISECOND", "MILLISECONDS",
       "MICROSECOND", "MICROSECONDS", "WEEK", "WEEKS", "QUARTER", "QUARTERS",
-      "DECADE", "DECADES", "CENTURY", "CENTURIES", "MILLENNIUM", "TO")
+      "DECADE", "DECADES", "CENTURY", "CENTURIES",
+      "MILLENNIUM", "MILLENNIA", "MILLENNIUMS", "TO")
 
     private def intervalLiteral(): String = {
       // `INTERVAL (expr) unit` — expression quantities have no Spark
@@ -2320,27 +2477,69 @@ object DuckDialect {
     }
 
     /** Parse `INTERVAL '<q unit …>' [unit…]` into make_interval when
-      * Spark's literal grammar can't carry it; None = passthrough. */
+      * Spark's literal grammar can't carry it; None = passthrough.
+      * Replays the reference's interval string parse (interval.cpp,
+      * interval_constants.test — all pinned in IntervalLiteralSpec):
+      *
+      *  - `'<bare number>' UNIT` (quantity outside, unit keyword
+      *    outside): the fraction is TRUNCATED toward zero for every
+      *    unit except SECOND/MILLISECOND ('1.5' MINUTE = 1 minute,
+      *    '1.5' SECOND = 1.5 s, '1.9' MICROSECONDS = 1 µs);
+      *  - units INSIDE the string keep fractions with borrowing
+      *    ('1.5 minutes' = 90 s, '1.5 months' = 1 mon 15 days,
+      *    '1.5 days' = 1 day 12:00:00);
+      *  - three-field clock forms `[-]HH:MM:SS[.ffffff]` (two-field
+      *    errors in the reference too — left to fail loudly);
+      *  - the full unit-alias table (mil/cent/c/dec/yr/qtr/mon/hr/
+      *    min/sec/msec/usec + plurals), a leading '@', trailing
+      *    'ago' negation, repeated units summing.
+      */
     private def mixedInterval(parts: Seq[String]): Option[String] = {
       if (parts.length < 2) return None
       val content0 = parts(1)
       val isStr = content0.startsWith("'")
       val content = if (isStr) content0.stripPrefix("'").stripSuffix("'") else content0
       val tailUnits = parts.drop(2).mkString(" ")
-      val full = (content + " " + tailUnits).trim
+      val full = (content + " " + tailUnits).trim.stripPrefix("@").trim
       val ago = "(?i)\\bago\\s*$".r.findFirstIn(full).isDefined
-      val fullQ = if (ago) "(?i)\\bago\\s*$".r.replaceAllIn(full, "") else full
+      var fullQ = if (ago) "(?i)\\bago\\s*$".r.replaceAllIn(full, "") else full
+      // `'<bare number>' UNIT`: truncate the fraction per the
+      // reference's single-quantity rule before the generic pair scan
+      val BareNum = "^[+-]?\\d+(?:\\.\\d+)?$".r
+      var truncated = false
+      if (tailUnits.nonEmpty && BareNum.findFirstIn(content.trim).isDefined) {
+        val q = content.trim.toDouble
+        val u = tailUnits.trim.toLowerCase
+        val keepFrac = u.startsWith("second") || u.startsWith("sec") ||
+          u == "s" || u == "ms" || u.startsWith("millisecond") || u.startsWith("msec")
+        if (!keepFrac && q != math.floor(q)) {
+          fullQ = s"${q.toLong} ${tailUnits.trim}"
+          truncated = true // the passthrough text still carries the fraction
+        }
+      }
+      // three-field clock tokens; sign applies to the whole clock
+      var clockMicros = 0.0
+      var sawClock = false
+      val clockRe = """([+-])?(\d+):(\d+):(\d+(?:\.\d+)?)""".r
+      fullQ = clockRe.replaceAllIn(fullQ, m => {
+        sawClock = true
+        val sign = if (m.group(1) == "-") -1 else 1
+        clockMicros += sign * (m.group(2).toDouble * 3600e6 +
+          m.group(3).toDouble * 60e6 + m.group(4).toDouble * 1e6)
+        " "
+      })
       val pair = """([+-]?\d+(?:\.\d+)?)\s*([A-Za-z]+)""".r
       val pairs = pair.findAllMatchIn(fullQ).map(m => (m.group(1).toDouble,
         m.group(2).toLowerCase)).toSeq
-      if (pairs.isEmpty) return None
-      // reject if un-parsed residue remains (e.g. '1:02:03' clock forms)
+      if (pairs.isEmpty && !sawClock) return None
+      // reject if un-parsed residue remains (e.g. two-field '05:12'
+      // clocks — a conversion error in the reference as well)
       val residue = pair.replaceAllIn(fullQ, "").replaceAll("[\\s,]+", "")
       if (residue.nonEmpty) return None
       var months = 0.0
       var days = 0.0
-      var micros = 0.0
-      var odd = false // anything Spark's literal parser can't hold
+      var micros = clockMicros
+      var odd = sawClock || truncated // anything Spark's literal parser can't hold
       // a REPEATED unit ('1294967296months -1294967296months' sums to
       // zero in the reference, test_interval.test:268) has no Spark
       // literal form either
@@ -2348,19 +2547,28 @@ object DuckDialect {
       pairs.foreach { case (q, u) =>
         def frac = q != math.floor(q)
         u match {
-          case "millennium" | "millenniums" | "millennia" => months += q * 12000; odd = true
-          case "century" | "centuries" => months += q * 1200; odd = true
-          case "decade" | "decades" => months += q * 120; odd = true
+          case "millennium" | "millenniums" | "millennia" | "mil" | "mils" =>
+            months += q * 12000; odd = true
+          case "century" | "centuries" | "cent" | "cents" | "c" =>
+            months += q * 1200; odd = true
+          case "decade" | "decades" | "dec" | "decs" =>
+            months += q * 120; odd = true
           case "year" | "years" | "y" | "yr" | "yrs" => months += q * 12; if (frac) odd = true
-          case "quarter" | "quarters" => months += q * 3; odd = true
+          case "quarter" | "quarters" | "qtr" | "qtrs" => months += q * 3; odd = true
           case "month" | "months" | "mon" | "mons" => months += q; if (frac) odd = true
           case "week" | "weeks" | "w" => days += q * 7; if (frac) odd = true
           case "day" | "days" | "d" => days += q; if (frac) odd = true
-          case "hour" | "hours" | "h" | "hr" | "hrs" => micros += q * 3600e6
-          case "minute" | "minutes" | "m" | "min" | "mins" => micros += q * 60e6
+          // Spark's multi-unit literal accepts fractional SECONDS
+          // only — fractional coarser units route to make_interval
+          case "hour" | "hours" | "h" | "hr" | "hrs" =>
+            micros += q * 3600e6; if (frac) odd = true
+          case "minute" | "minutes" | "m" | "min" | "mins" =>
+            micros += q * 60e6; if (frac) odd = true
           case "second" | "seconds" | "s" | "sec" | "secs" => micros += q * 1e6
-          case "millisecond" | "milliseconds" | "ms" | "msec" | "msecs" => micros += q * 1e3; odd = true
-          case "microsecond" | "microseconds" | "us" | "usec" | "usecs" => micros += q; odd = true
+          case "millisecond" | "milliseconds" | "ms" | "msec" | "msecs" |
+               "msecond" | "mseconds" => micros += q * 1e3; odd = true
+          case "microsecond" | "microseconds" | "us" | "usec" | "usecs" |
+               "usecond" | "useconds" => micros += q; odd = true
           case _ => return None
         }
       }
@@ -2368,14 +2576,15 @@ object DuckDialect {
       val hasYm = months != 0.0
       val hasDt = days != 0.0 || micros != 0.0
       if (!odd && !ago && !(hasYm && hasDt)) return None
-      // fractional months have day-borrowing semantics the engine
-      // doesn't model — leave those to error loudly
-      if (months != math.floor(months)) return None
-      val dWhole = math.floor(days)
+      // fractional months borrow days at 30/month (interval.cpp:
+      // '1.5 months' = 1 month 15 days)
+      val mWhole = if (months >= 0) math.floor(months) else math.ceil(months)
+      days += (months - mWhole) * 30.0
+      val dWhole = if (days >= 0) math.floor(days) else math.ceil(days)
       val fracDayMicros = (days - dWhole) * 86400e6
       val secs = java.math.BigDecimal.valueOf((micros + fracDayMicros) / 1e6)
         .toPlainString
-      Some(s"make_interval(0, ${months.toLong}, 0, ${dWhole.toLong}, 0, 0, $secs)")
+      Some(s"make_interval(0, ${mWhole.toLong}, 0, ${dWhole.toLong}, 0, 0, $secs)")
     }
 
     // -------------------------------------------------- postfix
@@ -2453,6 +2662,10 @@ object DuckDialect {
               else if ((rawTy == "DATE" || rawTy.startsWith("TIMESTAMP")) &&
                   bcLiteral(base).isDefined)
                 s"CAST(${bcLiteral(base).get} AS $ty)"
+              else if ((rawTy == "DATE" || rawTy.startsWith("TIMESTAMP")) &&
+                  base.trim.matches("'\\d{4}/\\d{1,2}/\\d{1,2}([ T][^']*)?'"))
+                // the reference's date parser accepts '/' separators
+                s"CAST(${base.trim.replace('/', '-')} AS $ty)"
               else if (isHuge(base))
                 castHuge(base, rawTy, ty).getOrElse(s"CAST(${hugePre(base, "")}_str($base) AS $ty)")
               else if (Set("HUGEINT", "UHUGEINT", "INT128", "UINT128")(rawTy) &&
@@ -2544,6 +2757,7 @@ object DuckDialect {
       "TIMESTAMPTZ" -> "TIMESTAMP", "TIMESTAMP_S" -> "TIMESTAMP",
       "TIMESTAMP_MS" -> "TIMESTAMP", "TIMESTAMP_NS" -> "TIMESTAMP",
       "UUID" -> "STRING", "JSON" -> "STRING", "BIT" -> "STRING",
+      "DATETIME" -> "TIMESTAMP",
       "TIMESTAMP_US" -> "TIMESTAMP", "INT8" -> "BIGINT",
       "INT16" -> "SMALLINT", "INT32" -> "INTEGER", "INT64" -> "BIGINT",
       "FLOAT32" -> "FLOAT", "FLOAT64" -> "DOUBLE",
@@ -2637,11 +2851,16 @@ object DuckDialect {
           else if (mapped.contains("(")) mapped // pre-parameterized map entry
           else s"$mapped(${params.mkString(",")})"
         case other0 =>
-          // schema-qualified user types (foo.bar) resolve bare
+          // schema-qualified user types (foo.bar) resolve bare; a
+          // double-quoted type name ("group", "EN""UM") resolves by
+          // its unquoted spelling
           var other = other0
-          while (peekOp(".") && peekAt(1).exists(_.isInstanceOf[TWord])) {
+          while (peekOp(".") && peekAt(1).exists(t =>
+              t.isInstanceOf[TWord] || t.isInstanceOf[TQuoted])) {
             next(); other = next().text.toUpperCase
           }
+          if (other.length >= 2 && other.startsWith("\"") && other.endsWith("\""))
+            other = other.substring(1, other.length - 1).replace("\"\"", "\"").toUpperCase
           TYPE_MAP.getOrElse(other,
             // the reference's NULL type (SQLNULL): columns carry only
             // NULLs — STRING is the closest storable Spark type
@@ -2658,10 +2877,12 @@ object DuckDialect {
             })
       }
       // array suffixes: T[] / T[][] / fixed-size T[3] (Spark has no
-      // fixed-size arrays — maps to plain ARRAY, length unchecked)
+      // fixed-size arrays — maps to plain ARRAY, length unchecked),
+      // and the SQL-standard `T ARRAY` keyword spelling
       var going = true
-      while (going && peekOp("[")) {
-        (peekAt(1), peekAt(2)) match {
+      while (going && (peekOp("[") || peekWord("ARRAY"))) {
+        if (peekWord("ARRAY")) { next(); base = s"ARRAY<$base>" }
+        else (peekAt(1), peekAt(2)) match {
           case (Some(TOp("]")), _) =>
             next(); next(); base = s"ARRAY<$base>"
           case (Some(TNum(_)), Some(TOp("]"))) =>

@@ -282,6 +282,8 @@ object DuckNames {
     // numeric→integer cast rounding parity (DuckDialect wraps integer
     // cast targets in these; see DuckRint). _try: unparsable strings
     // yield NULL (TRY_CAST); plain: they error (CAST, both engines)
+    register(e, "graft_glob")(args => GlobMatch(args(0), args(1)))
+    register(e, "graft_json_path")(args => JsonPathNorm(args.head))
     register(e, "graft_rint")(args => DuckRint(args.head))
     register(e, "graft_rint_try")(args => DuckRint(args.head, strict = false))
 
@@ -759,6 +761,71 @@ case class DuckRint(input: Expression, strict: Boolean = true) extends UnaryExpr
       case _ => defineCodeGen(ctx, ev, c => c) // integral & friends: identity
     }
   override protected def withNewChildInternal(c: Expression): DuckRint = copy(input = c)
+}
+
+/** `s GLOB pattern` with a NON-LITERAL pattern — the reference
+  * evaluates glob per row (like.cpp); literal patterns compile to an
+  * anchored RLIKE at translate time instead (DuckDialect.globRegex —
+  * same semantics, including malformed-pattern = no-match). Codegen'd
+  * static call into HashKernels.globMatch.
+  */
+case class GlobMatch(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullSafeEval(s: Any, p: Any): Any =
+    HashKernels.globMatch(s.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (s, p) => s"graft.plans.HashKernels.globMatch($s, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GlobMatch =
+    copy(left = l, right = r)
+}
+
+/** Normalize a RUNTIME JSON path operand to Spark's JSONPath syntax —
+  * the same rules the dialect applies to literal `->` operands
+  * (DuckDialect.jsonPath): '$…'-prefixed paths pass through with
+  * `."quoted"` segments re-quoted as ['…']; a bare integer is an
+  * array index; anything else is one object key (bracket-quoted so
+  * spaces survive). NULL path → NULL (reference parity).
+  */
+case class JsonPathNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(in: Any): Any =
+    JsonPathNorm.norm(String.valueOf(in)) // string paths AND int indices
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.JsonPathNorm.norm(String.valueOf($c))")
+  override protected def withNewChildInternal(c: Expression): JsonPathNorm =
+    copy(child = c)
+}
+
+object JsonPathNorm {
+  def norm(s: String): UTF8String = {
+    val out =
+      if (s.startsWith("$")) {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c == '.' && i + 1 < s.length && s.charAt(i + 1) == '"') {
+            var j = i + 2
+            val k = new StringBuilder
+            while (j < s.length && s.charAt(j) != '"') { k += s.charAt(j); j += 1 }
+            sb ++= "['"; sb ++= k; sb ++= "']"
+            i = j + 1
+          } else { sb += c; i += 1 }
+        }
+        sb.toString
+      }
+      else if (s.matches("-?\\d+")) s"$$[$s]"
+      else "$['" + s + "']"
+    UTF8String.fromString(out)
+  }
 }
 
 case class LenPoly(input: Expression) extends UnaryExpression {

@@ -42,8 +42,11 @@ object EnumTypes {
 
   private val types = new ConcurrentHashMap[String, IndexedSeq[String]]()
 
+  // schema-qualified (foo.bar) and quoted ("EN""UM") names accepted;
+  // register() normalizes to the bare unquoted last segment — the
+  // resolution side (DuckDialect.parseType) resolves mentions bare
   val CreateTypeRe =
-    """(?is)^\s*CREATE\s+TYPE\s+(\w+)\s+AS\s+ENUM\s*\((.+)\)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+|TEMP\s+)?TYPE\s+((?:"[^"]*(?:""[^"]*)*"|[\w$])+(?:\.(?:"[^"]*(?:""[^"]*)*"|[\w$])+)*)\s+AS\s+ENUM\s*\((.+)\)\s*;?\s*$""".r
   val DropTypeRe =
     """(?is)^\s*DROP\s+TYPE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
 
@@ -64,6 +67,25 @@ object EnumTypes {
   def aliasOf(name: String): Option[String] =
     Option(aliases.get(name.toLowerCase))
 
+  /** Bare unquoted last segment of a possibly schema-qualified,
+    * possibly double-quoted type name. */
+  private def bareName(name: String): String = {
+    // split on dots OUTSIDE quotes
+    var last = name
+    var i = 0
+    var seg = 0
+    while (i < name.length) {
+      val c = name.charAt(i)
+      if (c == '"') { i += 1; while (i < name.length && name.charAt(i) != '"') i += 1 }
+      else if (c == '.') seg = i + 1
+      i += 1
+    }
+    last = name.substring(seg)
+    if (last.startsWith("\"") && last.endsWith("\"") && last.length >= 2)
+      last.substring(1, last.length - 1).replace("\"\"", "\"")
+    else last
+  }
+
   def register(name: String, valuesClause: String): Unit = {
     val vals = graft.sources.DmlSql.topSplit(valuesClause, ',').map(_.trim)
       .map { v =>
@@ -72,7 +94,7 @@ object EnumTypes {
         v.substring(1, v.length - 1).replace("''", "'")
       }
     require(vals.nonEmpty, "CREATE TYPE … AS ENUM: empty value list")
-    types.put(name.toLowerCase, vals.toIndexedSeq)
+    types.put(bareName(name).toLowerCase, vals.toIndexedSeq)
   }
 
   def drop(name: String): Unit = {

@@ -107,6 +107,70 @@ object HashKernels {
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
+  /** Runtime GLOB matcher — the reference's glob semantics (like.cpp):
+    * `*`/`?` wildcards, `[class]`/`[!class]` with ranges and a literal
+    * `]` in first position, backslash escapes. Malformed patterns
+    * (unterminated class, trailing backslash) match NOTHING — pinned:
+    * '3' GLOB '[3' = false, '\' GLOB '\' = false. Shares semantics
+    * with the translate-time literal compiler (DuckDialect.globRegex);
+    * this kernel is the non-literal-pattern path.
+    */
+  def globMatch(sU: UTF8String, pU: UTF8String): Boolean = {
+    val s = sU.toString
+    val p = pU.toString
+    def m(si: Int, pj: Int): Boolean = {
+      var i = si
+      var j = pj
+      while (j < p.length) {
+        p.charAt(j) match {
+          case '*' =>
+            var k = j
+            while (k < p.length && p.charAt(k) == '*') k += 1
+            if (k == p.length) return true
+            var t = i
+            while (t <= s.length) { if (m(t, k)) return true; t += 1 }
+            return false
+          case '?' =>
+            if (i >= s.length) return false
+            i += 1; j += 1
+          case '[' =>
+            if (i >= s.length) return false
+            var k = j + 1
+            var neg = false
+            if (k < p.length && p.charAt(k) == '!') { neg = true; k += 1 }
+            var matched = false
+            var first = true
+            var closed = false
+            val c = s.charAt(i)
+            while (k < p.length && !closed) {
+              val pc = p.charAt(k)
+              if (pc == ']' && !first) closed = true
+              else if (k + 2 < p.length && p.charAt(k + 1) == '-' &&
+                  p.charAt(k + 2) != ']') {
+                if (c >= pc && c <= p.charAt(k + 2)) matched = true
+                first = false; k += 3
+              } else {
+                if (c == pc) matched = true
+                first = false; k += 1
+              }
+            }
+            if (!closed) return false
+            if (matched == neg) return false
+            i += 1; j = k + 1
+          case '\\' =>
+            if (j + 1 >= p.length) return false
+            if (i >= s.length || s.charAt(i) != p.charAt(j + 1)) return false
+            i += 1; j += 2
+          case pc =>
+            if (i >= s.length || s.charAt(i) != pc) return false
+            i += 1; j += 1
+        }
+      }
+      i == s.length
+    }
+    m(0, 0)
+  }
+
   /** Cosine similarity of two float vectors, accumulated left-to-right
     * in double (engine-portable: same order ⇒ same bits as DuckDB's
     * list_sum-over-list_transform form). Zero-norm inputs yield 0.0

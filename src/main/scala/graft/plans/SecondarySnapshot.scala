@@ -57,10 +57,16 @@ case class SecondarySnapshotRule(session: SparkSession) extends Rule[LogicalPlan
         if (hfr.partitionSchema.nonEmpty) lr
         else {
           val roots = hfr.location.rootPaths.map(p => norm(p.toString))
+          // WHOLE-ROOT reads only: a file-scoped read under the table
+          // root (Dml's pruned rewrite scan — spark.read.parquet(hit
+          // files)) already picked its files FROM the snapshot via the
+          // re-pointed hit scan; re-pointing it to the full pin list
+          // made every pruned rewrite read the whole table and
+          // DUPLICATE the carried-through rows of non-hit files
+          // (r12 two-writer split-units test exposed this)
           val hit = pins.collectFirst {
             case (rootN, files)
-                if roots.nonEmpty &&
-                  roots.forall(r => r == rootN || r.startsWith(rootN + "/")) &&
+                if roots.nonEmpty && roots.forall(_ == rootN) &&
                   roots.toSet != files.map(norm).toSet =>
               files
           }

@@ -591,6 +591,64 @@ object SqlPasses {
     sql.substring(0, fnStart) + replacement + sql.substring(close + 1)
   }
 
+  // ------------------------------------------------ empty grouping ()
+
+  /** The reference accepts `()` as a GROUP BY element — an EMPTY
+    * grouping contributing no keys (test/sql/aggregate/group/
+    * test_group_by_empty.test: `GROUP BY ()` is one global group;
+    * `GROUP BY (), course, ()` ≡ GROUP BY course). Spark's parser
+    * rejects a bare `()`. Drop empty elements from every top-level
+    * GROUP BY list; when nothing remains, emit the equivalent
+    * `GROUPING SETS (())` (one global group even with zero aggregate
+    * rows semantics preserved — dropping the clause would change
+    * SELECT 1 FROM t GROUP BY () from one row to n rows).
+    */
+  def emptyGroupingPass(sql0: String): String = {
+    if (!sql0.contains("()")) return sql0
+    val GroupBy = "(?i)\\bGROUP\\s+BY\\b".r
+    val ends = Set("HAVING", "ORDER", "LIMIT", "OFFSET", "QUALIFY",
+      "WINDOW", "UNION", "EXCEPT", "INTERSECT")
+    var sql = sql0
+    // right-to-left so replacements don't shift earlier offsets
+    GroupBy.findAllMatchIn(sql0).toSeq.reverse.foreach { m =>
+      if (!inQuote(sql0, m.start)) {
+        // scan the item list: top-level commas split; stop at a clause
+        // keyword at depth 0, a closing paren of the enclosing
+        // subquery, or end of statement
+        val items = ArrayBuffer.empty[String]
+        var i = m.end
+        var depth = 0
+        var itemStart = m.end
+        var stop = -1
+        while (i < sql.length && stop < 0) {
+          val c = sql.charAt(i)
+          if (c == '\'') { i += 1; while (i < sql.length && sql.charAt(i) != '\'') i += 1 }
+          else if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth < 0) stop = i }
+          else if (c == ',' && depth == 0) { items += sql.substring(itemStart, i); itemStart = i + 1 }
+          else if (c == ';' && depth == 0) stop = i
+          else if (depth == 0 && c.isLetter) {
+            val w = sql.substring(i).takeWhile(ch => ch.isLetterOrDigit || ch == '_')
+            if (ends(w.toUpperCase) &&
+                (i == 0 || !sql.charAt(i - 1).isLetterOrDigit)) stop = i
+            else i += w.length - 1
+          }
+          if (stop < 0) i += 1
+        }
+        val end = if (stop < 0) sql.length else stop
+        items += sql.substring(itemStart, end)
+        if (items.exists(_.trim == "()")) {
+          val kept = items.map(_.trim).filter(x => x.nonEmpty && x != "()")
+          val clause =
+            if (kept.isEmpty) "GROUP BY GROUPING SETS (()) "
+            else s"GROUP BY ${kept.mkString(", ")} "
+          sql = sql.substring(0, m.start) + clause + sql.substring(end)
+        }
+      }
+    }
+    sql
+  }
+
   // ------------------------------------------- non-literal frame bounds
 
   /** `ROWS BETWEEN <expr> PRECEDING AND <expr> FOLLOWING` — the

@@ -136,12 +136,29 @@ object Dml {
     * but see the object scaladoc for the honest crash window: between
     * the two steps old AND rewritten rows are both visible.
     */
+  /** Cap on rows per written file for every DML write. The conflict
+    * granularity of this copy-on-write layer is the FILE (Txn.touch
+    * raises when two writers replace the same file — the reference's
+    * row-level MVCC never conflicts on disjoint rows). Smaller
+    * rewrite units narrow that gap: after any DML pass, disjoint-row
+    * writers touch disjoint files and both commit. Tunable per
+    * session (spark.graft.dml.maxFileRows); the default keeps files
+    * comfortably sized while bounding the blast radius of one file.
+    */
+  val DefaultMaxFileRows: Long = 1L << 20
+
+  private def maxFileRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dml.maxFileRows")
+      .map(_.toLong).getOrElse(DefaultMaxFileRows)
+
   private def swap(spark: SparkSession, path: String,
                    df: DataFrame, oldFiles: Seq[String]): Unit = {
     // conflicts (a concurrent transaction wrote these files) raise
     // HERE, before the append — the statement leaves no trace
     Txn.touch(spark, path, oldFiles)
-    df.write.mode(SaveMode.Append).parquet(path)
+    df.write.mode(SaveMode.Append)
+      .option("maxRecordsPerFile", maxFileRows(spark))
+      .parquet(path)
     if (Txn.isActive) {
       // inside a transaction the delete is DEFERRED: replaced files
       // move to the hidden trash so ROLLBACK can restore them
@@ -254,7 +271,9 @@ object Dml {
     val obs = Observation()
     Txn.touch(spark, path)
     rows.observe(obs, count(lit(1)).as("n"))
-      .write.mode(SaveMode.Append).parquet(path)
+      .write.mode(SaveMode.Append)
+      .option("maxRecordsPerFile", maxFileRows(spark))
+      .parquet(path)
     Txn.wrote(spark, path)
     DmlStats(0, 0, obs.get("n").asInstanceOf[Long])
   }

@@ -120,6 +120,12 @@ object Txn {
     val names = mutable.HashMap.empty[String, String]
     val created = mutable.HashMap.empty[String, mutable.LinkedHashSet[String]]
     val preWrite = mutable.HashMap.empty[String, Set[String]]
+    // key -> NORMALIZED paths of files this transaction REPLACED —
+    // the conflict unit between two live secondaries (r12): disjoint
+    // replaced-file sets commute (each side's undo touches only its
+    // own trash subdir), so disjoint-row writers on a split table
+    // both commit, like the reference's row-level MVCC
+    val replaced = mutable.HashMap.empty[String, mutable.Set[String]]
     def createdSet(k: String): mutable.LinkedHashSet[String] =
       created.getOrElseUpdate(k, mutable.LinkedHashSet.empty[String])
   }
@@ -373,10 +379,31 @@ object Txn {
       throw new IllegalStateException(
         s"Conflict on update! table at $k was already modified by the " +
         "open transaction")
-    if (secs.values.exists(o => (o ne tx) && o.written.contains(k)))
+    val replacingN = replacing.map(norm).toSet
+    // between two LIVE secondaries the conflict unit is the FILE
+    // (r12): each side's undo restores only its own trash subdir, so
+    // disjoint replaced-file sets commute — updates to disjoint rows
+    // of a split table both commit (the reference's row-level MVCC
+    // granularity, reached at file granularity). Overlapping replaced
+    // files — or a second INSERT-vs-REPLACE on a file the other side
+    // replaced — still conflict like before. The PRIMARY transaction
+    // keeps table granularity: its rollback restores the whole BEGIN
+    // listing, which cannot coexist with a concurrent commit.
+    secs.values.find(o => (o ne tx) && o.written.contains(k) && {
+      val otherReplaced = o.replaced.getOrElse(k, mutable.Set.empty[String])
+      (replacingN & otherReplaced.toSet).nonEmpty ||
+        // a pure INSERT on the other side never blocks; but if either
+        // side REPLACED files while the other replaces an overlapping
+        // region the begin-listing check below catches stale files —
+        // the only remaining table-level case is both sides rewriting
+        // with one side's hit list UNKNOWN (defensive: empty replacing
+        // against a writer that replaced files is an insert → allow)
+        false
+    }).foreach { _ =>
       throw new IllegalStateException(
         s"Conflict on update! table at $k was already modified by a " +
         "concurrent transaction")
+    }
     val begin = tx.beginListing.getOrElseUpdate(k, dataFiles(spark, path).toSet)
     tx.paths.getOrElseUpdate(k, path)
     val beginN = begin.map(norm)
@@ -388,6 +415,7 @@ object Txn {
           "transaction began (committed by a concurrent transaction)")
     }
     tx.written += k
+    tx.replaced.getOrElseUpdate(k, mutable.Set.empty[String]) ++= replacingN
     // own-write visibility: reads on this connection now follow the
     // live listing (its replaced files are hidden in trash anyway)
     tx.readPin.remove(k)

@@ -309,6 +309,68 @@ class DmlSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("r12: split rewrite units let disjoint-row writers BOTH commit") {
+    // The copy-on-write layer conflicts at FILE granularity (the
+    // reference's MVCC conflicts at ROW granularity — §2 U21's
+    // documented gap). With rewrites split at
+    // spark.graft.dml.maxFileRows, disjoint rows land in disjoint
+    // files and the same two-writer script that conflicts on a
+    // single-file table (previous test) commits on both sides.
+    import graft.sources.Txn
+    spark.sql("CREATE DATABASE IF NOT EXISTS txn3db")
+    spark.sql("USE txn3db")
+    spark.sql("DROP TABLE IF EXISTS t3a")
+    def sum(t: String): Double =
+      spark.sql(s"SELECT SUM(y) FROM $t").collect()(0).getDouble(0)
+    spark.conf.set("spark.graft.dml.maxFileRows", "1")
+    try {
+      GraftSql.runScript(spark,
+        """CREATE OR REPLACE TABLE t3a (x INTEGER, y DOUBLE);
+          |INSERT INTO t3a VALUES (1, 10.0), (2, 20.0)""".stripMargin)
+      // a full-hit UPDATE re-splits the single insert file into
+      // one-row rewrite units
+      GraftSql.sql(spark, "UPDATE t3a SET y = y + 0 WHERE x >= 0")
+      // two live SECONDARY transactions (each side's undo restores
+      // only its own trash subdir — file-level isolation) touch
+      // DISJOINT rows → disjoint files → no conflict, both commit
+      // (the same script on one shared file raises "Conflict on
+      // update!", previous test)
+      Txn.onConnection(1) { GraftSql.sql(spark, "BEGIN") }
+      Txn.onConnection(2) { GraftSql.sql(spark, "BEGIN") }
+      Txn.onConnection(1) {
+        GraftSql.sql(spark, "UPDATE t3a SET y = 11 WHERE x = 1")
+      }
+      Txn.onConnection(2) {
+        GraftSql.sql(spark, "UPDATE t3a SET y = 99 WHERE x = 2")
+      }
+      Txn.onConnection(1) { GraftSql.sql(spark, "COMMIT") }
+      Txn.onConnection(2) { GraftSql.sql(spark, "COMMIT") }
+      assert(sum("t3a") === 110.0) // 11 + 99: both writers' values
+      // overlapping FILES still conflict (both target row x=1)
+      Txn.onConnection(1) { GraftSql.sql(spark, "BEGIN") }
+      Txn.onConnection(2) { GraftSql.sql(spark, "BEGIN") }
+      Txn.onConnection(1) {
+        GraftSql.sql(spark, "UPDATE t3a SET y = 12 WHERE x = 1")
+      }
+      val e = intercept[Exception] {
+        Txn.onConnection(2) {
+          GraftSql.sql(spark, "UPDATE t3a SET y = 98 WHERE x = 1")
+        }
+      }
+      assert(e.getMessage.contains("Conflict on update"))
+      Txn.onConnection(1) { GraftSql.sql(spark, "COMMIT") }
+      Txn.onConnection(2) { GraftSql.sql(spark, "COMMIT") }
+      assert(sum("t3a") === 111.0) // 12 + 99
+    } finally {
+      spark.conf.unset("spark.graft.dml.maxFileRows")
+      Txn.onConnection(2) { if (Txn.isActive) Txn.rollback(spark) }
+      Txn.onConnection(1) { if (Txn.isActive) Txn.rollback(spark) }
+      if (Txn.isActive) Txn.rollback(spark)
+      spark.sql("DROP TABLE IF EXISTS t3a")
+      spark.sql("USE default")
+    }
+  }
+
   test("secondary connection gets repeatable reads: pinned snapshot across a concurrent commit") {
     // Pinned against two python-duckdb connections on one database
     // file (duck_transaction_manager.cpp MVCC contract, captured this
