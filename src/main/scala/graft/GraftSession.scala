@@ -50,6 +50,14 @@ object GraftSession {
       // the file-skip that makes CREATE INDEX point lookups open one
       // bucket (sources/Indexing, IndexingSpec)
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // Report the bucketed tables' sortBy order from the scan:
+      // Bucketize writes exactly ONE sorted file per bucket (the only
+      // layout where this flag applies), which lets a merge join of
+      // two orderkey-bucketed facts run with ZERO exchange and ZERO
+      // sort (r12 q5 reshape — also removes the per-task hash builds
+      // behind the r11 run-to-run variance). Spark turned this off by
+      // default for multi-file buckets, which never occur here.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "400m")
       .config("spark.sql.session.timeZone", "UTC")
       // Testdata parquet stores naive timestamp[us]; read it as the

@@ -51,7 +51,23 @@ object Tpch {
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
-  private[queries] def q5Plan(tab: String => DataFrame): DataFrame = {
+  /** Q5 (r12 reshape). The two FACT relations join each other FIRST,
+    * on the bucket key alone:
+    *   lineitem(euro-sup) ⋈ orders(date slice) ON orderkey
+    * — on the bucketed tables this is an EXCHANGE-FREE sorted-merge
+    * join (one sorted file per bucket ⇒ no sort, and NO per-task hash
+    * build: the r11 receipts pinned the correlated run2 burst on 32
+    * concurrent co-side map builds, which this plan simply doesn't
+    * have). The joined rows pre-aggregate to (o_custkey, s_nationkey)
+    * partial sums — shrinking the one remaining fact exchange from
+    * ~3.6M joined rows to ~1M aggregated rows at sf10 — and only then
+    * meet customer (a dimension slice, pinned build side) with the
+    * nation match as the residual. The old shape shuffled orders on
+    * custkey AND the customer⋈orders result on orderkey: two
+    * fact-scale exchanges plus the burst-prone hash build.
+    */
+  private[queries] def q5Plan(tab: String => DataFrame,
+                              bucketed: Boolean = false): DataFrame = {
     val euroNations = tab("nation")
       .join(broadcast(tab("region").filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
@@ -63,25 +79,35 @@ object Tpch {
       .join(broadcast(euroSup), col("l_suppkey") === col("s_suppkey"))
       .select(col("l_orderkey"), col("s_nationkey"),
         revenueUnits(col("l_extendedprice"), col("l_discount")).as("__rev"))
-    val co = tab("customer")
+    val ord = tab("orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    // bucketed: merge join rides the sorted bucket layout (zero
+    // exchange, zero sort, zero build). flat: hash join with the
+    // date-filtered orders slice as the pinned build side — the only
+    // 100×-safe choice (the li side never fits)
+    val lo =
+      if (bucketed) li.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      else li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+    // partial per-(custkey, supplier-nation) sums BEFORE the custkey
+    // exchange: exact int64 unit sums, finalized after the last join
+    val perCust = lo
+      .groupBy(col("o_custkey"), col("s_nationkey"))
+      .agg(sum(col("__rev")).as("__rev1"))
+    val cust = tab("customer")
       .join(broadcast(euroNations.select(col("n_nationkey").as("__en"))),
         col("c_nationkey") === col("__en"), "left_semi")
-      .join(tab("orders")
-          .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01")),
-        col("c_custkey") === col("o_custkey"))
-      .select(col("o_orderkey"), col("c_nationkey"))
-    // join on the orderkey ALONE, with the nation match as a residual
-    // (non-equi-shaped) condition: value-identical for an inner join
-    // (o_orderkey is unique on the co side, so no blowup), and the
-    // single-column equi key is what lets the bucketed variant run
-    // this join exchange-free — spelled `a === b`, Catalyst extracts
-    // BOTH columns as equi keys and re-shuffles both orderkey-bucketed
-    // facts on the composite key; the subtraction form stays a
-    // post-match filter on the orderkey join
-    li.join(co.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey")
-        && (col("s_nationkey") - col("c_nationkey")) === 0)
+      .select(col("c_custkey"), col("c_nationkey"))
+    // BOTH conjuncts spelled as equi keys: the join then requires
+    // clustering on (custkey, nationkey) — exactly the aggregate's
+    // output partitioning, so the fact side flows into this join with
+    // NO further exchange (spelled as a residual, Catalyst would
+    // demand custkey-only clustering and re-shuffle the aggregate)
+    perCust.join(cust.hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey")
+          && col("s_nationkey") === col("c_nationkey"))
       .groupBy(col("s_nationkey"))
-      .agg(sumFromUnits(col("__rev")).as("revenue"))
+      .agg(sumFromUnits(col("__rev1")).as("revenue"))
       .join(broadcast(euroNations), col("s_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))

@@ -17,7 +17,7 @@ object ScanProf {
     val q = graft.SparkEntry.queries
     mode match {
       case "flat" =>
-        val df = q("tpch_q3")(s, dir)
+        val df = q(args.lift(1).getOrElse("tpch_q3"))(s, dir)
         println(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       case "join" =>
