@@ -388,14 +388,35 @@ object FunctionsQ7 {
 
     // F67: equi_width_bins + histogram/histogram_exact over generated
     // bins (generic/binning.cpp, nested/binned_histogram.cpp). These
-    // post-date the driver's oracle engine, so the entry is rows-only
-    // — the algorithm mirrors are line-faithful translations
-    // (plans/Binning.scala) and BinningSpec pins hand-derived traces.
+    // post-date the driver's oracle engine (DuckDB 1.0.0 has no
+    // two-arg histogram), so the ORACLE hard-codes the STATICALLY
+    // derived bins instead (cb43 derivation discipline):
+    // floor(l_quantity) spans [1, 50] by the TPC-H generator's spec
+    // at every SF, and equiWidthBinsLong(1, 50, 5, nice) = [10, 20,
+    // 30, 40, 50] — pinned as a worked trace in BinningSpec; if the
+    // datagen ever changed the quantity domain the gate fails loudly.
+    // The binning itself is plain CASE arithmetic both engines run.
     // Bin generation is driver-side O(bin_count); the histogram is
     // one scan + a when-chain projection + groupBy — empty bins
     // survive via a literal bins frame left-joined to the counts
     // (the reference emits zero-count bins too).
-    QDef.rowsOnly("f67_equi_width_hist") { (s, dir) =>
+    QDef.sql("f67_equi_width_hist",
+      """WITH li AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS q FROM lineitem),
+        |rb AS (SELECT CASE WHEN q <= 10 THEN '10' WHEN q <= 20 THEN '20'
+        |  WHEN q <= 30 THEN '30' WHEN q <= 40 THEN '40' WHEN q <= 50 THEN '50'
+        |  ELSE 'other' END AS bin FROM li),
+        |eb AS (SELECT CASE WHEN q = 10 THEN '10' WHEN q = 20 THEN '20'
+        |  WHEN q = 30 THEN '30' ELSE 'other' END AS bin FROM li),
+        |bins(bin) AS (VALUES ('10'),('20'),('30'),('40'),('50'),('other')),
+        |ebins(bin) AS (VALUES ('10'),('20'),('30'),('other'))
+        |SELECT 'range' AS kind, b.bin, COALESCE(c.cnt, 0) AS cnt
+        |FROM bins b LEFT JOIN (SELECT bin, count(*) cnt FROM rb GROUP BY bin) c USING (bin)
+        |UNION ALL
+        |SELECT 'exact', b.bin, COALESCE(c.cnt, 0)
+        |FROM ebins b LEFT JOIN (SELECT bin, count(*) cnt FROM eb GROUP BY bin) c USING (bin)
+        |UNION ALL
+        |SELECT 'bins', bin, i FROM (VALUES ('10', 0), ('20', 1), ('30', 2),
+        |  ('40', 3), ('50', 4)) t(bin, i)""".stripMargin) { (s, dir) =>
       import graft.plans.Binning
       val li = t(s, dir, "lineitem")
         .select(floor(col("l_quantity")).cast("long").as("q"))

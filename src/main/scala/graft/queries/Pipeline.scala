@@ -201,9 +201,36 @@ object Pipeline {
     // L7e: int8-quantized brute-force ANN — the corpus rides as
     // 4×-smaller byte vectors (per-vector max-abs scales cancel in
     // cosine) with an integer inner loop. Recall vs the exact float
-    // path is a measured contract in QuantizationSpec; rows-only here
-    // (DuckDB has no int8 vector type to oracle against).
-    QDef.rowsOnly("s07_ann_int8") { (s, dir) =>
+    // path is a measured contract in QuantizationSpec.
+    // r12: oracle-gated — the quantizer is REAL (float32) arithmetic
+    // that DuckDB's REAL type replays bit-for-bit (verified over the
+    // whole corpus this session: REAL*REAL stays FLOAT; Java
+    // Math.round(f) ≡ floor(f + 0.5f)), and everything after
+    // quantization is exact integer dot/norm arithmetic, so the
+    // ordering is engine-deterministic.
+    QDef.sql("s07_ann_int8",
+      """WITH qz AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS REAL)))) AS ma
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding, x ->
+        |        CAST(floor(CAST(x AS REAL) * (CAST(127 AS REAL) / ma)
+        |          + CAST(0.5 AS REAL)) AS BIGINT)) END AS q
+        |  FROM qz),
+        |sims AS (
+        |  SELECT e.vec_id,
+        |    CASE WHEN list_sum(list_transform(e.q, x -> x*x)) = 0
+        |           OR list_sum(list_transform(qq.q, x -> x*x)) = 0 THEN 0.0
+        |    ELSE list_sum(list_transform(list_zip(e.q, qq.q), p -> p[1] * p[2]))::DOUBLE
+        |      / (sqrt(list_sum(list_transform(e.q, x -> x*x))::DOUBLE)
+        |       * sqrt(list_sum(list_transform(qq.q, x -> x*x))::DOUBLE)) END AS q_cos
+        |  FROM qv e, (SELECT q FROM qv WHERE vec_id = 0) qq)
+        |SELECT vec_id, q_cos FROM sims
+        |ORDER BY q_cos DESC, vec_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.int8TopK(
         emb, "embedding", "vec_id",
