@@ -61,6 +61,10 @@ import scala.collection.mutable.ArrayBuffer
   */
 object DuckDialect {
 
+  private[plans] val aliasDepth = new ThreadLocal[Int] {
+    override def initialValue(): Int = 0
+  }
+
   /** Schema/catalog names the reference creates implicitly
     * (catalog/default_schema + system/temp catalogs): a call
     * qualified by one of these is schema resolution, not the dot
@@ -2272,8 +2276,10 @@ object DuckDialect {
       val named = ArrayBuffer.empty[(String, String)]
       while (more && !peekOp(")")) {
         peek match {
-          case TWord(k) if peekAt(1).contains(TOp(":=")) =>
-            next(); next()
+          // quoted argument names too: union_value("member name 1" := v)
+          case (TWord(_) | TQuoted(_)) if peekAt(1).contains(TOp(":=")) =>
+            val k = next().text // TQuoted.text arrives unquoted
+            next()
             named += ((k, expr(0)))
           case TOp(",") => next()
           case _ => positional += expr(0)
@@ -2798,7 +2804,13 @@ object DuckDialect {
           s"MAP<$k, $v>"
         case "UNION" if peekOp("(") =>
           val members = unionMemberList()
-          val slots = members.map { case (m, ty) => s"$m: $ty" }
+          // member names with spaces/specials (quoted in the DDL)
+          // must backquote in Spark's struct type syntax
+          val slots = members.map { case (m, ty) =>
+            val mm = if (m.matches("[A-Za-z_][A-Za-z0-9_]*")) m
+                     else "`" + m.replace("`", "``") + "`"
+            s"$mm: $ty"
+          }
           s"STRUCT<tag: STRING, ${slots.mkString(", ")}>"
         // inline anonymous enum type `ENUM('a','b')` — the dictionary
         // string IS the value (named enums validate via EnumTypes;
@@ -2872,7 +2884,14 @@ object DuckDialect {
             // user type ALIASES (CREATE TYPE x AS <base>): parse the
             // registered base type text in place
             else EnumTypes.aliasOf(other) match {
-              case Some(raw) => new P(lex(raw)).parseType()
+              case Some(raw) =>
+                // cycle guard: a CREATE TYPE alias chain that loops
+                // (x AS y; y AS x) must error, not blow the stack
+                val d = DuckDialect.aliasDepth.get()
+                require(d < 16, s"duck-dialect: type alias cycle at $other")
+                DuckDialect.aliasDepth.set(d + 1)
+                try new P(lex(raw)).parseType()
+                finally DuckDialect.aliasDepth.set(d)
               case None => other
             })
       }

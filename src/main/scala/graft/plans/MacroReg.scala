@@ -177,10 +177,18 @@ object MacroReg {
     var sql = sql0
     var rounds = 0
     var changed = true
+    // per-name expansion budget across ALL rounds: a macro whose body
+    // calls its own bare name (the reference's
+    // `CREATE MACRO s.range(a) AS TABLE SELECT * FROM range(a)` —
+    // there the INNER call binds to the builtin) must not re-expand
+    // itself 10×64 times and overflow the parser's stack; past the
+    // budget the call text stays put and resolves like the builtin
+    val spent = scala.collection.mutable.HashMap.empty[String, Int]
     while (changed && rounds < 10) {
       changed = false
       rounds += 1
       macros.forEach { (name, sigs) =>
+       if (spent.getOrElse(name, 0) < 16) {
         // schema-qualified call sites (main.my_macro(..)) expand too —
         // macros registered bare, the qualifier names the schema
         val CallRe = ("(?i)(?<![\\w.])(?:[A-Za-z_]\\w*\\.)?" +
@@ -204,10 +212,15 @@ object MacroReg {
                   case Left(_) =>
                 }
               }
-              if (expanded != null) {
+              if (expanded != null && spent.getOrElse(name, 0) < 16) {
+                spent(name) = spent.getOrElse(name, 0) + 1
                 sql = sql.substring(0, start) + s"($expanded)" +
                   sql.substring(close + 1)
                 changed = true
+              } else if (expanded != null) {
+                // budget exhausted (self-recursive macro): leave the
+                // remaining call sites in place
+                from = close + 1
               } else {
                 // no signature fits this call's arity/names: leave the
                 // site for the engine's BUILT-IN of the same name —
@@ -219,6 +232,7 @@ object MacroReg {
               }
           }
         }
+       }
       }
     }
     sql

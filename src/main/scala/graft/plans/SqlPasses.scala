@@ -98,9 +98,42 @@ object SqlPasses {
         val FromRe = "(?i)\\bFROM\\b".r
         for (fm <- findAll(sql, FromRe) if idx < 0)
           if (fm.start > castStart && depthAt(sql, fm.start) == d) idx = fm.start
-        require(idx >= 0, "generatorPass: no FROM clause for the nested generator")
         idx
       }
+      if (fromIdx < 0) {
+        // FROM-less SELECT carrying a nested generator (the
+        // reference's `SELECT CAST(UNNEST(xs) AS T)` constant form,
+        // test_complex_macro.test nested_cte): synthesize a one-row
+        // FROM for the lateral view at the end of the select's
+        // clause region (before a same-depth clause keyword / the
+        // enclosing subquery's `)` / end of statement)
+        val kws = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+          "QUALIFY", "UNION", "EXCEPT", "INTERSECT", "WINDOW", "OFFSET")
+        var ins = sql.length
+        var i2 = castStart
+        var depth = d
+        var q = false
+        var going = true
+        while (going && i2 < sql.length) {
+          val c = sql.charAt(i2)
+          if (c == '\'') q = !q
+          else if (!q && c == '(') depth += 1
+          else if (!q && c == ')') {
+            depth -= 1
+            if (depth < d) { ins = i2; going = false }
+          } else if (!q && c == ';' && depth == d) { ins = i2; going = false }
+          else if (!q && depth == d && c.isLetter &&
+              (i2 == 0 || !sql.charAt(i2 - 1).isLetterOrDigit)) {
+            val w = sql.substring(i2).takeWhile(_.isLetterOrDigit).toUpperCase
+            if (kws(w)) { ins = i2; going = false }
+            else i2 += w.length - 1
+          }
+          if (going) i2 += 1
+        }
+        sql = sql.substring(0, ins) + s" FROM (SELECT 1) AS __gone$n " +
+          lv + " " + sql.substring(ins)
+        m = CastExplode.findFirstMatchIn(sql)
+      } else {
       // end of the first table ref: consume the ref itself (bare name,
       // table-function call like explode(sequence(..)), or subquery),
       // then any alias — `t`, `AS t`, or `t(col, ..)` — so the LATERAL
@@ -141,6 +174,7 @@ object SqlPasses {
       } else j = save
       sql = sql.substring(0, j) + lv + sql.substring(j)
       m = CastExplode.findFirstMatchIn(sql)
+      }
     }
     sql
   }

@@ -212,7 +212,8 @@ object RefTestSweep {
               val key = Option(e.getMessage).getOrElse(e.getClass.getName)
                 .linesIterator.next().take(90)
               val (n, ex) = crashes.getOrElse(key, (0, ""))
-              crashes(key) = (n + 1, if (ex.isEmpty) sql.take(160) else ex)
+              crashes(key) = (n + 1,
+                if (ex.isEmpty) s"[$file] " + sql.take(160) else ex)
               None
           }
         t.foreach { out =>
