@@ -391,7 +391,7 @@ object DuckDialect {
             // reference, an identifier in Spark
             next(); val __astr = next().text
             out += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'"))
-          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) =>
+          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) && !peekAt(1).contains(TOp(".")) =>
             next(); lastGlue = w.toUpperCase; out += w
           case TOp(",") =>
             // the reference tolerates trailing commas in clause lists
@@ -444,7 +444,7 @@ object DuckDialect {
             // reference, an identifier in Spark
             next(); val __astr = next().text
             out += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'"))
-          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) =>
+          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) && !peekAt(1).contains(TOp(".")) =>
             next(); lastGlue = w.toUpperCase; out += w
           case TOp(",") =>
             // the reference tolerates trailing commas in clause lists
@@ -723,7 +723,7 @@ object DuckDialect {
       while (more && !peekWord("FROM") && !peekWord("ORDER") &&
           !peekOp(")") && !peekOp(";")) {
         peek match {
-          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) => next(); sel += w
+          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) && !peekAt(1).contains(TOp(".")) => next(); sel += w
           case TOp(",") => next(); sel += ","
           case _ => sel += expr(0)
         }
@@ -737,7 +737,7 @@ object DuckDialect {
             // reference, an identifier in Spark
             next(); val __astr = next().text
             fromPart += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'"))
-          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) =>
+          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) && !peekAt(1).contains(TOp(".")) =>
             next(); lastGlue = w.toUpperCase; fromPart += w
           case TOp(",") | TOp(";") => fromPart += next().text
           case _ => fromPart += expr(0)
@@ -750,7 +750,7 @@ object DuckDialect {
         // window spec — stop the order scan there
         while (more && !peekOp(")") && !peekWord("LIMIT") && !peekWord("OFFSET")) {
           peek match {
-            case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) => next(); order += w
+            case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) && !peekAt(1).contains(TOp(".")) => next(); order += w
             case TOp(",") => next(); order += ","
             case _ => order += expr(0)
           }
@@ -917,7 +917,7 @@ object DuckDialect {
             // reference, an identifier in Spark
             next(); val __astr = next().text
             fromPart += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'"))
-          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) =>
+          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) && !peekAt(1).contains(TOp(".")) =>
             next(); lastGlue = w.toUpperCase; fromPart += w
           case TOp(",") => next(); fromPart += ","
           case TOp("(") => fromPart += primaryParen()
@@ -927,7 +927,7 @@ object DuckDialect {
       val rest = new ArrayBuffer[String]
       while (more && !peekOp(")")) {
         peek match {
-          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) => next(); rest += w
+          case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) && !peekAt(1).contains(TOp(".")) => next(); rest += w
           case TOp(",") | TOp(";") => rest += next().text
           case _ => rest += expr(0)
         }
@@ -2043,6 +2043,22 @@ object DuckDialect {
       // unnest(x, recursive := true): one structural level collapses
       // per flatten — the reference's recursive flag for
       // list-of-list inputs (transform of unnest's named parameter)
+      // regexp_extract(s, re, ['a','b']) — the reference's NAMED
+      // capture-group form returns a struct of the groups
+      // (regex_capture.test); Spark's third arg is an index, so emit
+      // named_struct of per-index extracts
+      if (low == "regexp_extract") {
+        val args0 = parts.filterNot(_ == ",")
+        if (args0.length == 3 && args0(2).trim.startsWith("array(")) {
+          val names = "'([^']*)'".r.findAllMatchIn(args0(2)).map(_.group(1)).toSeq
+          if (names.nonEmpty) {
+            val fields = names.zipWithIndex.map { case (nm, i) =>
+              s"'$nm', regexp_extract(${args0(0)}, ${args0(1)}, ${i + 1})"
+            }
+            out = s"named_struct(${fields.mkString(", ")})"
+          }
+        }
+      }
       if (low == "unnest" &&
           parts.exists(_.toLowerCase.startsWith("recursive =>"))) {
         val pos = parts.filterNot(p => p == "," ||
