@@ -362,22 +362,25 @@ object GraftSql {
         // OFFSET skips first, then pct% of the total follows
         // (test_limit_percent.test:102 pinned: range(10) LIMIT 50%
         // OFFSET 2 = rows 2..6)
-        def evalNum(raw: String, what: String): Double =
+        // NULL percent means 100% and NULL offset means 0 (pinned:
+        // `LIMIT (NULL)%` returns all rows in the reference); percent
+        // outside [0,100] is OutOfRangeException, never a clamp
+        // (bind_select_node.cpp / physical_limit_percent.cpp)
+        def evalNum(raw: String, what: String, ifNull: Double): Double =
           if (raw.matches("""\d+(\.\d+)?""")) raw.toDouble
           else {
             val row = spark.sql(translate(s"SELECT CAST(($raw) AS DOUBLE)")).first
-            // NULL percent/offset is an error in the reference (not an
-            // NPE); clamping below keeps negatives from reaching Spark
-            if (row.isNullAt(0)) throw new IllegalArgumentException(
-              s"LIMIT percent $what expression must not evaluate to NULL")
-            row.getDouble(0)
+            if (row.isNullAt(0)) ifNull else row.getDouble(0)
           }
-        val pct = evalNum(pctRaw, "percent")
+        val pct = evalNum(pctRaw, "percent", ifNull = 100.0)
+        if (pct < 0.0 || pct > 100.0) throw new IllegalArgumentException(
+          "Out of Range Error: Limit percent out of range, should be " +
+          "between 0% and 100%")
         val df = spark.sql(translate(inner))
         val n = df.count()
-        val keep = math.floor(n * (pct.max(0.0).min(100.0)) / 100.0).toInt
+        val keep = math.floor(n * pct / 100.0).toInt
         val base = off match {
-          case Some(o) => df.offset(evalNum(o, "offset").toInt.max(0))
+          case Some(o) => df.offset(evalNum(o, "offset", ifNull = 0.0).toInt.max(0))
           case None => df
         }
         return base.limit(keep)
@@ -749,6 +752,26 @@ object GraftSql {
       val rc = sql(spark, s"SELECT * FROM $rRel0 __c").columns
       val cols = (lc.map(c => s"$lAl.`$c`") ++ rc.map(c => s"$rAl.`$c`")).mkString(", ")
       out = m.group(1) + cols + m.group(2) + out.substring(m.end)
+    }
+    // the reference's POSITIONAL JOIN emits rows in zip order; a FULL
+    // JOIN on row_number loses it. When the user gave no ORDER BY (and
+    // the statement isn't aggregating / a set op), sort by the
+    // coalesced position — ORDER BY may reference non-projected FROM
+    // columns, so __pos still never leaks into the output (r13 advice).
+    import graft.sources.DmlSql.topIndexOf
+    val selectHead = sql0.substring(0, fromIdx)
+    val aggregating =
+      "(?i)\\b(count|sum|min|max|avg)\\s*\\(".r.findFirstIn(selectHead).isDefined
+    val blocked = Seq("ORDER", "GROUP", "UNION", "INTERSECT", "EXCEPT")
+      .exists(k => topIndexOf(out, k) >= 0)
+    if (!blocked && !aggregating) {
+      val orderBy = s" ORDER BY COALESCE($lAl.__pos, $rAl.__pos)"
+      val limIdx = Seq("LIMIT", "OFFSET").map(k => topIndexOf(out, k))
+        .filter(_ >= 0).reduceOption(_ min _)
+      out = limIdx match {
+        case Some(i) => out.substring(0, i) + orderBy + " " + out.substring(i)
+        case None => out + orderBy
+      }
     }
     out
   }

@@ -237,9 +237,10 @@ object AsofSql {
         .headOption.filter(_.nonEmpty)
       val view = s"__asof_rel_${viewId.incrementAndGet()}"
       df.createOrReplaceTempView(view)
-      // the alias must resolve in the spliced statement — register it
-      // as a second view name pointing at the same frame
-      alias.foreach(a => df.createOrReplaceTempView(a))
+      // do NOT register the raw alias as a session view: it would
+      // outlive the statement and shadow same-named catalog tables
+      // for every later query (r13 advice). Alias qualifiers in the
+      // spliced statement are handled by strip()/renameRefs instead.
       (view, alias)
     } else {
       val parts = t.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))

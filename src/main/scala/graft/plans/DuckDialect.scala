@@ -956,10 +956,10 @@ object DuckDialect {
       * `"a(b"` or `` `a(b` `` must not count, mirroring the lexer);
       * -1 if unbalanced. */
     private def matchingClose(s: String, open: Int): Int = {
-      var depth = 0; var i = open; var q = ' '
+      var depth = 0; var i = open; var q = '\u0000'
       while (i < s.length) {
         val c = s.charAt(i)
-        if (q != ' ') { if (c == q) q = ' ' }
+        if (q != '\u0000') { if (c == q) q = '\u0000' }
         else if (c == '\'' || c == '"' || c == '`') q = c
         else if (c == '(') depth += 1
         else if (c == ')') { depth -= 1; if (depth == 0) return i }

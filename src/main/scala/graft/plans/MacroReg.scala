@@ -184,11 +184,20 @@ object MacroReg {
     // itself 10×64 times and overflow the parser's stack; past the
     // budget the call text stays put and resolves like the builtin
     val spent = scala.collection.mutable.HashMap.empty[String, Int]
+    // the budget only guards SELF-RECURSIVE macros (body calls its own
+    // bare name); a non-recursive macro with >16 call sites in one
+    // statement must expand them all (r13 advice)
+    def selfRecursive(name: String): Boolean = {
+      val re = ("(?i)(?<![\\w.])" +
+        java.util.regex.Pattern.quote(name) + "\\s*\\(").r
+      val sigs = macros.get(name)
+      sigs != null && sigs.exists(s => re.findFirstIn(s.body).isDefined)
+    }
     while (changed && rounds < 10) {
       changed = false
       rounds += 1
       macros.forEach { (name, sigs) =>
-       if (spent.getOrElse(name, 0) < 16) {
+       if (!selfRecursive(name) || spent.getOrElse(name, 0) < 16) {
         // schema-qualified call sites (main.my_macro(..)) expand too —
         // macros registered bare, the qualifier names the schema
         val CallRe = ("(?i)(?<![\\w.])(?:[A-Za-z_]\\w*\\.)?" +
@@ -212,7 +221,8 @@ object MacroReg {
                   case Left(_) =>
                 }
               }
-              if (expanded != null && spent.getOrElse(name, 0) < 16) {
+              if (expanded != null &&
+                  (!selfRecursive(name) || spent.getOrElse(name, 0) < 16)) {
                 spent(name) = spent.getOrElse(name, 0) + 1
                 sql = sql.substring(0, start) + s"($expanded)" +
                   sql.substring(close + 1)

@@ -391,7 +391,15 @@ object Txn {
     // listing, which cannot coexist with a concurrent commit.
     secs.values.find(o => (o ne tx) && o.written.contains(k) && {
       val otherReplaced = o.replaced.getOrElse(k, mutable.Set.empty[String])
+      // a file the other live transaction CREATED but has not yet
+      // committed is also off-limits (r13, advice): it is physically
+      // present (so it lands in this tx's begin listing), but
+      // replacing it would move it into THIS tx's trash — the other
+      // side's ROLLBACK could then no longer delete it and its
+      // rolled-back rows would survive, an atomicity violation.
+      val otherCreated = o.createdSet(k).map(norm)
       (replacingN & otherReplaced.toSet).nonEmpty ||
+        (replacingN & otherCreated.toSet).nonEmpty ||
         // a pure INSERT on the other side never blocks; but if either
         // side REPLACED files while the other replaces an overlapping
         // region the begin-listing check below catches stale files —

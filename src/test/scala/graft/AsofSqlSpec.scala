@@ -65,6 +65,20 @@ class AsofSqlSpec extends AnyFunSuite {
     assert(got === Seq((1, 11), (2, 12)))
   }
 
+  test("r13: parenthesized-relation alias does not shadow same-named views") {
+    fixture
+    // `(SELECT …) trades13 ASOF JOIN …` must not re-point the session
+    // name `trades13` at the subquery frame for later statements
+    spark.sql("SELECT 99 AS marker").createOrReplaceTempView("trades13")
+    val out = GraftSql.sql(spark,
+      "SELECT lid, rid FROM (SELECT * FROM asof_l) trades13 ASOF JOIN asof_r r " +
+      "ON trades13.k = r.rk AND trades13.t >= r.rt ORDER BY lid")
+      .collect().map(r => (r.getInt(0), r.get(1))).toSeq
+    assert(out === Seq((1, 11), (2, 12)))
+    assert(spark.table("trades13").columns.toSeq == Seq("marker"))
+    spark.catalog.dropTempView("trades13")
+  }
+
   test("ASOF RIGHT JOIN: inner match set right-outer-extended (DuckDB-pinned)") {
     fixture
     // DuckDB 1.0: [(NULL,10), (1,11), (2,12), (NULL,13)] — the inner

@@ -220,13 +220,19 @@ class DialectCornersSpec extends AnyFunSuite {
     assert(one("SELECT finalize(count(*) EXPORT_STATE) c FROM fs2") == Seq(2L))
   }
 
-  test("r12: LIMIT percent NULL/negative expression percents (reference error/0-row)") {
+  test("r13: LIMIT percent edge semantics pinned against the reference") {
     GraftSql.sql(spark, "CREATE OR REPLACE TEMP VIEW lp2 AS SELECT * FROM range(10) t(a)")
-    intercept[Exception] {
-      GraftSql.sql(spark, "SELECT a FROM lp2 LIMIT (NULL) %").collect()
-    }
-    assert(GraftSql.sql(spark, "SELECT a FROM lp2 LIMIT (0-50) %").collect().isEmpty)
-    assert(GraftSql.sql(spark, "SELECT a FROM lp2 LIMIT (200) %").collect().length == 10)
+    // NULL percent means 100%, NULL offset means 0 (not an error)
+    assert(GraftSql.sql(spark, "SELECT a FROM lp2 LIMIT (NULL) %").collect().length == 10)
+    assert(GraftSql.sql(spark, "SELECT a FROM lp2 LIMIT 50% OFFSET (NULL)")
+      .collect().length == 5)
+    // out-of-range percent is OutOfRangeException, never a clamp
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "SELECT a FROM lp2 LIMIT (0-50) %").collect()
+    }.getMessage.contains("Out of Range"))
+    assert(intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "SELECT a FROM lp2 LIMIT (200) %").collect()
+    }.getMessage.contains("Out of Range"))
   }
 
   test("BC dates: astronomical year mapping (year N BC = -(N-1))") {

@@ -76,6 +76,17 @@ class DialectRobustnessSpec extends AnyFunSuite {
     GraftSql.sql(spark, "DROP MACRO IF EXISTS rob_add") // no-throw
   }
 
+  test("r13: >16 call sites of a non-recursive macro all expand") {
+    GraftSql.sql(spark, "CREATE MACRO rob_inc(a) AS a + 1")
+    try {
+      // 20 sites in one statement: the self-recursion budget must not
+      // leave the tail sites unexpanded (they'd fail as unknown fns)
+      val terms = (1 to 20).map(i => s"rob_inc($i)").mkString(" + ")
+      val got = GraftSql.sql(spark, s"SELECT $terms AS s").collect()(0).get(0)
+      assert(got.toString === (1 to 20).map(_ + 1).sum.toString)
+    } finally GraftSql.sql(spark, "DROP MACRO IF EXISTS rob_inc")
+  }
+
   test("trailing commas in VALUES and select lists are tolerated") {
     assert(GraftSql.sql(spark, "SELECT * FROM (VALUES (1), (2),) t(i)").count() === 2)
     assert(GraftSql.sql(spark, "SELECT 1 AS a, 2 AS b, FROM range(1)")

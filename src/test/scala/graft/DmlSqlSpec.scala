@@ -371,6 +371,44 @@ class DmlSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("r13: another live writer cannot replace a transaction's uncommitted INSERT file") {
+    // advice r12→13 (high): tx A INSERTs (a new file, uncommitted);
+    // tx B begins after and rewrites the table — B's rewrite would
+    // move A's created file into B's trash, after which A's ROLLBACK
+    // can no longer delete it and A's rolled-back rows would survive.
+    // The write-time check must conflict on another live secondary's
+    // createdSet, not just its replaced set.
+    import graft.sources.Txn
+    spark.sql("CREATE DATABASE IF NOT EXISTS txn4db")
+    spark.sql("USE txn4db")
+    spark.sql("DROP TABLE IF EXISTS t4a")
+    try {
+      GraftSql.runScript(spark,
+        """CREATE OR REPLACE TABLE t4a (x INTEGER, y DOUBLE);
+          |INSERT INTO t4a VALUES (1, 10.0)""".stripMargin)
+      Txn.onConnection(1) { GraftSql.sql(spark, "BEGIN") }
+      Txn.onConnection(1) { GraftSql.sql(spark, "INSERT INTO t4a VALUES (5, 50.0)") }
+      Txn.onConnection(2) { GraftSql.sql(spark, "BEGIN") }
+      val e = intercept[Exception] {
+        // full-table rewrite: its hit list includes A's created file
+        Txn.onConnection(2) { GraftSql.sql(spark, "UPDATE t4a SET y = 0 WHERE y >= 0") }
+      }
+      assert(e.getMessage.contains("Conflict on update"), e.getMessage)
+      Txn.onConnection(2) { GraftSql.sql(spark, "ROLLBACK") }
+      Txn.onConnection(1) { GraftSql.sql(spark, "ROLLBACK") }
+      // A's rolled-back insert is fully gone; the committed row intact
+      val rows = spark.sql("SELECT x, y FROM t4a").collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+      assert(rows === Seq((1, 10.0)))
+    } finally {
+      Txn.onConnection(2) { if (Txn.isActive) Txn.rollback(spark) }
+      Txn.onConnection(1) { if (Txn.isActive) Txn.rollback(spark) }
+      if (Txn.isActive) Txn.rollback(spark)
+      spark.sql("DROP TABLE IF EXISTS t4a")
+      spark.sql("USE default")
+    }
+  }
+
   test("secondary connection gets repeatable reads: pinned snapshot across a concurrent commit") {
     // Pinned against two python-duckdb connections on one database
     // file (duck_transaction_manager.cpp MVCC contract, captured this

@@ -95,6 +95,13 @@ class SweepTailSpec extends AnyFunSuite {
       Seq(Seq(1, 10), Seq(2, 20), Seq(3, null)))
     assert(rows("SELECT t1.a, t2.b FROM pj3 t1 POSITIONAL JOIN pj2 t2 WHERE t1.a <> 2") ==
       Seq(Seq(1, 10), Seq(3, null)))
+    // r13: zip OUTPUT ORDER survives LIMIT without an explicit ORDER BY
+    // (the rewrite appends ORDER BY the coalesced position)
+    assert(rows("SELECT t1.a, t2.b FROM pj3 t1 POSITIONAL JOIN pj2 t2 LIMIT 2") ==
+      Seq(Seq(1, 10), Seq(2, 20)))
+    // an explicit ORDER BY still wins
+    assert(rows("SELECT t1.a, t2.b FROM pj3 t1 POSITIONAL JOIN pj2 t2 ORDER BY t1.a DESC LIMIT 1") ==
+      Seq(Seq(3, null)))
   }
 
   test("ASOF SEMI JOIN and ASOF over parenthesized relations in CTE bodies") {
