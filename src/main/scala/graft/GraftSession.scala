@@ -59,6 +59,14 @@ object GraftSession {
       // default for multi-file buckets, which never occur here.
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "400m")
+      // ObjectHashAggregate (every TypedImperativeAggregate: session
+      // counting, collect_list-style buffers) falls back to SORT-based
+      // aggregation after only 128 distinct keys by default — for
+      // st02's 100k users that silently re-introduces the full sort of
+      // every event row the aggregate formulation exists to avoid.
+      // Buffers here are bounded primitive arrays; 4M keys per
+      // partition is well inside executor memory at 32 partitions.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.sql.session.timeZone", "UTC")
       // Testdata parquet stores naive timestamp[us]; read it as the
       // session-zone (UTC) instant type, not TIMESTAMP_NTZ, so the

@@ -69,9 +69,24 @@ case class SessionCountAgg(
   override def createAggregationBuffer(): TsBuffer =
     new TsBuffer(new Array[Long](8), 0)
 
+  // per-row fast path: by evaluation time the child is a
+  // BoundReference to the projected epoch-µs column — read the long
+  // primitively instead of boxing 15M java.lang.Longs through eval
+  // (r13: the scan+partial stage is the whole remaining st02 gap)
+  @transient private[this] var boundOrd: Int = -2 // -2 unresolved, -1 general
+
   override def update(buf: TsBuffer, input: InternalRow): TsBuffer = {
-    val v = child.eval(input)
-    if (v != null) buf.append(v.asInstanceOf[Long])
+    if (boundOrd == -2) boundOrd = child match {
+      case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+        if b.dataType == LongType => b.ordinal
+      case _ => -1
+    }
+    if (boundOrd >= 0) {
+      if (!input.isNullAt(boundOrd)) buf.append(input.getLong(boundOrd))
+    } else {
+      val v = child.eval(input)
+      if (v != null) buf.append(v.asInstanceOf[Long])
+    }
     buf
   }
 

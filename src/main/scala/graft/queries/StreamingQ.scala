@@ -49,11 +49,21 @@ object StreamingQ {
       // buffer sorts its own few hundred elements at eval). Gap test
       // in epoch-µs longs, matching the oracle's interval compare
       // exactly; tie order is irrelevant to the session count.
-      // Measured at sf10: 2.07 s (window-lag plan) → 1.3 s.
+      // r13: repartition BY KEY first, so the aggregate plans in
+      // COMPLETE mode. For a collect-style buffer the map-side partial
+      // pass shrinks nothing (every timestamp crosses the wire either
+      // way) — it only adds a 100k-entry buffer map per mapper plus a
+      // serialize/merge of every buffer. Same single exchange, rows
+      // hash once into ~3k buffers per reducer. Measured at sf10:
+      // 2.07 s (window-lag) → 1.6 s (partial+final agg) → 0.87 s
+      // (complete-mode agg, Probe st02c). Needs the raised
+      // objectHashAggregate fallback threshold (GraftSession) or the
+      // 3k keys/partition re-introduce a sort-based fallback.
       // The window-lag formulation lives on in SessionizeSpec, which
       // proves window == aggregate == stateful-streaming.
       t(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("ms"))
+        .repartition(col("user_id"))
         .groupBy(col("user_id"))
         .agg(graft.operators.SessionCount
           .sessionCount(col("ms"), 30L * 60 * 1000000)

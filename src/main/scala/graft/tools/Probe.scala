@@ -290,6 +290,48 @@ object Probe {
               .orderBy(col("user_id"))))
         }
         spark.stop(); return
+      case "st02c" :: _ =>
+        // A/B: SessionCountAgg vs repartition+sorted-run mapPartitions
+        // (partial agg does NOT shrink a collect-style buffer shuffle,
+        // so the map-side hash machinery may be pure overhead)
+        val ev = graft.sources.Catalog.table(spark, sfDir, "events")
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val gap = 30L * 60 * 1000000
+        import spark.implicits._
+        (1 to 3).foreach { i =>
+          time(s"agg     r$i")(noop(
+            ev.select(col("user_id"), unix_micros(col("ts")).as("ms"))
+              .groupBy(col("user_id"))
+              .agg(graft.operators.SessionCount
+                .sessionCount(col("ms"), gap)
+                .cast("bigint").as("n_sessions"))))
+          time(s"repagg  r$i")(noop(
+            ev.select(col("user_id"), unix_micros(col("ts")).as("ms"))
+              .repartition(col("user_id"))
+              .groupBy(col("user_id"))
+              .agg(graft.operators.SessionCount
+                .sessionCount(col("ms"), gap)
+                .cast("bigint").as("n_sessions"))))
+          time(s"sortrun r$i")(noop(
+            ev.select(col("user_id").cast("long").as("u"), unix_micros(col("ts")).as("ms"))
+              .repartition(col("u")).sortWithinPartitions("u", "ms")
+              .as[(Long, Long)]
+              .mapPartitions { it =>
+                val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+                var curU = Long.MinValue; var prev = 0L; var n = 0L; var any = false
+                for ((u, ms) <- it) {
+                  if (u != curU || !any) {
+                    if (any) out += ((curU, n))
+                    curU = u; n = 1L; any = true
+                  } else if (ms - prev > gap) n += 1
+                  prev = ms
+                }
+                if (any) out += ((curU, n))
+                out.iterator
+              }.toDF("user_id", "n_sessions")))
+        }
+        spark.stop(); return
       case "st02agg" :: _ =>
         // A/B: window-lag formulation vs SessionCountAgg
         val ev = graft.sources.Catalog.table(spark, sfDir, "events")
