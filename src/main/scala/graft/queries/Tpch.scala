@@ -66,7 +66,56 @@ object Tpch {
     * custkey AND the customer⋈orders result on orderkey: two
     * fact-scale exchanges plus the burst-prone hash build.
     */
-  private[queries] def q5Plan(tab: String => DataFrame,
+  /** Q5 variant folding the dimension PREP into the fact scans: the
+    * euro nation keys (≤25 rows — region⋈nation is driver-bounded at
+    * any scale) collect once and ride into the supplier/customer
+    * filters as literal IN-lists, so the plan launches no broadcast
+    * build jobs for euroNations and only ONE for the supplier slice.
+    * The r12 shape paid three small broadcast-exchange builds (two of
+    * nation⋈region, one of supplier⋈nations) — pure fixed wall at
+    * bench scale (~0.8 s attribution, r12 §6 receipt).
+    */
+  private[graft] def q5PlanV2(tab: String => DataFrame,
+                              bucketed: Boolean = false): DataFrame = {
+    val euroN = tab("nation")
+      .join(broadcast(tab("region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+      .collect() // bounded: ≤ the 25-row nation dimension
+    val euroKeys = euroN.map(_.get(0)).toSeq
+    val euroSup = tab("supplier")
+      .filter(col("s_nationkey").isin(euroKeys: _*))
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val li = tab("lineitem")
+      .join(broadcast(euroSup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("s_nationkey"),
+        revenueUnits(col("l_extendedprice"), col("l_discount")).as("__rev"))
+    val ord = tab("orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val lo =
+      if (bucketed) li.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      else li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+    val perCust = lo
+      .groupBy(col("o_custkey"), col("s_nationkey"))
+      .agg(sum(col("__rev")).as("__rev1"))
+    val cust = tab("customer")
+      .filter(col("c_nationkey").isin(euroKeys: _*))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val names = euroN.map(r => (r.get(0), r.getString(1))).toMap
+    val nameExpr = names.foldLeft(lit(null).cast("string")) {
+      case (acc, (k, v)) => when(col("s_nationkey") === lit(k), lit(v)).otherwise(acc)
+    }
+    perCust.join(cust.hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey")
+          && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(sumFromUnits(col("__rev1")).as("revenue"))
+      .select(nameExpr.as("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private[graft] def q5Plan(tab: String => DataFrame,
                               bucketed: Boolean = false): DataFrame = {
     val euroNations = tab("nation")
       .join(broadcast(tab("region").filter(col("r_name") === "EUROPE")),
@@ -262,7 +311,7 @@ object Tpch {
       // — three int64s. n_name (a string per lineitem row!) does NOT
       // ride the shuffle: the groupBy keys the nationkey and the name
       // re-attaches via a broadcast join onto the ≤25 aggregated rows.
-      q5Plan(n => t(s, dir, n))
+      q5PlanV2(n => t(s, dir, n))
     },
 
     // Q6: forecast revenue — pure scan+filter+agg; predicates must all

@@ -23,7 +23,7 @@ object TpchBucketed {
       Tpch.q3Plan(n => Bucketize.table(s, dir, n))
     },
     QDef.sql("tpch_q5_bucketed", oracleOf("tpch_q5")) { (s, dir) =>
-      Tpch.q5Plan(n => Bucketize.table(s, dir, n), bucketed = true)
+      Tpch.q5PlanV2(n => Bucketize.table(s, dir, n), bucketed = true)
     },
     QDef.sql("tpch_q10_bucketed", oracleOf("tpch_q10")) { (s, dir) =>
       Tpch.q10Plan(n => Bucketize.table(s, dir, n))

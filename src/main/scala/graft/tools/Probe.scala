@@ -290,6 +290,18 @@ object Probe {
               .orderBy(col("user_id"))))
         }
         spark.stop(); return
+      case "q5ab" :: _ =>
+        // A/B: r12 bucketed q5 vs the V2 prep-folded shape
+        import graft.sources.Bucketize
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        (1 to 4).foreach { i =>
+          time(s"q5b     r$i")(noop(
+            graft.queries.Tpch.q5Plan(n => Bucketize.table(spark, sfDir, n), bucketed = true)))
+          time(s"q5b_v2  r$i")(noop(
+            graft.queries.Tpch.q5PlanV2(n => Bucketize.table(spark, sfDir, n), bucketed = true)))
+        }
+        spark.stop(); return
       case "st02c" :: _ =>
         // A/B: SessionCountAgg vs repartition+sorted-run mapPartitions
         // (partial agg does NOT shrink a collect-style buffer shuffle,
