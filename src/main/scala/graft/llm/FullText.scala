@@ -162,6 +162,54 @@ object FullText {
       .parquet(s"$dir/postings")
   }
 
+  /** Build-once persisted FTS index keyed by a corpus fingerprint
+    * (same discipline as [[Similarity.ensureIvfIndex]]). */
+  def ensureFtsIndex(docs: DataFrame, idCol: String, textCol: String,
+                     nBuckets: Int): String = {
+    val fp = Similarity.corpusFingerprint(docs, s"fts;b=$nBuckets;v=1")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_fts_$fp"
+    Similarity.ensureBuilt(docs.sparkSession, dir) {
+      writeFtsIndex(docs, idCol, textCol, dir, nBuckets)
+    }
+    dir
+  }
+
+  /** Index search emitting the same cross-engine-portable shape as
+    * [[bm25TopKPortable]] — (rank, doc id, n_terms, tf_sum, dl), the
+    * float score used only to order. The postings already carry
+    * (tf, df, dl) per (term, doc) and stats (n, avgdl), so the scored
+    * frame is identical to the index-free one and the SAME DuckDB
+    * oracle gates both paths (r13: upgrades s06 from rows-only).
+    */
+  def searchFtsIndexPortable(spark: SparkSession, dir: String,
+                             terms: Seq[String], k: Int,
+                             nBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val buckets = terms.toDF("t")
+      .select(termBucket(col("t"), nBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val stats = spark.read.parquet(s"$dir/stats")
+    val topk = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isInCollection(buckets))
+      .filter(col("term").isInCollection(terms))
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("dl"), col("tf"),
+        bm25TermScore(col("tf"), col("df"), col("dl"),
+          col("n"), col("avgdl")).as("s"))
+      .groupBy(col("id"), col("dl"))
+      .agg(sum(col("s")).as("score"),
+        count(lit(1)).as("n_terms"), sum(col("tf")).as("tf_sum"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+    topk
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("id")))
+          .cast("bigint"))
+      .select(col("rnk"), col("id").as("doc_id"), col("n_terms"),
+        col("tf_sum"), col("dl").cast("bigint").as("dl"))
+  }
+
   /** Search a persisted index: reads ONLY the buckets the query terms
     * hash to (partition filter on `bucket` — static pruning, visible
     * as PartitionFilters in the scan), scores, top-k. No corpus scan,

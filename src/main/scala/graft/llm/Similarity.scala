@@ -228,29 +228,42 @@ object Similarity {
     */
   def ensureIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
                      maxCentroids: Int): String = {
-    val spark = corpus.sparkSession
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val fp = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-      corpus.inputFiles.sorted.foreach { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        val st = p.getFileSystem(hconf).getFileStatus(p)
-        h.update(s"$f:${st.getLen}:${st.getModificationTime};".getBytes("UTF-8"))
-      }
-      // layout version: bump to invalidate indexes built by older code
-      h.update(s"k=$maxCentroids;v=2".getBytes("UTF-8"))
-      h.digest().map("%02x".format(_)).mkString.take(16)
-    }
+    // layout version: bump to invalidate indexes built by older code
+    val fp = corpusFingerprint(corpus, s"k=$maxCentroids;v=2")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$fp"
+    ensureBuilt(corpus.sparkSession, dir) {
+      writeIvfIndex(corpus, vecCol, idCol, maxCentroids, dir)
+    }
+    dir
+  }
+
+  /** Fingerprint of a frame's SOURCE FILES (path + length + mtime; no
+    * data scan) plus a salt — keys build-once artifacts so a
+    * regenerated corpus invalidates while repeat queries reuse.
+    */
+  private[graft] def corpusFingerprint(corpus: DataFrame, salt: String): String = {
+    val hconf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    val h = java.security.MessageDigest.getInstance("MD5")
+    corpus.inputFiles.sorted.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(hconf).getFileStatus(p)
+      h.update(s"$f:${st.getLen}:${st.getModificationTime};".getBytes("UTF-8"))
+    }
+    h.update(salt.getBytes("UTF-8"))
+    h.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Run `build` once per artifact dir (marker-file guarded). */
+  private[graft] def ensureBuilt(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String)(build: => Unit): Unit = {
     val done = new org.apache.hadoop.fs.Path(s"$dir/_GRAFT_INDEX_READY")
-    val fs = done.getFileSystem(hconf)
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
     ivfBuildLock.synchronized {
       if (!fs.exists(done)) {
-        writeIvfIndex(corpus, vecCol, idCol, maxCentroids, dir)
+        build
         fs.create(done, true).close()
       }
     }
-    dir
   }
 
   private[this] val ivfBuildLock = new Object

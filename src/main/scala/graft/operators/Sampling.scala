@@ -54,4 +54,36 @@ object Sampling {
     }
     df.where(rand(seed) < rate)
   }
+
+  /** The top 16 bits of md5(tag:key) as a uniform draw in [0, 65536) —
+    * the md5-threshold accept the mixture sampler (llm/Curation) uses.
+    * Key-DETERMINISTIC sampling: the same row is kept on every run, on
+    * any cluster size, in any engine with md5 — the reproducibility a
+    * 100 TB training pipeline needs (re-runs and incremental adds see
+    * a consistent sample), and what lets these entries carry a real
+    * DuckDB oracle instead of a rows-only check (r13 upgrade).
+    */
+  private def keyU16(key: Column, tag: String): Column =
+    conv(substring(md5(concat(lit(tag + ":"), key.cast("string"))), 1, 4),
+      16, 10).cast("bigint")
+
+  /** Bernoulli sampling, deterministic by key: keep a row iff its md5
+    * draw falls under p·65536. Pure scan-side filter, no shuffle.
+    */
+  def bernoulliByKey(df: DataFrame, key: Column, p: Double,
+                     tag: String = "bern"): DataFrame =
+    df.where(keyU16(key, tag) < math.floor(p * 65536.0).toLong)
+
+  /** Stratified sampling, deterministic by key: an independent
+    * md5-threshold rate per stratum. Strata absent from `fractions`
+    * drop (rate 0).
+    */
+  def stratifiedByKey(df: DataFrame, key: Column, strataCol: Column,
+                      fractions: Map[String, Double],
+                      tag: String = "strat"): DataFrame = {
+    val rate = fractions.foldLeft(lit(0.0)) { case (acc, (k, p)) =>
+      when(strataCol === k, p).otherwise(acc)
+    }
+    df.where(keyU16(key, tag) < floor(rate * 65536.0).cast("bigint"))
+  }
 }

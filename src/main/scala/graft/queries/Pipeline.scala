@@ -12,6 +12,39 @@ import graft.sources.Catalog
   * asserted by ScalaTest specs instead — see PipelineSpec).
   */
 object Pipeline {
+  /** BM25 oracle shared by the index-free (s05) and persisted-index
+    * (s06) entries: identical statistics, identical integer-only
+    * portable output — storage layout must never change answers.
+    */
+  private val bm25OracleSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sized AS (
+      |  SELECT doc_id, len(toks) AS dl, toks FROM base),
+      |stats AS (
+      |  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM sized),
+      |tf AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM sized)
+      |  WHERE term IN ('spark', 'join', 'vector')
+      |  GROUP BY doc_id, dl, term),
+      |df AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.dl,
+      |    SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))) AS score,
+      |    COUNT(*) AS n_terms, SUM(tf.tf) AS tf_sum
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats
+      |  GROUP BY tf.doc_id, tf.dl),
+      |topk AS (
+      |  SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+      |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+      |  doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+      |  CAST(tf_sum AS BIGINT) AS tf_sum, CAST(dl AS BIGINT) AS dl
+      |FROM topk""".stripMargin
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Catalog.table(s, dir, name)
 
@@ -253,48 +286,23 @@ object Pipeline {
     // differ in the last ulp, so no float-derived value is comparable
     // bit-for-bit across engines (FtsSpec carries score-value coverage
     // via the pinned hand-computed case + index == index-free).
-    QDef.sql("s05_fts_bm25",
-      """WITH base AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |sized AS (
-        |  SELECT doc_id, len(toks) AS dl, toks FROM base),
-        |stats AS (
-        |  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM sized),
-        |tf AS (
-        |  SELECT doc_id, dl, term, COUNT(*) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM sized)
-        |  WHERE term IN ('spark', 'join', 'vector')
-        |  GROUP BY doc_id, dl, term),
-        |df AS (
-        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        |scored AS (
-        |  SELECT tf.doc_id, tf.dl,
-        |    SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-        |      * (tf.tf * 2.2)
-        |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))) AS score,
-        |    COUNT(*) AS n_terms, SUM(tf.tf) AS tf_sum
-        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats
-        |  GROUP BY tf.doc_id, tf.dl),
-        |topk AS (
-        |  SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
-        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
-        |  doc_id, CAST(n_terms AS BIGINT) AS n_terms,
-        |  CAST(tf_sum AS BIGINT) AS tf_sum, CAST(dl AS BIGINT) AS dl
-        |FROM topk""".stripMargin) { (s, dir) =>
+    QDef.sql("s05_fts_bm25", bm25OracleSql) { (s, dir) =>
       FullText.bm25TopKPortable(t(s, dir, "documents"), "doc_id", "text",
         terms = Seq("spark", "join", "vector"), k = 20)
     },
 
     // L7e: persisted full-text index — postings partitioned by
     // term-hash bucket (the inverted-list layout the reference's fts
-    // PRAGMA builds); a search reads only its terms' buckets. FtsSpec
-    // proves index search == the index-free path on every ranked doc.
-    QDef.rowsOnly("s06_fts_index") { (s, dir) =>
+    // PRAGMA builds); a search reads only its terms' buckets, built
+    // once per corpus fingerprint. r13: oracle-gated with the SAME
+    // BM25 oracle as the index-free path — the postings carry the
+    // identical (tf, df, dl, n, avgdl) statistics, the output is the
+    // integer-only portable shape, and FtsSpec proves rank equality.
+    QDef.sql("s06_fts_index", bm25OracleSql) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_fts_${dir.hashCode.toHexString}"
-      FullText.writeFtsIndex(docs, "doc_id", "text", idx, nBuckets = 16)
-      FullText.searchFtsIndex(s, idx,
-        terms = Seq("spark", "join", "vector"), k = 20, nBuckets = 16)
+      val idx = FullText.ensureFtsIndex(docs, "doc_id", "text", nBuckets = 16)
+      FullText.searchFtsIndexPortable(s,
+        idx, terms = Seq("spark", "join", "vector"), k = 20, nBuckets = 16)
     },
 
     // L8: language-ID heuristic (stopword profiles, argmax).

@@ -14,6 +14,16 @@ object RelationalE {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Catalog.table(s, dir, name)
 
+  /** First 4 hex chars of an md5 string column as a 16-bit integer, in
+    * DuckDB-1.0 SQL (no hex→int builtin there; the p02 mixture-sample
+    * oracle established this ascii-arithmetic form).
+    */
+  private def u16Sql(h: String): String =
+    s"(ascii(substr($h,1,1)) - CASE WHEN substr($h,1,1) >= 'a' THEN 87 ELSE 48 END) * 4096" +
+    s" + (ascii(substr($h,2,1)) - CASE WHEN substr($h,2,1) >= 'a' THEN 87 ELSE 48 END) * 256" +
+    s" + (ascii(substr($h,3,1)) - CASE WHEN substr($h,3,1) >= 'a' THEN 87 ELSE 48 END) * 16" +
+    s" + (ascii(substr($h,4,1)) - CASE WHEN substr($h,4,1) >= 'a' THEN 87 ELSE 48 END)"
+
   val defs: Seq[QDef] = Seq(
 
     // R34b: reservoir sampling — fixed-size uniform sample as
@@ -26,21 +36,46 @@ object RelationalE {
         .agg(count(lit(1)).as("n"))
     },
 
-    // R34c: bernoulli (streaming) sampling — per-row coin flips, a
-    // pure scan-side filter. Row count is random by construction →
-    // rows-only entry; statistical bounds live in SamplingSpec.
-    QDef.rowsOnly("q34c_bernoulli_sample") { (s, dir) =>
-      Sampling.bernoulli(t(s, dir, "orders"), p = 0.1, seed = 42L)
+    // R34c: bernoulli (streaming) sampling — a pure scan-side filter.
+    // r13 upgrade: the entry's draw is the KEY-DETERMINISTIC
+    // md5-threshold accept (Sampling.bernoulliByKey) — same keep-set
+    // on every run/engine, so the oracle replays the exact sample in
+    // DuckDB (p02 precedent). The reference's RNG TABLESAMPLE surface
+    // stays covered by Sampling.bernoulli + SamplingSpec bounds.
+    QDef.sql("q34c_bernoulli_sample",
+      s"""WITH d AS (
+         |  SELECT o_totalprice,
+         |    md5('bern:' || CAST(o_orderkey AS VARCHAR)) AS h
+         |  FROM orders),
+         |u AS (SELECT o_totalprice, ${u16Sql("h")} AS u16 FROM d)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM u WHERE u16 < 6553""".stripMargin) { (s, dir) =>
+      Sampling.bernoulliByKey(t(s, dir, "orders"), col("o_orderkey"), p = 0.1)
         .agg(count(lit(1)).as("n"),
           graft.functions.Exact.dsum(col("o_totalprice")).as("total"))
     },
 
-    // R34d: stratified sampling — per-stratum bernoulli rates (the
-    // training-data-mixture primitive). Counts are random → rows-only;
-    // per-stratum rate bounds are asserted in SamplingSpec.
-    QDef.rowsOnly("q34d_stratified_sample") { (s, dir) =>
-      Sampling.stratified(t(s, dir, "orders"), col("o_orderpriority"),
-          Map("1-URGENT" -> 1.0, "2-HIGH" -> 0.5, "3-MEDIUM" -> 0.1), seed = 42L)
+    // R34d: stratified sampling — per-stratum rates (the
+    // training-data-mixture primitive). r13 upgrade: key-deterministic
+    // md5-threshold rates per stratum, oracle-replayed per stratum.
+    QDef.sql("q34d_stratified_sample",
+      s"""WITH d AS (
+         |  SELECT o_orderpriority,
+         |    md5('strat:' || CAST(o_orderkey AS VARCHAR)) AS h,
+         |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0
+         |         WHEN o_orderpriority = '2-HIGH' THEN 0.5
+         |         WHEN o_orderpriority = '3-MEDIUM' THEN 0.1
+         |         ELSE 0.0 END AS rate
+         |  FROM orders),
+         |u AS (SELECT o_orderpriority, rate, ${u16Sql("h")} AS u16 FROM d)
+         |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM u WHERE u16 < FLOOR(rate * 65536.0)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Sampling.stratifiedByKey(t(s, dir, "orders"), col("o_orderkey"),
+          col("o_orderpriority"),
+          Map("1-URGENT" -> 1.0, "2-HIGH" -> 0.5, "3-MEDIUM" -> 0.1))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
