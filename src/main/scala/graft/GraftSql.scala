@@ -22,6 +22,10 @@ object GraftSql {
     ("""(?is)^\s*(WITH\b.+?\))?\s*(?:SELECT\s+\*\s+)?FROM\s+([\w.]+)\s+PIVOT\s*\(\s*(.+?)\s+FOR\s+""" +
       """([\w.]+)\s+IN\s*\((.+?)\)\s*GROUP\s+BY\s+(.+?)\s*\)\s*;?\s*$""").r
 
+  private[graft] val CreateViewPivot =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?VIEW\s+""" +
+      """([\w."`]+)\s+AS\s+((?:PIVOT|PIVOT_WIDER|UNPIVOT|PIVOT_LONGER)\b.*)$""").r
+
   /** `inner LIMIT <pct> % [OFFSET <expr>]` at statement tail — the
     * percent operand is a number, a parenthesized expression of ANY
     * nesting depth (scalar subqueries), or a bare call (RANDOM()).
@@ -141,6 +145,16 @@ object GraftSql {
       case FromSuffixPivot(cte, rel, agg, col, vals, grp) =>
         return sql(spark, s"${Option(cte).map(_ + " ").getOrElse("")}" +
           s"PIVOT $rel ON $col IN ($vals) USING $agg GROUP BY $grp")
+      case _ =>
+    }
+    // CREATE VIEW … AS <statement-form PIVOT/UNPIVOT>: the verb can't
+    // reach Spark's parser — materialize the pivot and register the
+    // view name (session view, like the engine's other view surface)
+    text match {
+      case CreateViewPivot(_, _, name, body) =>
+        sql(spark, body)
+          .createOrReplaceTempView(name.replace("\"", "").replace("`", ""))
+        return S.emptyDf(spark)
       case _ =>
     }
     graft.plans.PivotStmt.pass(spark, text, sql) match {
@@ -344,6 +358,19 @@ object GraftSql {
       // Spark's native path below.
       case _ if graft.sources.DmlSql.matches(text) =>
         return graft.sources.DmlSql.run(spark, text)
+      // `WITH ctes… UPDATE/DELETE/INSERT/MERGE …` (incl. AS
+      // [NOT] MATERIALIZED bodies): materialize the CTEs as temp views
+      // — the engine's CTE materialization — and re-enter with the
+      // bare DML statement (r13, cte_in_dml corpus)
+      case _ if text.trim.toUpperCase.startsWith("WITH") &&
+          graft.plans.PivotStmt.cteTail(text).exists { case (_, rest) =>
+            "(?is)^\\s*(UPDATE|DELETE|INSERT|MERGE)\\b".r
+              .findFirstIn(rest).isDefined } =>
+        val (ctes, rest) = graft.plans.PivotStmt.cteTail(text).get
+        ctes.foreach { case (name, body) =>
+          sql(spark, body).createOrReplaceTempView(name)
+        }
+        return sql(spark, rest)
       // ASOF [LEFT] JOIN statement syntax → the union+window plan
       // (plans/AsofSql → operators/Joins.asofJoin), then the rewritten
       // statement continues through the normal path
@@ -777,13 +804,40 @@ object GraftSql {
   }
 
   private def starReplacePass(spark: SparkSession, sql0: String): String = {
+    // paren-free single replacement (`SELECT * REPLACE expr AS name
+    // FROM …` — legal in the reference like paren-free EXCLUDE):
+    // normalize to the parenthesized form, list = up to top-level FROM
+    val BareRe = "(?i)SELECT\\s+\\*\\s*(EXCEPT\\s*\\([^)]*\\)\\s*)?REPLACE\\s+(?!\\()".r
+    val sql1 = BareRe.findFirstMatchIn(sql0) match {
+      case Some(b) =>
+        val fromIdx = graft.sources.DmlSql.topIndexOf(sql0.substring(b.end), "FROM")
+        if (fromIdx < 0) sql0
+        else sql0.substring(0, b.end) + "(" +
+          sql0.substring(b.end, b.end + fromIdx).trim + ") " +
+          sql0.substring(b.end + fromIdx)
+      case None => sql0
+    }
     val Re = "(?i)SELECT\\s+\\*\\s*(EXCEPT\\s*\\([^)]*\\)\\s*)?REPLACE\\s*\\(".r
-    val m = Re.findFirstMatchIn(sql0).getOrElse(return sql0)
+    val m = Re.findFirstMatchIn(sql1).getOrElse(return sql0)
     import graft.plans.SqlPasses.matchParen
-    val repOpen = sql0.lastIndexOf('(', m.end - 1)
-    val repClose = matchParen(sql0, repOpen)
-    val repList = graft.sources.DmlSql.topSplit(sql0.substring(repOpen + 1, repClose), ',')
-    val rest = sql0.substring(repClose + 1)
+    val repOpen = sql1.lastIndexOf('(', m.end - 1)
+    val repClose = matchParen(sql1, repOpen)
+    var listText = sql1.substring(repOpen + 1, repClose)
+    var afterList = repClose + 1
+    // the translator parenthesizes a paren-free REPLACE's expr, giving
+    // `REPLACE (expr) AS name … FROM`: when the paren group carries no
+    // top-level AS and AS follows the close, the real list runs to FROM
+    if (graft.sources.DmlSql.topIndexOf(listText, "AS") < 0 &&
+        sql1.substring(repClose + 1).trim.toUpperCase.startsWith("AS")) {
+      val tail = sql1.substring(repClose + 1)
+      val fromIdx = graft.sources.DmlSql.topIndexOf(tail, "FROM")
+      if (fromIdx >= 0) {
+        listText = sql1.substring(repOpen, repClose + 1) + tail.substring(0, fromIdx)
+        afterList = repClose + 1 + fromIdx
+      }
+    }
+    val repList = graft.sources.DmlSql.topSplit(listText, ',')
+    val rest = sql1.substring(afterList)
     val exceptPart = Option(m.group(1)).getOrElse("")
     val probeCols = spark.sql(s"SELECT * $exceptPart $rest").columns.toSeq
     val repMap = repList.map { item =>
@@ -795,7 +849,7 @@ object GraftSql {
     val proj = probeCols.map { c =>
       repMap.get(c.toLowerCase).map(e => s"$e AS `$c`").getOrElse(s"`$c`")
     }.mkString(", ")
-    sql0.substring(0, m.start) + s"SELECT $proj " + rest
+    sql1.substring(0, m.start) + s"SELECT $proj " + rest
   }
 
   /** `fn(COLUMNS('regex'))` multi-column expansion (reference

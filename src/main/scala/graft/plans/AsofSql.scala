@@ -43,6 +43,7 @@ object AsofSql {
       topIndexOf(text, "ASOF LEFT JOIN") >= 0 ||
       topIndexOf(text, "ASOF RIGHT JOIN") >= 0 ||
       topIndexOf(text, "ASOF SEMI JOIN") >= 0 ||
+      topIndexOf(text, "ASOF ANTI JOIN") >= 0 ||
       (text.trim.toUpperCase.startsWith("WITH") && cteBodyAsof(text))
 
   private def cteBodyAsof(text: String): Boolean =
@@ -110,9 +111,11 @@ object AsofSql {
     var leftOuter = false
     var rightOuter = false
     var semi = false
+    var anti = false
     if (rest.toUpperCase.startsWith("LEFT")) { leftOuter = true; rest = rest.drop(4).trim }
     else if (rest.toUpperCase.startsWith("RIGHT")) { rightOuter = true; rest = rest.drop(5).trim }
     else if (rest.toUpperCase.startsWith("SEMI")) { semi = true; rest = rest.drop(4).trim }
+    else if (rest.toUpperCase.startsWith("ANTI")) { anti = true; rest = rest.drop(4).trim }
     require(rest.toUpperCase.startsWith("JOIN"), "ASOF: expected JOIN")
     rest = rest.drop(4).trim
     val onIdx = topIndexOf(rest, "ON")
@@ -209,10 +212,13 @@ object AsofSql {
       lt, rt, lKey, rKey, ltime, rtime, payload,
       direction = dir, leftOuter = leftOuter, rightOuter = rightOuter)
     // SEMI: an inner asof join emits each probe row at most once, so
-    // semi = project the probe side's columns (reference asof
-    // semi/anti join family)
+    // semi = project the probe side's columns; ANTI = the probe rows
+    // WITHOUT a match — multiset difference against the semi set
+    // (reference asof semi/anti join family)
     val joined =
       if (semi) joined0.select(lt.columns.map(col).toIndexedSeq: _*)
+      else if (anti)
+        lt.exceptAll(joined0.select(lt.columns.map(col).toIndexedSeq: _*))
       else joined0
     val view = s"__asof_${viewId.incrementAndGet()}"
     joined.createOrReplaceTempView(view)
@@ -233,8 +239,20 @@ object AsofSql {
         df = df.toDF(df.columns.map(c =>
           "col" + (c.stripPrefix("col").toInt - 1)).toIndexedSeq: _*)
       val aliasRaw = t.substring(close + 1).trim
-      val alias = aliasRaw.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
+      val aliasTok = aliasRaw.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
         .headOption.filter(_.nonEmpty)
+      // `alias(col, …)` — a column-alias list renames the frame's
+      // columns (`(VALUES …) p(begin)`, asof corpus) (r13)
+      val alias = aliasTok.map(_.takeWhile(c => c.isLetterOrDigit || c == '_'))
+        .filter(_.nonEmpty)
+      if (alias.nonEmpty && aliasRaw.contains("(")) {
+        val open = aliasRaw.indexOf('(')
+        val cls = SqlPasses.matchParen(aliasRaw, open)
+        val cols = aliasRaw.substring(open + 1, cls).split(",").map(_.trim)
+          .map(_.stripPrefix("\"").stripSuffix("\""))
+        if (cols.length == df.columns.length)
+          df = df.toDF(cols.toIndexedSeq: _*)
+      }
       val view = s"__asof_rel_${viewId.incrementAndGet()}"
       df.createOrReplaceTempView(view)
       // do NOT register the raw alias as a session view: it would

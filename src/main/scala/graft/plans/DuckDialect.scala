@@ -86,7 +86,7 @@ object DuckDialect {
   private val multiOps = Seq(
     "!~~*", "!~~", "~~*", "~~", "!~*", "!~", "~*",
     "::", ":=", "**", "//", "<->", "<=>", "<@", "@>", "&&", "^@",
-    "<<", ">>", "<=", ">=", "<>", "!=", "||", "->>", "->", "==")
+    "<<", ">>", "<=", ">=", "<>", "!=", "||", "->>", "->", "==", "=>")
   private val singleOps = "+-*/%^&|~@!()[]{},.;<>=:".toSet
 
   private def lex(sql: String): IndexedSeq[Tok] = {
@@ -378,7 +378,13 @@ object DuckDialect {
             out += expr(0)
           case TWord(w) if w.equalsIgnoreCase("RANGE") && peekAt(1).exists {
             case TOp(op) => !Set("(", ")", ";").contains(op)
-            case TWord(x) => x.equalsIgnoreCase("AS")
+            // a following predicate word also means COLUMN position
+            // (`ON range BETWEEN lo AND hi`, scd2 corpus): window
+            // frames never reach the STATEMENT glue loop — OVER/WINDOW
+            // parens parse via clauseParen → clause(), which keeps
+            // RANGE as glue (r13)
+            case TWord(x) => Set("AS", "BETWEEN", "IS", "IN", "NOT",
+              "LIKE", "ILIKE")(x.toUpperCase)
             case _ => false
           } =>
             // `range` as a COLUMN name (the range(...) table
@@ -390,7 +396,7 @@ object DuckDialect {
             // string-literal alias (`AS 'hello world'`) — legal in the
             // reference, an identifier in Spark
             next(); val __astr = next().text
-            out += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'"))
+            out += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'")) + strColList()
           case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) && !peekAt(1).contains(TOp(".")) =>
             next(); lastGlue = w.toUpperCase; out += w
           case TOp(",") =>
@@ -443,7 +449,7 @@ object DuckDialect {
             // string-literal alias (`AS 'hello world'`) — legal in the
             // reference, an identifier in Spark
             next(); val __astr = next().text
-            out += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'"))
+            out += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'")) + strColList()
           case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) && !peekAt(1).contains(TOp(".")) =>
             next(); lastGlue = w.toUpperCase; out += w
           case TOp(",") =>
@@ -736,7 +742,7 @@ object DuckDialect {
             // string-literal alias (`AS 'hello world'`) — legal in the
             // reference, an identifier in Spark
             next(); val __astr = next().text
-            fromPart += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'"))
+            fromPart += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'")) + strColList()
           case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) && !peekAt(1).contains(TOp(".")) =>
             next(); lastGlue = w.toUpperCase; fromPart += w
           case TOp(",") | TOp(";") => fromPart += next().text
@@ -916,7 +922,7 @@ object DuckDialect {
             // string-literal alias (`AS 'hello world'`) — legal in the
             // reference, an identifier in Spark
             next(); val __astr = next().text
-            fromPart += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'"))
+            fromPart += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'")) + strColList()
           case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) && !peekAt(1).contains(TOp(".")) =>
             next(); lastGlue = w.toUpperCase; fromPart += w
           case TOp(",") => next(); fromPart += ","
@@ -1290,6 +1296,14 @@ object DuckDialect {
             }
           case TWord(w) if w.equalsIgnoreCase("NOT") && 30 >= min
             && peekAt(1).exists {
+              case TWord(x) => x.equalsIgnoreCase("NULL"); case _ => false
+            } =>
+            // postfix `expr NOT NULL` ≡ IS NOT NULL (reference
+            // grammar shorthand, pinned in DuckDB 1.0) (r13)
+            next(); next()
+            left = s"($left IS NOT NULL)"
+          case TWord(w) if w.equalsIgnoreCase("NOT") && 30 >= min
+            && peekAt(1).exists {
               case TWord(x) => Set("BETWEEN", "IN", "LIKE", "ILIKE", "SIMILAR", "GLOB")(x.toUpperCase)
               case _ => false
             } =>
@@ -1600,6 +1614,26 @@ object DuckDialect {
 
     private def quoteIdent(s: String): String = "`" + s.replace("`", "``") + "`"
 
+    /** A following `('a', 'b')` column-alias list with string-literal
+      * members (`AS 't'('k')`, the reference's quoted alias columns):
+      * consume and return as identifiers; "" when absent (r13). */
+    private def strColList(): String =
+      if (peekOp("(") && peekAt(1).exists(_.isInstanceOf[TStr])) {
+        next()
+        val cols = ArrayBuffer.empty[String]
+        while (more && !peekOp(")")) {
+          peek match {
+            case TStr(v) =>
+              next()
+              cols += quoteIdent(v.substring(1, v.length - 1).replace("''", "'"))
+            case TOp(",") => next()
+            case _ => cols += next().text
+          }
+        }
+        expectOp(")")
+        cols.mkString("(", ", ", ")")
+      } else ""
+
     /** Reference string literals are RAW ('\d' is backslash-d); Spark
       * processes backslash escapes by default — double them so the
       * bytes survive translation (regex patterns especially).
@@ -1611,9 +1645,19 @@ object DuckDialect {
       */
     private def primaryParen(): String = {
       // window-spec parens (`WINDOW w AS (PARTITION BY …)`): glue
-      // words + exprs, NOT a comma-separated expression list
+      // words + exprs, NOT a comma-separated expression list. The
+      // leading keyword must actually open a spec — `(range + 1)`
+      // with a column named range is an expression (r13)
       if (peekAt(1).exists {
-        case TWord(w) => Set("PARTITION", "ORDER", "ROWS", "RANGE", "GROUPS")(w.toUpperCase)
+        case TWord(w) =>
+          val up = w.toUpperCase
+          (Set("PARTITION", "ORDER")(up) && peekAt(2).exists {
+            case TWord(x) => x.equalsIgnoreCase("BY"); case _ => false }) ||
+          (Set("ROWS", "RANGE", "GROUPS")(up) && peekAt(2).exists {
+            case TWord(x) =>
+              Set("BETWEEN", "UNBOUNDED", "CURRENT")(x.toUpperCase)
+            case TNum(_) => true
+            case _ => false })
         case _ => false
       }) return clauseParen()
       // parenthesized JOIN tree as a relation (`FROM (a NATURAL JOIN
@@ -1974,6 +2018,22 @@ object DuckDialect {
         lastGlue = savedGlue
         return s"duck_date_diff('$unit', $a, $b)"
       }
+      // extract('part' FROM x): the QUOTED part is legal in the
+      // reference; Spark's EXTRACT grammar wants a bare field and
+      // errors before resolution (and the grammar form can't appear
+      // inside lambdas) — rewrite to date_part('part', x) (r13)
+      if (low == "extract" && peekOp("(") &&
+          peekAt(1).exists(_.isInstanceOf[TStr]) &&
+          peekAt(2).exists {
+            case TWord(x) => x.equalsIgnoreCase("FROM"); case _ => false }) {
+        next() // (
+        val part = next().text
+        next() // FROM
+        val src = expr(0)
+        expectOp(")")
+        lastGlue = savedGlue
+        return s"date_part($part, $src)"
+      }
       expectOp("(")
       val parts = ArrayBuffer.empty[String]
       // DuckDB allows ORDER BY and IGNORE/RESPECT NULLS INSIDE the
@@ -2020,7 +2080,7 @@ object DuckDialect {
             next()
           case TOp("*") if first => next(); parts += starPrimary()
           case TOp(",") => next(); parts += ","
-          case TWord(k) if peekAt(1).contains(TOp(":=")) =>
+          case TWord(k) if peekAt(1).exists(t => t == TOp(":=") || t == TOp("=>")) =>
             // generic named argument: the reference spells `k := v`,
             // Spark spells `k => v` — functions that don't take named
             // args fail at analysis, not with parser garbage
@@ -2198,7 +2258,10 @@ object DuckDialect {
             val arg = out.substring(open + 1, close)
             out = out.substring(0, open + 1) +
               s"CASE WHEN $filterPred THEN ($arg) END" + out.substring(close)
-          } else out += " FILTER " + cl
+          } else
+            // re-spell with WHERE: the reference allows bare
+            // `FILTER (pred)` (issue3105 corpus); Spark requires it
+            out += s" FILTER (WHERE $filterPred)"
         }
         else if (peekWord("OVER")) {
           next()
@@ -2293,7 +2356,7 @@ object DuckDialect {
       while (more && !peekOp(")")) {
         peek match {
           // quoted argument names too: union_value("member name 1" := v)
-          case (TWord(_) | TQuoted(_)) if peekAt(1).contains(TOp(":=")) =>
+          case (TWord(_) | TQuoted(_)) if peekAt(1).exists(t => t == TOp(":=") || t == TOp("=>")) =>
             val k = next().text // TQuoted.text arrives unquoted
             next()
             named += ((k, expr(0)))
@@ -2950,6 +3013,8 @@ object DuckDialect {
   // Spark's TVF namespace is unqualified
   private val QualifiedTvfRe =
     """(?is)\b(FROM|JOIN)\s+(?:\w+\.){1,2}(range|generate_series|unnest)\s*\(""".r
+  private val MainSchemaFnRe =
+    """(?i)(?<![\w."'`])main\s*\.\s*([A-Za-z_]\w*)\s*\(""".r
   private val InsertByPosRe =
     """(?is)\b(INSERT\s+(?:OR\s+\w+\s+)?INTO\s+[\w."`]+)\s+BY\s+POSITION\b""".r
   private val InsertParenValuesRe =
@@ -2964,7 +3029,12 @@ object DuckDialect {
     // `INSERT INTO t BY POSITION …` — positional is the default;
     // `INSERT INTO t (VALUES …)` — Spark reads the paren as a column
     // list, so route the VALUES through a subquery
-    val sql2b = QualifiedTvfRe.replaceAllIn(sql2, m => s"${m.group(1)} ${m.group(2)}(")
+    val sql2b0 = QualifiedTvfRe.replaceAllIn(sql2, m => s"${m.group(1)} ${m.group(2)}(")
+    // `main.<fn>(…)` — the reference's default-schema qualifier on
+    // ANY function call (bug_10283 corpus: main.struct_pack,
+    // main.list_value): strip it so the special-cased builtins
+    // (struct_pack, …) hit their handlers (r13)
+    val sql2b = MainSchemaFnRe.replaceAllIn(sql2b0, m => s"${m.group(1)}(")
     val sql3 = InsertByPosRe.replaceAllIn(sql2b, m => m.group(1))
     val sql = sql3 match {
       case InsertParenValuesRe(head, values) =>
@@ -2972,11 +3042,23 @@ object DuckDialect {
       case other => other
     }
     val p = new P(lex(sql))
-    val out = p.statement()
+    val out0 = p.statement()
     // early-return statement paths (DDL, DISTINCT ON, QUALIFY) leave
     // a trailing ';' unconsumed — every statement form accepts it
     p.skipSemis()
     require(!p.more, s"duck-dialect: trailing tokens from position ${p.i}")
+    // `… GROUP BY … USING SAMPLE n` — the reference samples the
+    // RESULT when the clause trails an aggregation; Spark's
+    // TABLESAMPLE binds to relations only, so wrap (r13)
+    val TailSample = "(?is)^(.*\\bGROUP\\s+BY\\b.*?)\\s+(TABLESAMPLE\\s*\\([^)]*\\))\\s*;?\\s*$".r
+    val out = out0 match {
+      case TailSample(bodyPart, samplePart)
+        if graft.sources.DmlSql.topIndexOf(out0, "TABLESAMPLE") >
+           graft.sources.DmlSql.topIndexOf(out0, "GROUP") &&
+           graft.sources.DmlSql.topIndexOf(out0, "GROUP") >= 0 =>
+        s"SELECT * FROM ($bodyPart) $samplePart"
+      case other => other
+    }
     out
   }
 }

@@ -87,6 +87,15 @@ object EnumTypes {
   }
 
   def register(name: String, valuesClause: String): Unit = {
+    // dynamic enum (`AS ENUM (SELECT … FROM t)`, test_5983): the value
+    // set is data-dependent — the engine's enum encoding is a VARCHAR
+    // dictionary anyway (F59), so register the name as a VARCHAR alias
+    // (mentions in DDL resolve; definition-order code casts are not
+    // available for query-defined enums, like the documented F59 gap)
+    if (valuesClause.trim.toUpperCase.startsWith("SELECT")) {
+      registerAlias(name, "VARCHAR")
+      return
+    }
     val vals = graft.sources.DmlSql.topSplit(valuesClause, ',').map(_.trim)
       .map { v =>
         require(v.length >= 2 && v.head == '\'' && v.last == '\'',

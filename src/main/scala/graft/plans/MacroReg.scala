@@ -155,8 +155,14 @@ object MacroReg {
     sig.params.foreach { case (p, dflt) =>
       Option(values.get(p.toLowerCase)).orElse(dflt) match {
         case Some(a) =>
+          // substitute only COLUMN-REFERENCE positions (the
+          // reference's AST binder rule, test_sequence_macro /
+          // export_macros corpus): not after a dot (`cte.n` is the
+          // CTE's column), not a named-arg NAME (`y := 10` keeps y),
+          // not an alias definition (`AS n` stays n)
           expanded = expanded.replaceAll(
-            "(?i)\\b" + java.util.regex.Pattern.quote(p) + "\\b",
+            "(?i)(?<![\\w.$])(?<!\\bAS )" +
+              java.util.regex.Pattern.quote(p) + "\\b(?!\\s*:=)",
             java.util.regex.Matcher.quoteReplacement(s"($a)"))
         case None =>
           return Left(s"macro $name expects ${sig.params.length} args, " +

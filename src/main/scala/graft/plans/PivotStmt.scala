@@ -96,7 +96,7 @@ object PivotStmt {
 
   /** Parse a leading `WITH name[(cols)] AS (body) [, …]` list; returns
     * the (name, body-with-column-aliases) pairs and the remainder. */
-  private def cteTail(text: String): Option[(Seq[(String, String)], String)] = {
+  private[graft] def cteTail(text: String): Option[(Seq[(String, String)], String)] = {
     val t = text
     var i = 0
     while (i < t.length && t.charAt(i).isWhitespace) i += 1
@@ -125,6 +125,18 @@ object PivotStmt {
       if (!t.regionMatches(true, i, "AS", 0, 2)) return None
       i += 2
       while (i < t.length && t.charAt(i).isWhitespace) i += 1
+      // optional [NOT] MATERIALIZED hint (the reference's CTE
+      // materialization control — a no-op here: temp views are the
+      // materialization)
+      if (t.regionMatches(true, i, "NOT", 0, 3) &&
+          i + 3 < t.length && t.charAt(i + 3).isWhitespace) {
+        i += 3
+        while (i < t.length && t.charAt(i).isWhitespace) i += 1
+      }
+      if (t.regionMatches(true, i, "MATERIALIZED", 0, 12)) {
+        i += 12
+        while (i < t.length && t.charAt(i).isWhitespace) i += 1
+      }
       if (i >= t.length || t.charAt(i) != '(') return None
       val close = SqlPasses.matchParen(t, i)
       val body0 = t.substring(i + 1, close)

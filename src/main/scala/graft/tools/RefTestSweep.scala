@@ -145,7 +145,9 @@ object RefTestSweep {
         // BY …) JOIN (PIVOT …)` executes through PivotStmt (verified
         // end-to-end via Scratch, r10) — the parenthesized verb always
         // carries the `PIVOT <rel> ON` shape the scan below requires
-        "(?is)^\\s*(WITH|SELECT|CREATE\\s+TABLE|FROM)\\b".r.findFirstIn(sql).isDefined && {
+        ("(?is)^\\s*(WITH|SELECT|FROM|CREATE\\s+TABLE|" +
+          "CREATE\\s+(OR\\s+REPLACE\\s+)?(TEMP(ORARY)?\\s+)?VIEW)\\b")
+          .r.findFirstIn(sql).isDefined && {
           // depth-0 scan for a statement-form PIVOT/UNPIVOT verb
           // (GraftSql routes these through plans/PivotStmt even when a
           // WITH clause precedes the verb)
@@ -176,6 +178,12 @@ object RefTestSweep {
         statementFormPivot ||
         graft.GraftSql.FromSuffixPivot.findFirstIn(sql).isDefined ||
         (try graft.sources.DmlSql.matches(sql) catch { case _: Exception => false }) ||
+        // WITH-prefixed DML: GraftSql materializes the CTE list as
+        // temp views and re-enters with the bare DML statement
+        (try sql.trim.toUpperCase.startsWith("WITH") &&
+          graft.plans.PivotStmt.cteTail(sql).exists { case (_, rest) =>
+            "(?is)^\\s*(UPDATE|DELETE|MERGE)\\b".r.findFirstIn(rest).isDefined }
+         catch { case _: Exception => false }) ||
         (try graft.plans.AsofSql.matches(sql) catch { case _: Exception => false }) ||
         // UNION BY NAME / LIMIT n% / comment-only blocks: GraftSql
         // statement-layer passes
@@ -190,12 +198,14 @@ object RefTestSweep {
         // columnsPass BEFORE Spark's parser (f51-gated) — parse-grading
         // the unexpanded text would be a false failure
         "(?is)(^|[^\\w])COLUMNS\\s*\\(".r.findFirstIn(sql).isDefined ||
-        // `* REPLACE (expr AS col, …)` expands in GraftSql's
+        // `* REPLACE (expr AS col, …)` — and the paren-free single
+        // form `* REPLACE expr AS col` — expand in GraftSql's
         // schema-aware starReplacePass (f50-gated) — same reasoning
         "(?is)\\*\\s*(EXCLUDE|EXCEPT|REPLACE)\\s*\\(".r.findFirstIn(sql).isDefined ||
+        "(?is)\\*\\s*REPLACE\\s+\\S".r.findFirstIn(sql).isDefined ||
         // `(DESCRIBE …)` / `(SUMMARIZE …)` relations materialize in
         // GraftSql's subStatementPass (s16/s10-gated) — same reasoning
-        "(?i)\\(\\s*(DESCRIBE|SUMMARIZE)\\b".r.findFirstIn(sql).isDefined ||
+        "(?i)\\(\\s*(DESCRIBE|SUMMARIZE|SHOW)\\b".r.findFirstIn(sql).isDefined ||
         "(?is)\\bLIMIT\\s+(\\d+(\\.\\d+)?|\\w+\\s*\\((?:[^()]|\\([^()]*\\))*\\)|\\((?:[^()]|\\([^()]*\\))*\\))\\s*(%|PERCENT)\\s*(OFFSET\\s+.+?)?\\s*;?\\s*$".r.findFirstIn(sql).isDefined ||
         sql.linesIterator.map(_.trim).forall(l => l.isEmpty || l.startsWith("--"))
       if (layerRouted) routed += 1

@@ -65,6 +65,16 @@ class AsofSqlSpec extends AnyFunSuite {
     assert(got === Seq((1, 11), (2, 12)))
   }
 
+  test("r13: ASOF ANTI JOIN returns probe rows with no match (DuckDB-pinned)") {
+    // DuckDB 1.0: (VALUES (1),(5),(12)) ASOF ANTI (VALUES (3),(10)) on
+    // >= leaves only 1 (5 matches 3, 12 matches 10)
+    val got = GraftSql.sql(spark,
+      "SELECT p.begin FROM (VALUES (1),(5),(12)) p(begin) ASOF ANTI JOIN " +
+      "(VALUES (3),(10)) e(begin) ON p.begin >= e.begin ORDER BY 1")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(1))
+  }
+
   test("r13: parenthesized-relation alias does not shadow same-named views") {
     fixture
     // `(SELECT …) trades13 ASOF JOIN …` must not re-point the session
