@@ -94,6 +94,16 @@ object Txn {
 
   @volatile private var open = false
   private val undo = mutable.LinkedHashMap.empty[String, TableUndo]
+  // r13: the PRIMARY transaction's file-level write tracking —
+  // normalized replaced paths and created files per table key — so
+  // (a) conflicts between the primary and live secondaries drop from
+  // table to FILE granularity (disjoint-row writers on a split table
+  // both commit, the reference's row-level MVCC reached at file
+  // granularity), and (b) ROLLBACK deletes only the transaction's OWN
+  // created files: a concurrent secondary's committed files survive.
+  private val primReplaced = mutable.HashMap.empty[String, mutable.Set[String]]
+  private val primCreated = mutable.HashMap.empty[String, mutable.LinkedHashSet[String]]
+  private val primPreWrite = mutable.HashMap.empty[String, Set[String]]
   private val pins = mutable.LinkedHashMap.empty[String, Pin]
   private val foreignMode = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
@@ -167,6 +177,7 @@ object Txn {
     require(!open, "BEGIN: a transaction is already active")
     open = true
     undo.clear()
+    primReplaced.clear(); primCreated.clear(); primPreWrite.clear()
     pins.clear()
     session = spark
     if (spark != null) pinCatalogTables(spark)
@@ -338,9 +349,20 @@ object Txn {
       case Some(tx) => touchSecondary(spark, tx, path, replacing); return
       case None =>
     }
-    // a LIVE secondary transaction's written tables conflict with
-    // every other writer (primary, foreign one-shot, autocommit)
-    if (secs.values.exists(_.written.contains(k)))
+    // a LIVE secondary transaction's written FILES conflict with
+    // every other writer (primary, foreign one-shot, autocommit) —
+    // r13: file granularity, like the secondary-vs-secondary rule.
+    // Replacing a file another live transaction replaced or created
+    // would entangle the two undos; disjoint files commute. A pure
+    // INSERT (empty replacing) never conflicts with live appends.
+    val replacingNAll = replacing.map(norm).toSet
+    if (secs.values.exists { o =>
+      o.written.contains(k) && {
+        val oR = o.replaced.getOrElse(k, mutable.Set.empty[String])
+        val oC = o.createdSet(k).map(norm)
+        (replacingNAll & oR.toSet).nonEmpty || (replacingNAll & oC.toSet).nonEmpty
+      }
+    })
       throw new IllegalStateException(
         s"Conflict on update! table at $k was already modified by a " +
         "concurrent transaction")
@@ -363,6 +385,21 @@ object Txn {
       unpinByPath(spark, path)
       if (!undo.contains(k))
         undo(k) = TableUndo(path, dataFiles(spark, path).toSet)
+      // replacing a file that is neither in the snapshot nor created
+      // by this transaction = it was committed by a concurrent
+      // transaction after this one's first touch — conflict (the
+      // secondary-side begin-listing rule, mirrored)
+      val snapN = undo(k).snapshot.map(norm)
+      val ownN = primCreated.getOrElse(k,
+        mutable.LinkedHashSet.empty[String]).map(norm)
+      replacing.foreach { f =>
+        if (!snapN.contains(norm(f)) && !ownN.contains(norm(f)))
+          throw new IllegalStateException(
+            s"Conflict on update! file $f was created after this " +
+            "transaction began (committed by a concurrent transaction)")
+      }
+      primReplaced.getOrElseUpdate(k, mutable.Set.empty[String]) ++= replacingNAll
+      primPreWrite(k) = dataFiles(spark, path).toSet
     }
   }
 
@@ -375,11 +412,19 @@ object Txn {
   private def touchSecondary(spark: SparkSession, tx: SecTx,
       path: String, replacing: Seq[String]): Unit = {
     val k = key(path)
-    if (open && undo.contains(k))
-      throw new IllegalStateException(
-        s"Conflict on update! table at $k was already modified by the " +
-        "open transaction")
     val replacingN = replacing.map(norm).toSet
+    // vs the open PRIMARY transaction: FILE granularity (r13) — only
+    // the files the primary replaced or created are off-limits;
+    // disjoint-row writers on a split table both commit
+    if (open && undo.contains(k)) {
+      val pR = primReplaced.getOrElse(k, mutable.Set.empty[String])
+      val pC = primCreated.getOrElse(k,
+        mutable.LinkedHashSet.empty[String]).map(norm)
+      if ((replacingN & pR.toSet).nonEmpty || (replacingN & pC.toSet).nonEmpty)
+        throw new IllegalStateException(
+          s"Conflict on update! table at $k was already modified by the " +
+          "open transaction")
+    }
     // between two LIVE secondaries the conflict unit is the FILE
     // (r12): each side's undo restores only its own trash subdir, so
     // disjoint replaced-file sets commute — updates to disjoint rows
@@ -434,14 +479,28 @@ object Txn {
     * a secondary transaction's ROLLBACK deletes exactly these, never
     * a concurrent transaction's additions. */
   def wrote(spark: SparkSession, path: String): Unit = synchronized {
-    secs.get(connId.get()).foreach { tx =>
-      val k = key(path)
-      if (tx.written.contains(k)) {
-        val pre = tx.preWrite.getOrElse(k, Set.empty).map(norm)
-        dataFiles(spark, path).foreach { f =>
-          if (!pre.contains(norm(f))) tx.createdSet(k) += f
+    secs.get(connId.get()) match {
+      case Some(tx) =>
+        val k = key(path)
+        if (tx.written.contains(k)) {
+          val pre = tx.preWrite.getOrElse(k, Set.empty).map(norm)
+          dataFiles(spark, path).foreach { f =>
+            if (!pre.contains(norm(f))) tx.createdSet(k) += f
+          }
         }
-      }
+      case None =>
+        // r13: the PRIMARY tracks its created files the same way —
+        // its ROLLBACK deletes exactly these (never a concurrent
+        // secondary's committed additions)
+        val k = key(path)
+        if (open && !foreignMode.get() && undo.contains(k)) {
+          val pre = primPreWrite.getOrElse(k, Set.empty).map(norm)
+          dataFiles(spark, path).foreach { f =>
+            if (!pre.contains(norm(f)))
+              primCreated.getOrElseUpdate(k,
+                mutable.LinkedHashSet.empty[String]) += f
+          }
+        }
     }
   }
 
@@ -700,6 +759,7 @@ object Txn {
     purgeTrash(spark, undo.values.map(_.path) ++ foreignTouched)
     dropPins(spark)
     undo.clear()
+    primReplaced.clear(); primCreated.clear(); primPreWrite.clear()
     foreignTouched.clear()
     open = false
     session = null
@@ -711,10 +771,18 @@ object Txn {
       case None =>
     }
     require(open, "ROLLBACK: no active transaction")
-    undo.values.foreach { u =>
+    undo.foreach { case (k, u) =>
       val hfs = fs(spark, u.path)
-      // drop files added after BEGIN
-      dataFiles(spark, u.path).filterNot(u.snapshot)
+      // drop the files THIS transaction created (tracked at each
+      // statement's wrote() hook) — not every file absent from the
+      // snapshot: a concurrent secondary's committed files on
+      // disjoint rows survive this rollback (r13 file-level undo)
+      val created = primCreated.getOrElse(k,
+        mutable.LinkedHashSet.empty[String]).map(norm)
+      dataFiles(spark, u.path)
+        .filter(f => created.contains(norm(f)) ||
+          (!u.snapshot.contains(f) && created.isEmpty &&
+            primReplaced.getOrElse(k, mutable.Set.empty[String]).isEmpty))
         .foreach(f => hfs.delete(new Path(f), false))
       // restore the trashed originals (the non-recursive file listing
       // skips the pin/ subdir — foreign writers' committed swaps are
@@ -740,6 +808,7 @@ object Txn {
     purgeTrash(spark, foreignTouched)
     dropPins(spark)
     undo.clear()
+    primReplaced.clear(); primCreated.clear(); primPreWrite.clear()
     foreignTouched.clear()
     open = false
     session = null
