@@ -132,13 +132,14 @@ object RelationalA {
     // nested-loop operator (reference src/execution/am_us_join/
     // am_us_join_inner.cpp): plans to BroadcastNestedLoopJoin.
     QDef.sql("q06_theta_join",
+      // no display ORDER BY (r10/r13 discipline: the oracle gate sorts
+      // rows itself; a trailing sort of the |S|×24 output costs Spark
+      // a full exchange+sort that DuckDB does in RAM — 28→? s at sf100)
       """SELECT s_suppkey, n_nationkey
-        |FROM supplier JOIN nation ON s_nationkey <> n_nationkey
-        |ORDER BY s_suppkey, n_nationkey""".stripMargin) { (s, dir) =>
+        |FROM supplier JOIN nation ON s_nationkey <> n_nationkey""".stripMargin) { (s, dir) =>
       Joins.thetaJoin(t(s, dir, "supplier"), t(s, dir, "nation"),
           col("s_nationkey") =!= col("n_nationkey"))
         .select(col("s_suppkey"), col("n_nationkey"))
-        .orderBy(col("s_suppkey"), col("n_nationkey"))
     },
 
     // R7: GroupJoin fusion (reference physical_group_join.cpp): the
