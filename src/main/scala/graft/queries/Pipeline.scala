@@ -45,6 +45,35 @@ object Pipeline {
       |  CAST(tf_sum AS BIGINT) AS tf_sum, CAST(dl AS BIGINT) AS dl
       |FROM topk""".stripMargin
 
+  /** s02's oracle: the Spark plan's seeded hyperplanes (SAME
+    * Similarity.hyperplanes(4, 64) call) spelled as double literals,
+    * bucket = MSB-first fold of the left-to-right double dot signs —
+    * a bit-exact replay of HashKernels.hyperplaneBucket in DuckDB SQL.
+    */
+  private lazy val lshOracleSql: String = {
+    val planes = graft.llm.Similarity.hyperplanes(nBits = 4, dim = 64)
+    def dot(vecExpr: String, pl: Seq[Double]): String =
+      s"list_sum(list_transform(list_zip($vecExpr, [${pl.mkString(", ")}]), " +
+        "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+    def bucket(vecExpr: String): String =
+      planes.zipWithIndex.map { case (pl, i) =>
+        val w = 1L << (planes.length - 1 - i)
+        s"(CASE WHEN ${dot(vecExpr, pl)} >= 0 THEN $w ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT e.vec_id, e.embedding, q.qe FROM embeddings e, q
+       |  WHERE ${bucket("e.embedding")} = ${bucket("q.qe")})
+       |SELECT vec_id,
+       |  list_sum(list_transform(list_zip(embedding, qe),
+       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos_sim
+       |FROM cand
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Catalog.table(s, dir, name)
 
@@ -172,7 +201,14 @@ object Pipeline {
     },
 
     // L7: LSH-bucketed ANN (the 100 TB path: bucket-local candidates).
-    QDef.rowsOnly("s02_ann_lsh") { (s, dir) =>
+    // r13: oracle-gated — the seeded hyperplanes are computed at
+    // QDef-construction time by the SAME Similarity.hyperplanes call
+    // the Spark plan uses and embedded in the oracle text as double
+    // LITERALS (Double.toString round-trips exactly through DuckDB's
+    // correctly-rounding parser), so the oracle replays the identical
+    // left-to-right double dot, the >= 0 sign, and the MSB-first
+    // bucket fold (HashKernels.hyperplaneBucket) over the real data.
+    QDef.sql("s02_ann_lsh", lshOracleSql) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.annTopK(
         emb, "embedding", "vec_id",
