@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.llm.Similarity.CentroidSet
@@ -70,6 +70,87 @@ object Clustering {
     val spark = like.sparkSession
     import spark.implicits._
     cs.ids.zip(cs.vecs.map(_.toSeq)).toSeq.toDF("centroid_id", "cv")
+  }
+
+  /** Deterministic INTEGER-GRID k-means (r13): vectors quantize to
+    * int8 (the s07 kernel — its REAL replay is oracle-proven), seeds
+    * are EXPLICIT ids, assignment is argmax integer-cosine with a
+    * smallest-cluster-id tiebreak, and each centroid update is the
+    * truncating integer mean — every step is exact integer (or a
+    * double derived from exact integers, identical on any IEEE
+    * engine), so the whole fit is bit-identical across runs, cluster
+    * sizes, and engines, and the p06 entry carries a full DuckDB
+    * oracle that replays the Lloyd loop in SQL. Scale shape identical
+    * to [[kmeans]]: one scan per iteration, one bounded k·dim
+    * aggregate to the driver, zero row shuffles.
+    */
+  def kmeansInt8(corpus: DataFrame, vecCol: String, idCol: String,
+                 seedIds: Seq[Long], iters: Int): DataFrame = {
+    import graft.plans.Quantization
+    val q = corpus.select(col(idCol).cast("long").as("id"),
+      Quantization.int8Longs(col(vecCol)).as("qv"))
+    // seeds: explicit ids, cluster ids = their rank by id (bounded
+    // collect — k rows)
+    var cents: Seq[(Long, Array[Long])] = q
+      .filter(col("id").isin(seedIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), i) => i.toLong -> v }.toSeq
+    require(cents.nonEmpty, "kmeansInt8: no seed vectors found")
+
+    // argmax integer-cosine over the (bounded) centroid set as one
+    // struct-array max: (cos, -cid) orders ties to the smallest cid
+    def best(cs: Seq[(Long, Array[Long])]): Column = {
+      val scored = cs.map { case (cid, c) =>
+        val cl = typedLit(c.toSeq)
+        val dot = aggregate(zip_with(col("qv"), cl, (x, y) => x * y),
+          lit(0L), (a, x) => a + x)
+        val nq = aggregate(transform(col("qv"), x => x * x),
+          lit(0L), (a, x) => a + x)
+        val nc = c.map(v => v * v).sum
+        val cos = when(nq === 0L || lit(nc) === 0L, lit(0.0))
+          .otherwise(dot.cast("double") /
+            (sqrt(nq.cast("double")) * sqrt(lit(nc).cast("double"))))
+        struct(cos.as("c"), lit(-cid).as("n"))
+      }
+      array_max(array(scored: _*))
+    }
+    def assigned(cs: Seq[(Long, Array[Long])]): DataFrame =
+      q.select(col("id"), col("qv"),
+        (lit(0L) - best(cs).getField("n")).as("cid"),
+        best(cs).getField("c").as("cos"))
+
+    var it = 0
+    while (it < iters) {
+      // per-(cluster, position) exact integer sums — k·dim rows
+      val sums = assigned(cents)
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byC = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, prev) =>
+        byC.get(cid) match {
+          case Some(rows) =>
+            val v = prev.clone()
+            // truncating (toward-zero) integer mean — Scala Long
+            // division; the oracle spells (sx - sx % n) / n
+            rows.foreach(r => v(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+            cid -> v
+          case None => cid -> prev // empty cluster keeps its centroid
+        }
+      }
+      it += 1
+    }
+    // final assignment summary under the converged centroids:
+    // cohesion sums in exact DECIMAL so the average is order-free
+    assigned(cents)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("cos").cast(org.apache.spark.sql.types.DecimalType(27, 12)))
+          .cast("double") / count(lit(1))).as("avg_cohesion"))
+      .select(col("cid").as("centroid_id"), col("n_members"), col("avg_cohesion"))
+      .orderBy(col("centroid_id"))
   }
 
   /** Final assignment frame: (id, centroid_id, cos to own centroid). */

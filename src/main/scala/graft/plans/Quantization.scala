@@ -80,10 +80,34 @@ case class Int8Cosine(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** int8 bytes → array<bigint> — the SQL-portable view of a quantized
+  * vector (the p06 integer-grid k-means works on long arrays so the
+  * DuckDB oracle can replay every step with exact integer arithmetic).
+  * Eval-only: off the benched hot paths.
+  */
+case class BytesToLongArray(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      input.asInstanceOf[Array[Byte]].map(_.toLong))
+
+  override protected def withNewChildInternal(c: Expression): BytesToLongArray =
+    copy(child = c)
+}
+
 object Quantization {
   import HashExpressions.{columnOf, exprOf}
 
   def quantizeInt8(vec: Column): Column = columnOf(QuantizeInt8(exprOf(vec)))
   def int8Cosine(a: Column, b: Column): Column =
     columnOf(Int8Cosine(exprOf(a), exprOf(b)))
+
+  /** Quantize to int8 and expose as array<bigint> (kernel-exact). */
+  def int8Longs(vec: Column): Column =
+    columnOf(BytesToLongArray(QuantizeInt8(exprOf(vec))))
 }

@@ -74,6 +74,68 @@ object Pipeline {
        |LIMIT 10""".stripMargin
   }
 
+  /** p06's oracle: a full SQL replay of the deterministic integer-grid
+    * Lloyd loop (Clustering.kmeansInt8) — s07's REAL quantizer, then
+    * per iteration an argmax integer-cosine assignment (row_number
+    * tiebreak ≡ the struct-max's (cos, -cid) order) and a truncating
+    * integer centroid mean ((sx - sx % n)/n ≡ Scala Long division;
+    * DuckDB % follows the dividend's sign like the JVM). Every
+    * intermediate is an exact integer or a double derived from exact
+    * integers, so the replay is bit-identical.
+    */
+  private lazy val kmeansOracleSql: String = {
+    val k = 8
+    val iters = 2
+    def assign(ci: String, out: String): String =
+      s"""$out AS (
+         |  SELECT id, qv, cid, cos FROM (
+         |    SELECT id, qv, cid, cos,
+         |      row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+         |    FROM (
+         |      SELECT q.id, q.qv, c.cid,
+         |        CASE WHEN q.nq = 0 OR c.nc = 0 THEN 0.0
+         |             ELSE CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+         |                    p -> p[1] * p[2])) AS DOUBLE)
+         |                  / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) END AS cos
+         |      FROM qn q CROSS JOIN (
+         |        SELECT cid, cv, list_sum(list_transform(cv, x -> x * x)) AS nc
+         |        FROM $ci) c))
+         |  WHERE rn = 1)""".stripMargin
+    def update(ai: String, ci: String, cNext: String): String =
+      s"""$cNext AS (
+         |  SELECT p.cid, CASE WHEN u.cid IS NULL THEN p.cv ELSE u.cv END AS cv
+         |  FROM $ci p LEFT JOIN (
+         |    SELECT cid, list(CAST((sx - (sx % n)) / n AS BIGINT) ORDER BY pos) AS cv
+         |    FROM (
+         |      SELECT cid, t.i AS pos, SUM(qv[t.i]) AS sx, COUNT(*) AS n
+         |      FROM $ai, LATERAL unnest(generate_series(1, len(qv))) AS t(i)
+         |      GROUP BY cid, t.i) GROUP BY cid) u ON p.cid = u.cid)""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      assign(s"c$i", s"a$i") + ",\n" + update(s"a$i", s"c$i", s"c${i + 1}")
+    }.mkString(",\n")
+    s"""WITH qz AS (
+       |  SELECT vec_id AS id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS REAL)))) AS ma
+       |  FROM embeddings),
+       |qv0 AS (
+       |  SELECT id,
+       |    CASE WHEN ma = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+       |      ELSE list_transform(embedding, x ->
+       |        CAST(floor(CAST(x AS REAL) * (CAST(127 AS REAL) / ma)
+       |          + CAST(0.5 AS REAL)) AS BIGINT)) END AS qv
+       |  FROM qz),
+       |qn AS (SELECT id, qv, list_sum(list_transform(qv, x -> x * x)) AS nq FROM qv0),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, qv AS cv
+       |  FROM qv0 WHERE id IN (${(0 until k).mkString(", ")})),
+       |$rounds,
+       |${assign(s"c$iters", "af")}
+       |SELECT cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  CAST(SUM(CAST(cos AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS avg_cohesion
+       |FROM af GROUP BY cid
+       |ORDER BY centroid_id""".stripMargin
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Catalog.table(s, dir, name)
 
@@ -749,15 +811,19 @@ object Pipeline {
     // with shuffle-free assignment (broadcast centroid projection)
     // and one k·dim aggregation per iteration; rows-only (iterative
     // float fit has no SQL oracle), contracts in ClusteringSpec.
-    QDef.rowsOnly("p06_kmeans") { (s, dir) =>
-      import graft.llm.Clustering
-      val emb = t(s, dir, "embeddings")
-      val fit = Clustering.kmeans(emb, "embedding", "vec_id", k = 8, maxIters = 5)
-      Clustering.assign(emb, "embedding", "vec_id", fit.centroids)
-        .groupBy(col("centroid_id"))
-        .agg(count(lit(1)).as("n_members"),
-          avg(col("cos_to_centroid")).as("avg_cohesion"))
-        .orderBy(col("centroid_id"))
+    // r13: the driver entry runs the DETERMINISTIC integer-grid
+    // k-means (Clustering.kmeansInt8 — int8-quantized vectors, pinned
+    // seed ids 0..7, exact integer Lloyd updates), whose every step
+    // the oracle replays in DuckDB SQL: the s07 REAL quantizer, the
+    // argmax integer-cosine assignment with the smallest-cid
+    // tiebreak, the truncating integer centroid means, and the final
+    // DECIMAL-exact cohesion averages. The float kmeans (seeded,
+    // iterative — not bit-portable across engines) remains the p11/
+    // s08 training path with its own spec coverage.
+    QDef.sql("p06_kmeans", kmeansOracleSql) { (s, dir) =>
+      graft.llm.Clustering.kmeansInt8(
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        seedIds = 0L until 8L, iters = 2)
     },
 
     // L23: benchmark decontamination (the Lee et al./GPT-3 report
