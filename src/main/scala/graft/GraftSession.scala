@@ -59,14 +59,15 @@ object GraftSession {
       // default for multi-file buckets, which never occur here.
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "400m")
-      // ObjectHashAggregate (every TypedImperativeAggregate: session
-      // counting, collect_list-style buffers) falls back to SORT-based
-      // aggregation after only 128 distinct keys by default — for
-      // st02's 100k users that silently re-introduces the full sort of
-      // every event row the aggregate formulation exists to avoid.
-      // Buffers here are bounded primitive arrays; 4M keys per
-      // partition is well inside executor memory at 32 partitions.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      // spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+      // stays at Spark's default (128): raising it session-wide would
+      // disable the sort-based spill valve for EVERY
+      // TypedImperativeAggregate — a collect-style aggregate with many
+      // keys and large per-key buffers then OOMs instead of spilling
+      // (r13 advice). The one query whose buffers are provably bounded
+      // and whose key count needs the hash path (st02's SessionCount,
+      // primitive arrays) raises it on its own forked session —
+      // queries/StreamingQ.scala.
       .config("spark.sql.session.timeZone", "UTC")
       // Testdata parquet stores naive timestamp[us]; read it as the
       // session-zone (UTC) instant type, not TIMESTAMP_NTZ, so the

@@ -137,6 +137,15 @@ object GraftSql {
       val v = positionalJoinPass(spark, text)
       if (v != text) return sql(spark, v)
     }
+    // query()/query_table()/repeat()/repeat_row() table functions
+    // (reference src/function/table/{query_function,repeat,repeat_row}
+    // .cpp): constant-argument dynamic relations, inlined at translate
+    // time exactly like the reference's binder — one rewrite per pass,
+    // re-enter for chained/nested uses
+    graft.plans.TableFns.pass(spark, text) match {
+      case Some(v) => return sql(spark, v)
+      case None =>
+    }
     // FROM-suffix pivot carrying its own GROUP BY
     // (`FROM t PIVOT (agg FOR c IN (vals) GROUP BY g)`, the
     // pivot_6390 spelling): exactly the statement form PivotStmt
@@ -152,8 +161,14 @@ object GraftSql {
     // view name (session view, like the engine's other view surface)
     text match {
       case CreateViewPivot(_, _, name, body) =>
-        sql(spark, body)
-          .createOrReplaceTempView(name.replace("\"", "").replace("`", ""))
+        // createOrReplaceTempView rejects multi-part names: a
+        // schema-qualified `CREATE VIEW s.v` registers under the last
+        // name part (the session has one view namespace — same
+        // downgrade the engine's other view surface applies, and a
+        // non-TEMP CREATE VIEW also becomes a session temp view here)
+        val viewName = name.replace("\"", "").replace("`", "")
+          .split('.').last
+        sql(spark, body).createOrReplaceTempView(viewName)
         return S.emptyDf(spark)
       case _ =>
     }
@@ -361,16 +376,35 @@ object GraftSql {
       // `WITH ctes… UPDATE/DELETE/INSERT/MERGE …` (incl. AS
       // [NOT] MATERIALIZED bodies): materialize the CTEs as temp views
       // — the engine's CTE materialization — and re-enter with the
-      // bare DML statement (r13, cte_in_dml corpus)
+      // bare DML statement (r13, cte_in_dml corpus). The views are
+      // STATEMENT-scoped: a CTE name must not outlive the DML, shadow
+      // a same-named catalog table for later queries, or clobber a
+      // pre-existing user temp view — so capture any prior temp view
+      // and drop/restore in a finally (r13 advice; DML executes
+      // eagerly through DmlSql, so nothing lazy escapes the scope).
       case _ if text.trim.toUpperCase.startsWith("WITH") &&
           graft.plans.PivotStmt.cteTail(text).exists { case (_, rest) =>
             "(?is)^\\s*(UPDATE|DELETE|INSERT|MERGE)\\b".r
               .findFirstIn(rest).isDefined } =>
         val (ctes, rest) = graft.plans.PivotStmt.cteTail(text).get
-        ctes.foreach { case (name, body) =>
-          sql(spark, body).createOrReplaceTempView(name)
+        val prior = ctes.map { case (name, _) =>
+          val wasTempView =
+            try spark.sessionState.catalog.isTempView(
+              spark.sessionState.sqlParser.parseTableIdentifier(name))
+            catch { case _: Exception => false }
+          name -> (if (wasTempView) Some(spark.table(name)) else None)
         }
-        return sql(spark, rest)
+        try {
+          ctes.foreach { case (name, body) =>
+            sql(spark, body).createOrReplaceTempView(name)
+          }
+          return sql(spark, rest)
+        } finally {
+          prior.foreach {
+            case (name, Some(df)) => df.createOrReplaceTempView(name)
+            case (name, None)     => spark.catalog.dropTempView(name)
+          }
+        }
       // ASOF [LEFT] JOIN statement syntax → the union+window plan
       // (plans/AsofSql → operators/Joins.asofJoin), then the rewritten
       // statement continues through the normal path
@@ -787,9 +821,25 @@ object GraftSql {
     // columns, so __pos still never leaks into the output (r13 advice).
     import graft.sources.DmlSql.topIndexOf
     val selectHead = sql0.substring(0, fromIdx)
+    // an agg-function spelling followed by OVER is a WINDOW call, not
+    // an aggregation — the row set stays 1:1 with the zip, so those
+    // still get the zip-order guarantee (r13 advice)
     val aggregating =
-      "(?i)\\b(count|sum|min|max|avg)\\s*\\(".r.findFirstIn(selectHead).isDefined
-    val blocked = Seq("ORDER", "GROUP", "UNION", "INTERSECT", "EXCEPT")
+      "(?i)\\b(count|sum|min|max|avg)\\s*\\(".r.findAllMatchIn(selectHead)
+        .exists { m =>
+          try {
+            val close = graft.plans.SqlPasses.matchParen(selectHead, m.end - 1)
+            !selectHead.substring(close + 1).trim.toUpperCase.startsWith("OVER")
+          } catch { case _: IllegalArgumentException => true }
+        }
+    // SELECT DISTINCT: __pos is outside the distinct projection, so
+    // an injected ORDER BY __pos would be an AnalysisException — skip
+    // (distinct output is a set; the reference's zip order is
+    // unobservable through it anyway)
+    val distinctHead =
+      "(?is)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstIn(selectHead).isDefined
+    val blocked = distinctHead ||
+      Seq("ORDER", "GROUP", "UNION", "INTERSECT", "EXCEPT")
       .exists(k => topIndexOf(out, k) >= 0)
     if (!blocked && !aggregating) {
       val orderBy = s" ORDER BY COALESCE($lAl.__pos, $rAl.__pos)"

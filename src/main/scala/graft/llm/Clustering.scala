@@ -89,6 +89,27 @@ object Clustering {
     import graft.plans.Quantization
     val q = corpus.select(col(idCol).cast("long").as("id"),
       Quantization.int8Longs(col(vecCol)).as("qv"))
+    val cents = lloydInt(q, seedIds, iters)
+    // final assignment summary under the converged centroids:
+    // cohesion sums in exact DECIMAL so the average is order-free
+    assignInt(q, cents)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("cos").cast(org.apache.spark.sql.types.DecimalType(27, 12)))
+          .cast("double") / count(lit(1))).as("avg_cohesion"))
+      .select(col("cid").as("centroid_id"), col("n_members"), col("avg_cohesion"))
+      .orderBy(col("centroid_id"))
+  }
+
+  /** The integer-Lloyd core shared by [[kmeansInt8]] and the
+    * deterministic PQ codebooks ([[ProductQuant.deterministicPqTopK]]):
+    * `q` is (id: long, qv: array&lt;long&gt;) on the int8 grid; seeds are
+    * explicit ids whose RANK BY id becomes the cluster id. Returns the
+    * centroids after `iters` truncating-integer-mean updates — every
+    * step exact, the oracle replay spelled at the p06/s08 entries.
+    */
+  private[llm] def lloydInt(q: DataFrame, seedIds: Seq[Long],
+      iters: Int): Seq[(Long, Array[Long])] = {
     // seeds: explicit ids, cluster ids = their rank by id (bounded
     // collect — k rows)
     var cents: Seq[(Long, Array[Long])] = q
@@ -96,34 +117,11 @@ object Clustering {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
       .sortBy(_._1).zipWithIndex
       .map { case ((_, v), i) => i.toLong -> v }.toSeq
-    require(cents.nonEmpty, "kmeansInt8: no seed vectors found")
-
-    // argmax integer-cosine over the (bounded) centroid set as one
-    // struct-array max: (cos, -cid) orders ties to the smallest cid
-    def best(cs: Seq[(Long, Array[Long])]): Column = {
-      val scored = cs.map { case (cid, c) =>
-        val cl = typedLit(c.toSeq)
-        val dot = aggregate(zip_with(col("qv"), cl, (x, y) => x * y),
-          lit(0L), (a, x) => a + x)
-        val nq = aggregate(transform(col("qv"), x => x * x),
-          lit(0L), (a, x) => a + x)
-        val nc = c.map(v => v * v).sum
-        val cos = when(nq === 0L || lit(nc) === 0L, lit(0.0))
-          .otherwise(dot.cast("double") /
-            (sqrt(nq.cast("double")) * sqrt(lit(nc).cast("double"))))
-        struct(cos.as("c"), lit(-cid).as("n"))
-      }
-      array_max(array(scored: _*))
-    }
-    def assigned(cs: Seq[(Long, Array[Long])]): DataFrame =
-      q.select(col("id"), col("qv"),
-        (lit(0L) - best(cs).getField("n")).as("cid"),
-        best(cs).getField("c").as("cos"))
-
+    require(cents.nonEmpty, "lloydInt: no seed vectors found")
     var it = 0
     while (it < iters) {
       // per-(cluster, position) exact integer sums — k·dim rows
-      val sums = assigned(cents)
+      val sums = assignInt(q, cents)
         .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
@@ -142,15 +140,38 @@ object Clustering {
       }
       it += 1
     }
-    // final assignment summary under the converged centroids:
-    // cohesion sums in exact DECIMAL so the average is order-free
-    assigned(cents)
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_members"),
-        (sum(col("cos").cast(org.apache.spark.sql.types.DecimalType(27, 12)))
-          .cast("double") / count(lit(1))).as("avg_cohesion"))
-      .select(col("cid").as("centroid_id"), col("n_members"), col("avg_cohesion"))
-      .orderBy(col("centroid_id"))
+    cents
+  }
+
+  /** argmax integer-cosine over the (bounded) centroid set as one
+    * struct-array max: (cos, -cid) orders ties to the smallest cid.
+    * Input frame must carry (id, qv); output adds (cid, cos).
+    */
+  private[llm] def assignInt(q: DataFrame,
+      cs: Seq[(Long, Array[Long])]): DataFrame = {
+    val b = bestInt(col("qv"), cs)
+    q.select(col("id"), col("qv"),
+      (lit(0L) - b.getField("n")).as("cid"),
+      b.getField("c").as("cos"))
+  }
+
+  /** struct(max integer-cos, -cid) of `qv` against the centroid set —
+    * the projection both assignment and PQ ENCODING reduce to. */
+  private[llm] def bestInt(qv: Column,
+      cs: Seq[(Long, Array[Long])]): Column = {
+    val scored = cs.map { case (cid, c) =>
+      val cl = typedLit(c.toSeq)
+      val dot = aggregate(zip_with(qv, cl, (x, y) => x * y),
+        lit(0L), (a, x) => a + x)
+      val nq = aggregate(transform(qv, x => x * x),
+        lit(0L), (a, x) => a + x)
+      val nc = c.map(v => v * v).sum
+      val cos = when(nq === 0L || lit(nc) === 0L, lit(0.0))
+        .otherwise(dot.cast("double") /
+          (sqrt(nq.cast("double")) * sqrt(lit(nc).cast("double"))))
+      struct(cos.as("c"), lit(-cid).as("n"))
+    }
+    array_max(array(scored: _*))
   }
 
   /** Final assignment frame: (id, centroid_id, cos to own centroid). */

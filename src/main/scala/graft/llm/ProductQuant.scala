@@ -128,4 +128,75 @@ object ProductQuant {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** DETERMINISTIC integer-grid PQ search (r14, the p06 pattern):
+    * vectors quantize to int8 (the s07 kernel, REAL-replayable in
+    * DuckDB), each subspace's codebook is the exact integer Lloyd of
+    * [[Clustering.lloydInt]] from pinned seed ids, encoding is the
+    * same argmax integer-cosine (smallest-code tiebreak), the ADC
+    * table is EXACT integer sub-inner products of the quantized query
+    * against the integer codewords, and the shortlist re-ranks with
+    * the bit-portable double cosine (the s01 oracle form). Every
+    * intermediate is an exact integer or a double derived from exact
+    * integers, so the s08 oracle replays the whole pipeline —
+    * quantizer, m Lloyd loops, encoding, ADC scan, re-rank — in
+    * DuckDB SQL and hash-matches.
+    *
+    * Scale shape unchanged from the float path: training reads the
+    * corpus iters·m times for bounded k·subDim aggregates (batchable
+    * to iters scans by keying the aggregate on (subspace, cluster)),
+    * encoding is one shuffle-free projection, search is scan + top-k.
+    * The float [[train]]/[[searchRerankTopK]] stays the production
+    * path for externally-trained codebooks (recall contracts in
+    * PipelineSpec).
+    */
+  def deterministicPqTopK(corpus: DataFrame, vecCol: String, idCol: String,
+      m: Int, k: Int, iters: Int, seedIds: Seq[Long], queryId: Long,
+      shortlist: Int, topK: Int): DataFrame = {
+    import graft.plans.Quantization
+    val q = corpus.select(col(idCol).cast("long").as("id"),
+      Quantization.int8Longs(col(vecCol)).as("qv"))
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    def sub(qv: Column, j: Int): Column = slice(qv, j * subDim + 1, subDim)
+    q.persist()
+    // m independent integer-Lloyd codebooks from the SAME pinned seeds
+    val codebooks: IndexedSeq[Seq[(Long, Array[Long])]] =
+      (0 until m).map { j =>
+        Clustering.lloydInt(
+          q.select(col("id"), sub(col("qv"), j).as("qv")), seedIds, iters)
+      }
+    // encode: one shuffle-free projection, code_j = argmax cid
+    val codeCols = (0 until m).map { j =>
+      (lit(0L) - Clustering.bestInt(sub(col("qv"), j), codebooks(j))
+        .getField("n")).cast("int")
+    }
+    val encoded = q.select(col("id"), array(codeCols: _*).as("codes"))
+    // the query's quantized subvectors (ONE bounded row to the driver)
+    val qRow = q.filter(col("id") === queryId).head()
+    val qQv = qRow.getSeq[Long](1).toArray
+    q.unpersist()
+    // exact integer ADC table: adc(j)(c) = <q_j, codeword_{j,c}>
+    val adc: IndexedSeq[Seq[Long]] = (0 until m).map { j =>
+      val qj = qQv.slice(j * subDim, (j + 1) * subDim)
+      codebooks(j).map { case (_, cw) =>
+        cw.zip(qj).map { case (a, b) => a * b }.sum
+      }
+    }
+    val pqScore = (0 until m).map { j =>
+      element_at(typedlit(adc(j)), col("codes")(j) + 1)
+    }.reduce(_ + _)
+    val cand = encoded.select(col("id"), pqScore.as("pq_score"))
+      .orderBy(col("pq_score").desc, col("id"))
+      .limit(shortlist)
+    // exact-cosine re-rank of the bounded shortlist (broadcast join)
+    val qVec = corpus.filter(col(idCol).cast("long") === queryId)
+      .select(col(vecCol)).head().getSeq[Float](0)
+    corpus.join(broadcast(cand), col(idCol).cast("long") === col("id"))
+      .select(col(idCol), col("pq_score"),
+        Similarity.cosine(col(vecCol), typedlit(qVec)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -24,9 +24,33 @@ object Joins {
     * the Spark analog of the reference's AM_US_JOIN. At 100 TB keep the
     * broadcast side a dim table; a fact-fact theta join should be
     * rewritten as a banded/range join instead (see [[rangeJoin]]).
+    *
+    * The right side is broadcast UNCONDITIONALLY by the hint, so an
+    * unbroadcastable (fact-sized) right side would OOM an executor
+    * with no message. Guard: refuse loudly when the optimizer's size
+    * estimate for the right side exceeds
+    * `spark.graft.thetaJoin.maxBroadcastBytes` (default 512 MB —
+    * comfortably past every dim table, far under executor memory).
+    * The refusal names the alternative: the reference runs fact×fact
+    * inequality joins through a merge-based IEJoin
+    * (/root/reference/src/execution/operator/join/physical_iejoin.cpp);
+    * here, re-express as a banded equi-key [[rangeJoin]] so the band
+    * key carries the shuffle, or raise the cap deliberately.
     */
-  def thetaJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+  def thetaJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame = {
+    val maxBytes = right.sparkSession.conf
+      .get("spark.graft.thetaJoin.maxBroadcastBytes", (512L << 20).toString)
+      .toLong
+    val est = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(est <= maxBytes,
+      s"thetaJoin: right side estimates $est bytes > " +
+      s"$maxBytes (spark.graft.thetaJoin.maxBroadcastBytes) — an " +
+      "unconditional broadcast of a fact-sized side would OOM. " +
+      "Re-express the inequality as a banded equi-key rangeJoin " +
+      "(the scalable analog of the reference's IEJoin, " +
+      "physical_iejoin.cpp), or raise the cap deliberately.")
     left.join(broadcast(right), cond, "inner")
+  }
 
   /** ASOF backward join with payload: for each left row, attach the
     * payload columns of the latest right row with rightTime <= leftTime

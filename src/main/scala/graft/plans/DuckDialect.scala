@@ -3015,6 +3015,35 @@ object DuckDialect {
     """(?is)\b(FROM|JOIN)\s+(?:\w+\.){1,2}(range|generate_series|unnest)\s*\(""".r
   private val MainSchemaFnRe =
     """(?i)(?<![\w."'`])main\s*\.\s*([A-Za-z_]\w*)\s*\(""".r
+
+  /** Apply a text transform to the spans OUTSIDE single-quoted string
+    * literals only ('' escapes respected) — raw-regex statement passes
+    * must never rewrite keyword look-alikes inside string data. */
+  private def mapOutsideQuotes(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var segStart = 0
+    val n = sql.length
+    while (i < n) {
+      if (sql.charAt(i) == '\'') {
+        out.append(f(sql.substring(segStart, i)))
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          if (sql.charAt(j) == '\'') {
+            if (j + 1 < n && sql.charAt(j + 1) == '\'') j += 2
+            else closed = true
+          } else j += 1
+        }
+        val end = if (closed) j + 1 else n
+        out.append(sql.substring(i, end))
+        i = end
+        segStart = end
+      } else i += 1
+    }
+    out.append(f(sql.substring(segStart)))
+    out.toString
+  }
   private val InsertByPosRe =
     """(?is)\b(INSERT\s+(?:OR\s+\w+\s+)?INTO\s+[\w."`]+)\s+BY\s+POSITION\b""".r
   private val InsertParenValuesRe =
@@ -3033,8 +3062,11 @@ object DuckDialect {
     // `main.<fn>(…)` — the reference's default-schema qualifier on
     // ANY function call (bug_10283 corpus: main.struct_pack,
     // main.list_value): strip it so the special-cased builtins
-    // (struct_pack, …) hit their handlers (r13)
-    val sql2b = MainSchemaFnRe.replaceAllIn(sql2b0, m => s"${m.group(1)}(")
+    // (struct_pack, …) hit their handlers (r13). Applied OUTSIDE
+    // string literals only — `SELECT 'call main.foo(1)'` is data, not
+    // a qualifier (r13 advice).
+    val sql2b = mapOutsideQuotes(sql2b0)(seg =>
+      MainSchemaFnRe.replaceAllIn(seg, m => s"${m.group(1)}("))
     val sql3 = InsertByPosRe.replaceAllIn(sql2b, m => m.group(1))
     val sql = sql3 match {
       case InsertParenValuesRe(head, values) =>
@@ -3050,15 +3082,20 @@ object DuckDialect {
     // `… GROUP BY … USING SAMPLE n` — the reference samples the
     // RESULT when the clause trails an aggregation; Spark's
     // TABLESAMPLE binds to relations only, so wrap (r13)
-    val TailSample = "(?is)^(.*\\bGROUP\\s+BY\\b.*?)\\s+(TABLESAMPLE\\s*\\([^)]*\\))\\s*;?\\s*$".r
-    val out = out0 match {
-      case TailSample(bodyPart, samplePart)
-        if graft.sources.DmlSql.topIndexOf(out0, "TABLESAMPLE") >
-           graft.sources.DmlSql.topIndexOf(out0, "GROUP") &&
-           graft.sources.DmlSql.topIndexOf(out0, "GROUP") >= 0 =>
+    // positional split on quote-aware top-level keyword scans — a raw
+    // regex would also match keywords inside string literals (r13
+    // advice, same surface as MainSchemaFnRe)
+    val gi = graft.sources.DmlSql.topIndexOf(out0, "GROUP BY")
+    val ti = graft.sources.DmlSql.topIndexOf(out0, "TABLESAMPLE")
+    val out =
+      if (gi >= 0 && ti > gi &&
+          out0.substring(ti).matches(
+            "(?is)TABLESAMPLE\\s*\\([^)]*\\)\\s*;?\\s*")) {
+        val bodyPart = out0.substring(0, ti).trim
+        val samplePart =
+          out0.substring(ti).trim.stripSuffix(";").trim
         s"SELECT * FROM ($bodyPart) $samplePart"
-      case other => other
-    }
+      } else out0
     out
   }
 }

@@ -176,5 +176,47 @@ object FunctionsQ10 {
         | array_to_string(list(n_nationkey ORDER BY n_name), ',') AS keys_by_name,
         | first(n_name ORDER BY n_nationkey) AS first_name,
         | last(n_name ORDER BY n_nationkey) AS last_name
-        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin))
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // F95 (r14): repeat()/repeat_row() TABLE functions
+    // (reference src/function/table/repeat.cpp, repeat_row.cpp;
+    // plans/TableFns rewrites them to range()-backed derived tables
+    // at translate time). One text, both engines — DuckDB 1.0 ships
+    // both. repeat's output column is named by the value's literal
+    // text (RepeatBind pushes inputs[0].ToString()).
+    verbatim("f95_repeat_tf",
+      """SELECT r."graft" AS rep_val, rr.column0 AS c0, rr.column1 AS c1,
+        | n_nationkey
+        |FROM repeat('graft', 2) r
+        |CROSS JOIN repeat_row(7, 'y', num_rows=2) rr
+        |CROSS JOIN nation
+        |WHERE n_nationkey < 3
+        |ORDER BY n_nationkey, rep_val""".stripMargin),
+
+    // F94 (r14): query() / query_table() dynamic relations
+    // (reference src/function/table/query_function.cpp;
+    // test/sql/catalog/function/query_function.test). The oracle
+    // engine (DuckDB 1.0) PREDATES both functions (they ship in 1.1),
+    // so the oracle text is the binder-inlined equivalent — which is
+    // exactly what plans/TableFns produces, so the gate hashes the
+    // translation itself. The reference-corpus error/edge semantics
+    // are pinned in TableFnsSpec.
+    QDef.sql("f94_query_tf",
+      """SELECT q.n_regionkey, q.n AS n_grp, count(*) AS n_tbl
+        |FROM (SELECT n_regionkey, count(*) AS n
+        |      FROM nation GROUP BY n_regionkey) q
+        |JOIN (SELECT * FROM nation UNION ALL SELECT * FROM nation) t
+        |  ON t.n_regionkey = q.n_regionkey
+        |GROUP BY q.n_regionkey, q.n
+        |ORDER BY q.n_regionkey""".stripMargin) { (s, dir) =>
+      Catalog.registerAll(s, dir)
+      GraftSql.sql(s,
+        """SELECT q.n_regionkey, q.n AS n_grp, count(*) AS n_tbl
+          |FROM query('SELECT n_regionkey, count(*) AS n
+          |            FROM nation GROUP BY n_regionkey') q
+          |JOIN query_table([nation, nation]) t
+          |  ON t.n_regionkey = q.n_regionkey
+          |GROUP BY q.n_regionkey, q.n
+          |ORDER BY q.n_regionkey""".stripMargin)
+    })
 }

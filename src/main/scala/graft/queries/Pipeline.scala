@@ -136,6 +136,89 @@ object Pipeline {
        |ORDER BY centroid_id""".stripMargin
   }
 
+  /** s08's oracle (r14, the p06 pattern at full pipeline depth): a
+    * DuckDB SQL replay of the ENTIRE deterministic PQ search
+    * (ProductQuant.deterministicPqTopK) — the s07 REAL quantizer, m=4
+    * per-subspace integer Lloyd loops keyed on (subspace, cluster)
+    * in ONE set of CTEs, argmax integer-cosine encoding, the exact
+    * integer ADC scan, the (pq_score DESC, id) shortlist, and the
+    * bit-portable double-cosine re-rank (the s01 form). Every
+    * intermediate is an exact integer or a double derived from exact
+    * integers.
+    */
+  private lazy val pqOracleSql: String = {
+    val m = 4; val k = 8; val iters = 2; val subDim = 16
+    val queryId = 0; val shortlist = 100; val topK = 10
+    def assign(ci: String, out: String): String =
+      s"""$out AS (
+         |  SELECT id, j, sv, cid FROM (
+         |    SELECT id, j, sv, cid,
+         |      row_number() OVER (PARTITION BY id, j ORDER BY cos DESC, cid) AS rn
+         |    FROM (
+         |      SELECT s.id, s.j, s.sv, c.cid,
+         |        CASE WHEN s.nq = 0 OR c.nc = 0 THEN 0.0
+         |             ELSE CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
+         |                    p -> p[1] * p[2])) AS DOUBLE)
+         |                  / (sqrt(CAST(s.nq AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) END AS cos
+         |      FROM sn s JOIN (
+         |        SELECT j, cid, cv, list_sum(list_transform(cv, x -> x * x)) AS nc
+         |        FROM $ci) c ON c.j = s.j))
+         |  WHERE rn = 1)""".stripMargin
+    def update(ai: String, ci: String, cNext: String): String =
+      s"""$cNext AS (
+         |  SELECT p.j, p.cid, CASE WHEN u.cid IS NULL THEN p.cv ELSE u.cv END AS cv
+         |  FROM $ci p LEFT JOIN (
+         |    SELECT j, cid, list(CAST((sx - (sx % n)) / n AS BIGINT) ORDER BY pos) AS cv
+         |    FROM (
+         |      SELECT j, cid, t.i AS pos, SUM(sv[t.i]) AS sx, COUNT(*) AS n
+         |      FROM $ai, LATERAL unnest(generate_series(1, len(sv))) AS t(i)
+         |      GROUP BY j, cid, t.i) GROUP BY j, cid) u
+         |  ON p.j = u.j AND p.cid = u.cid)""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      assign(s"c$i", s"a$i") + ",\n" + update(s"a$i", s"c$i", s"c${i + 1}")
+    }.mkString(",\n")
+    s"""WITH qz AS (
+       |  SELECT vec_id AS id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS REAL)))) AS ma
+       |  FROM embeddings),
+       |qv0 AS (
+       |  SELECT id,
+       |    CASE WHEN ma = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+       |      ELSE list_transform(embedding, x ->
+       |        CAST(floor(CAST(x AS REAL) * (CAST(127 AS REAL) / ma)
+       |          + CAST(0.5 AS REAL)) AS BIGINT)) END AS qv
+       |  FROM qz),
+       |sub AS (
+       |  SELECT id, t.j, qv[t.j*$subDim+1 : t.j*$subDim+$subDim] AS sv
+       |  FROM qv0, LATERAL unnest(generate_series(0, ${m - 1})) AS t(j)),
+       |sn AS (SELECT id, j, sv,
+       |  list_sum(list_transform(sv, x -> x * x)) AS nq FROM sub),
+       |c0 AS (
+       |  SELECT j, row_number() OVER (PARTITION BY j ORDER BY id) - 1 AS cid, sv AS cv
+       |  FROM sub WHERE id IN (${(0 until k).mkString(", ")})),
+       |$rounds,
+       |${assign(s"c$iters", "af")},
+       |qsub AS (SELECT j, sv FROM sn WHERE id = $queryId),
+       |adc AS (
+       |  SELECT c.j, c.cid,
+       |    list_sum(list_transform(list_zip(q.sv, c.cv), p -> p[1] * p[2])) AS dot
+       |  FROM c$iters c JOIN qsub q ON q.j = c.j),
+       |score AS (
+       |  SELECT a.id, SUM(d.dot) AS pq_score
+       |  FROM af a JOIN adc d ON d.j = a.j AND d.cid = a.cid
+       |  GROUP BY a.id),
+       |short AS (SELECT id, pq_score FROM score
+       |  ORDER BY pq_score DESC, id LIMIT $shortlist),
+       |qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId)
+       |SELECT e.vec_id, CAST(s.pq_score AS BIGINT) AS pq_score,
+       |  list_sum(list_transform(list_zip(e.embedding, qe.qv),
+       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(qe.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos_sim
+       |FROM embeddings e JOIN short s ON s.id = e.vec_id CROSS JOIN qe
+       |ORDER BY cos_sim DESC, vec_id LIMIT $topK""".stripMargin
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Catalog.table(s, dir, name)
 
@@ -1043,20 +1126,22 @@ object Pipeline {
     },
 
     // L26: product-quantization ANN (Jégou et al. 2011) — the
-    // memory-bound 100 TB search path: per-subspace codebooks trained
-    // with the distributed k-means of p06, corpus stored as 16 codes
-    // per 64-dim vector (16× compression), ADC table-lookup scan over
+    // memory-bound 100 TB search path: per-subspace codebooks, corpus
+    // stored as m small codes per vector, ADC table-lookup scan over
     // the codes proposes a bounded shortlist, exact cosine re-ranks
-    // it. Rows-only (iterative float fit); recall-vs-brute-force,
-    // determinism, and code-range contracts in PipelineSpec.
-    QDef.rowsOnly("s08_ann_pq") { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
-      val model = ProductQuant.train(emb, "embedding", "vec_id", m = 16, k = 16, iters = 4)
-      val codes = ProductQuant.encode(emb, "embedding", "vec_id", model)
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).toArray
-      ProductQuant.searchRerankTopK(codes, emb, "embedding", "vec_id", q, model,
-        k = 10, shortlist = 100)
+    // it. r14: the driver entry runs the DETERMINISTIC integer-grid
+    // PQ (int8 quantizer + per-subspace exact integer Lloyd from
+    // pinned seeds + integer ADC), whose every step the oracle
+    // replays in DuckDB SQL — the p06 upgrade pattern at full
+    // pipeline depth. The float train/encode/search path stays the
+    // production surface for externally-trained codebooks
+    // (recall-vs-brute-force, determinism, and code-range contracts
+    // in PipelineSpec).
+    QDef.sql("s08_ann_pq", pqOracleSql) { (s, dir) =>
+      ProductQuant.deterministicPqTopK(
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        m = 4, k = 8, iters = 2, seedIds = 0L until 8L,
+        queryId = 0L, shortlist = 100, topK = 10)
     },
 
     // L27: linear quality-classifier training (the GPT-3 CommonCrawl

@@ -56,12 +56,20 @@ object StreamingQ {
       // serialize/merge of every buffer. Same single exchange, rows
       // hash once into ~3k buffers per reducer. Measured at sf10:
       // 2.07 s (window-lag) → 1.6 s (partial+final agg) → 0.87 s
-      // (complete-mode agg, Probe st02c). Needs the raised
-      // objectHashAggregate fallback threshold (GraftSession) or the
-      // 3k keys/partition re-introduce a sort-based fallback.
+      // (complete-mode agg, Probe st02c). Needs a raised
+      // objectHashAggregate fallback threshold or the 3k
+      // keys/partition re-introduce a sort-based fallback — raised on
+      // a FORKED session (isolated SQL conf, shared context/cache) so
+      // the spill valve stays on for every other
+      // TypedImperativeAggregate in the engine (r13 advice; only
+      // SessionCount's buffers are provably bounded primitive arrays).
       // The window-lag formulation lives on in SessionizeSpec, which
       // proves window == aggregate == stateful-streaming.
-      t(s, dir, "events")
+      val s2 = s.newSession()
+      s2.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4194304")
+      t(s2, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("ms"))
         .repartition(col("user_id"))
         .groupBy(col("user_id"))

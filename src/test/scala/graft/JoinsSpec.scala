@@ -86,6 +86,26 @@ class JoinsSpec extends AnyFunSuite {
     assert(v == 50L, s"expected 50, got $v")
   }
 
+  test("thetaJoin guards against an unbroadcastable right side") {
+    val left = Seq((1L, 5L), (2L, 50L)).toDF("id", "v")
+    val right = Seq((1L, 10L), (2L, 20L)).toDF("rid", "lo")
+    // a dim-sized right side passes under the default cap
+    assert(Joins.thetaJoin(left, right, col("v") < col("lo")).count() == 2)
+    // a right side whose size estimate exceeds the cap must refuse
+    // LOUDLY (an unconditional broadcast of a fact side is an executor
+    // OOM at scale, not a plan choice) and name the rangeJoin/IEJoin
+    // alternative
+    spark.conf.set("spark.graft.thetaJoin.maxBroadcastBytes", "1024")
+    try {
+      val big = spark.range(1000000).toDF("rid")
+      val ex = intercept[IllegalArgumentException] {
+        Joins.thetaJoin(left, big, col("v") < col("rid"))
+      }
+      assert(ex.getMessage.contains("rangeJoin"), ex.getMessage)
+      assert(ex.getMessage.contains("maxBroadcastBytes"), ex.getMessage)
+    } finally spark.conf.unset("spark.graft.thetaJoin.maxBroadcastBytes")
+  }
+
   test("positionalJoin zips by rank without a single-partition window") {
     val l = spark.range(100).select(col("id").as("a"))
     val r = spark.range(100).select((col("id") * 10).as("b"))
