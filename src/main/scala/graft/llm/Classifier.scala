@@ -90,4 +90,49 @@ object Classifier {
     val rawB = b - (0 until dim).map(i => w(i) * mean(i) / std(i)).sum
     LrModel(rawW, rawB, losses.result())
   }
+
+  /** DETERMINISTIC fixed-point linear classifier (r14, the p06/s08
+    * integer-grid pattern): features are pre-scaled INTEGERS (the
+    * caller centers them on fixed constants — standardization with
+    * data-dependent doubles would break exactness), weights live on a
+    * 10⁻⁶ grid as Longs, the loss is squared error against ±10⁹
+    * targets, and each full-batch GD step is one aggregate of exact
+    * DECIMAL(38,0) gradient sums with a truncating integer update
+    * w_i -= trunc(G_i / (n·10⁶·lrDen)) — every intermediate exact, so
+    * DuckDB replays the whole fit in SQL (HUGEINT sums, the
+    * (g - g % D)/D toward-zero division). Same scale shape as
+    * [[trainLogistic]]: broadcast weights, ONE dim-column aggregate
+    * per iteration, zero corpus shuffles. The float logistic fit
+    * stays the expressive production path (ClassifierSpec).
+    */
+  def trainLinearInt(df: DataFrame, featCol: String, labelCol: String,
+      iters: Int, lrDen: Long = 1L): Array[Long] = {
+    import org.apache.spark.sql.types.DecimalType
+    val dim = df.select(size(col(featCol))).head().getInt(0)
+    val feats = (0 until dim).map(i => element_at(col(featCol), i + 1))
+    val n = df.count()
+    val w = Array.fill(dim)(0L)
+    val tgt = (col(labelCol).cast("long") * 2L - 1L) * lit(1000000000L)
+    for (_ <- 0 until iters) {
+      val margin = feats.zip(w).map { case (f, wi) => f * lit(wi) }
+        .reduce(_ + _)
+      val r = margin - tgt
+      val gCols = (0 until dim).map(i =>
+        sum((r * feats(i)).cast(DecimalType(38, 0))).as(s"g$i"))
+      val row = df.agg(gCols.head, gCols.tail: _*).head()
+      val d = BigInt(n) * 1000000L * lrDen
+      for (i <- 0 until dim) {
+        val g = BigInt(row.getDecimal(i).toBigInteger)
+        val q = g.abs / d
+        w(i) -= (if (g.signum >= 0) q else -q).toLong
+      }
+    }
+    w
+  }
+
+  /** Margin of an integer feature array under fixed-point weights. */
+  def marginInt(feat: Column, w: Array[Long]): Column =
+    w.zipWithIndex.map { case (wi, i) =>
+      element_at(feat, i + 1) * lit(wi)
+    }.reduce(_ + _)
 }

@@ -177,16 +177,29 @@ object ProductQuant {
     val qRow = q.filter(col("id") === queryId).head()
     val qQv = qRow.getSeq[Long](1).toArray
     q.unpersist()
-    // exact integer ADC table: adc(j)(c) = <q_j, codeword_{j,c}>
+    // exact integer ADC tables: adc(j)(c) = <q_j, codeword_{j,c}>,
+    // nrm(j)(c) = |codeword_{j,c}|². The shortlist score is the
+    // reconstruction COSINE numerator dot / |recon| — dividing by the
+    // reconstruction norm cancels each corpus vector's own int8
+    // quantization scale (raw dots bias toward small-max-abs vectors);
+    // a double derived from exact integers, bit-portable.
     val adc: IndexedSeq[Seq[Long]] = (0 until m).map { j =>
       val qj = qQv.slice(j * subDim, (j + 1) * subDim)
       codebooks(j).map { case (_, cw) =>
         cw.zip(qj).map { case (a, b) => a * b }.sum
       }
     }
-    val pqScore = (0 until m).map { j =>
+    val nrm: IndexedSeq[Seq[Long]] = (0 until m).map { j =>
+      codebooks(j).map { case (_, cw) => cw.map(v => v * v).sum }
+    }
+    val pqDot = (0 until m).map { j =>
       element_at(typedlit(adc(j)), col("codes")(j) + 1)
     }.reduce(_ + _)
+    val pqNrm = (0 until m).map { j =>
+      element_at(typedlit(nrm(j)), col("codes")(j) + 1)
+    }.reduce(_ + _)
+    val pqScore = when(pqNrm === 0L, lit(0.0))
+      .otherwise(pqDot.cast("double") / sqrt(pqNrm.cast("double")))
     val cand = encoded.select(col("id"), pqScore.as("pq_score"))
       .orderBy(col("pq_score").desc, col("id"))
       .limit(shortlist)

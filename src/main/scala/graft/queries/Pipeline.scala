@@ -138,7 +138,7 @@ object Pipeline {
 
   /** s08's oracle (r14, the p06 pattern at full pipeline depth): a
     * DuckDB SQL replay of the ENTIRE deterministic PQ search
-    * (ProductQuant.deterministicPqTopK) — the s07 REAL quantizer, m=4
+    * (ProductQuant.deterministicPqTopK) — the s07 REAL quantizer, m=8
     * per-subspace integer Lloyd loops keyed on (subspace, cluster)
     * in ONE set of CTEs, argmax integer-cosine encoding, the exact
     * integer ADC scan, the (pq_score DESC, id) shortlist, and the
@@ -147,7 +147,7 @@ object Pipeline {
     * integers.
     */
   private lazy val pqOracleSql: String = {
-    val m = 4; val k = 8; val iters = 2; val subDim = 16
+    val m = 8; val k = 16; val iters = 2; val subDim = 8
     val queryId = 0; val shortlist = 100; val topK = 10
     def assign(ci: String, out: String): String =
       s"""$out AS (
@@ -201,22 +201,77 @@ object Pipeline {
        |qsub AS (SELECT j, sv FROM sn WHERE id = $queryId),
        |adc AS (
        |  SELECT c.j, c.cid,
-       |    list_sum(list_transform(list_zip(q.sv, c.cv), p -> p[1] * p[2])) AS dot
+       |    list_sum(list_transform(list_zip(q.sv, c.cv), p -> p[1] * p[2])) AS dot,
+       |    list_sum(list_transform(c.cv, x -> x * x)) AS nc
        |  FROM c$iters c JOIN qsub q ON q.j = c.j),
        |score AS (
-       |  SELECT a.id, SUM(d.dot) AS pq_score
+       |  SELECT a.id,
+       |    CASE WHEN SUM(d.nc) = 0 THEN 0.0
+       |         ELSE CAST(SUM(d.dot) AS DOUBLE) / sqrt(CAST(SUM(d.nc) AS DOUBLE))
+       |    END AS pq_score
        |  FROM af a JOIN adc d ON d.j = a.j AND d.cid = a.cid
        |  GROUP BY a.id),
        |short AS (SELECT id, pq_score FROM score
        |  ORDER BY pq_score DESC, id LIMIT $shortlist),
        |qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId)
-       |SELECT e.vec_id, CAST(s.pq_score AS BIGINT) AS pq_score,
+       |SELECT e.vec_id, s.pq_score,
        |  list_sum(list_transform(list_zip(e.embedding, qe.qv),
        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
        |  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
        |     * sqrt(list_sum(list_transform(qe.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos_sim
        |FROM embeddings e JOIN short s ON s.id = e.vec_id CROSS JOIN qe
        |ORDER BY cos_sim DESC, vec_id LIMIT $topK""".stripMargin
+  }
+
+  /** p09's oracle (r14): a DuckDB SQL replay of the deterministic
+    * fixed-point linear-classifier fit (Classifier.trainLinearInt) —
+    * integer features from the t02-proven regexp counts (centered on
+    * FIXED constants, not data-dependent moments), 4 full-batch GD
+    * rounds with exact HUGEINT gradient sums and the toward-zero
+    * update (g - g % d is an exact multiple of d, so `//` is exact),
+    * then per-doc predictions under the final weights. Every
+    * intermediate is an exact integer.
+    */
+  private lazy val p09OracleSql: String = {
+    val iters = 4
+    val rounds = (0 until iters).map { i =>
+      s"""g$i AS (
+         |  SELECT SUM(CAST(r * x0 AS HUGEINT)) AS g0,
+         |         SUM(CAST(r * x1 AS HUGEINT)) AS g1,
+         |         SUM(CAST(r * x2 AS HUGEINT)) AS g2,
+         |         SUM(CAST(r * x3 AS HUGEINT)) AS g3
+         |  FROM (SELECT l.x0, l.x1, l.x2, l.x3,
+         |          (l.x0*w.w0 + l.x1*w.w1 + l.x2*w.w2 + l.x3*w.w3)
+         |            - (2*l.y - 1) * 1000000000 AS r
+         |        FROM l CROSS JOIN w$i w)),
+         |w${i + 1} AS (
+         |  SELECT w.w0 - (g.g0 - g.g0 % d.d) // d.d AS w0,
+         |         w.w1 - (g.g1 - g.g1 % d.d) // d.d AS w1,
+         |         w.w2 - (g.g2 - g.g2 % d.d) // d.d AS w2,
+         |         w.w3 - (g.g3 - g.g3 % d.d) // d.d AS w3
+         |  FROM w$i w CROSS JOIN g$i g CROSS JOIN d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    ((len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b')) * 1000)
+       |       // (len(regexp_extract_all(text, '\\S+')) + 1) - 60) * 4 AS x0,
+       |    ((len(regexp_extract_all(text, '\\S+')) * 1000)
+       |       // (length(text) + 1) - 185) * 10 AS x1,
+       |    ((length(text) * 100)
+       |       // (len(regexp_extract_all(text, '\\S+')) + 1)) - 512 AS x2
+       |  FROM documents),
+       |l AS (SELECT doc_id, x0, x1, x2, 250 AS x3,
+       |      CASE WHEN x0 > 0 THEN 1 ELSE 0 END AS y FROM f),
+       |d AS (SELECT CAST(COUNT(*) AS HUGEINT) * 1000000 AS d FROM l),
+       |w0 AS (SELECT CAST(0 AS HUGEINT) AS w0, CAST(0 AS HUGEINT) AS w1,
+       |       CAST(0 AS HUGEINT) AS w2, CAST(0 AS HUGEINT) AS w3),
+       |$rounds
+       |SELECT l.doc_id, CAST(l.y AS INTEGER) AS y,
+       |  CAST(CASE WHEN (l.x0*w.w0 + l.x1*w.w1 + l.x2*w.w2 + l.x3*w.w3) > 0
+       |       THEN 1 ELSE 0 END AS INTEGER) AS pred,
+       |  CAST(CASE WHEN (CASE WHEN (l.x0*w.w0 + l.x1*w.w1 + l.x2*w.w2 + l.x3*w.w3) > 0
+       |       THEN 1 ELSE 0 END) = l.y THEN 1 ELSE 0 END AS INTEGER) AS correct
+       |FROM l CROSS JOIN w$iters w""".stripMargin
   }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -1140,42 +1195,47 @@ object Pipeline {
     QDef.sql("s08_ann_pq", pqOracleSql) { (s, dir) =>
       ProductQuant.deterministicPqTopK(
         t(s, dir, "embeddings"), "embedding", "vec_id",
-        m = 4, k = 8, iters = 2, seedIds = 0L until 8L,
+        m = 8, k = 16, iters = 2, seedIds = 0L until 16L,
         queryId = 0L, shortlist = 100, topK = 10)
     },
 
     // L27: linear quality-classifier training (the GPT-3 CommonCrawl
     // practice: score raw docs with a simple classifier trained to
     // recognize curated-looking text). Distributed full-batch GD in
-    // the k-means mold — broadcast weights, ONE dim+2-column aggregate
-    // per iteration, zero corpus shuffles (Classifier.trainLogistic).
-    // Labels here are weak supervision (docs above the corpus median
-    // stopword ratio), so the fit must recover a known boundary from
-    // correlated features — real learning on non-axis-aligned planted
-    // data is proven in ClassifierSpec. Rows-only: iterative float fit.
-    QDef.rowsOnly("p09_quality_classifier") { (s, dir) =>
+    // the k-means mold — broadcast weights, ONE dim-column aggregate
+    // per iteration, zero corpus shuffles. r14: the driver entry runs
+    // the DETERMINISTIC fixed-point fit (Classifier.trainLinearInt —
+    // integer-grid features from the t02-proven counts, exact
+    // DECIMAL gradient sums, truncating updates), whose 4 GD rounds
+    // the oracle replays in DuckDB SQL. Labels are weak supervision
+    // (stop-ratio above a FIXED integer cut — a data-dependent median
+    // would break exactness). The float logistic fit
+    // (Classifier.trainLogistic) stays the expressive production
+    // path — real learning on non-axis-aligned planted data is
+    // proven in ClassifierSpec.
+    QDef.sql("p09_quality_classifier", p09OracleSql) { (s, dir) =>
       import graft.llm.Classifier
       val stats = graft.plans.HashExpressions.columnOf(
         graft.plans.TextQualityStats(
           graft.plans.HashExpressions.exprOf(col("text"))))
-      val feat = t(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"), stats.as("__st"))
-        .select(col("doc_id"),
-          (col("__st").getItem(2).cast("double") /
-            (col("__st").getItem(0).cast("double") + 1.0)).as("stop_ratio"),
-          (col("__st").getItem(0).cast("double") /
-            (col("n_chars").cast("double") + 1.0)).as("token_density"),
-          log(col("n_chars").cast("double") + 1.0).as("log_len"))
-      val cut = feat.stat.approxQuantile("stop_ratio", Array(0.5), 0.0).head
-      val train = feat.select(col("doc_id"),
-          array(col("stop_ratio"), col("token_density"), col("log_len")).as("f"),
-          (col("stop_ratio") > cut).cast("int").as("y"))
+      val doc = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("nc"),
+          stats.as("__st"))
+        .select(col("doc_id"), col("nc"),
+          col("__st").getItem(0).cast("long").as("nt"),
+          col("__st").getItem(2).cast("long").as("ns"))
+      val train = doc.select(col("doc_id"),
+          array(
+            (expr("(ns * 1000) div (nt + 1)") - 60L) * 4L,
+            (expr("(nt * 1000) div (nc + 1)") - 185L) * 10L,
+            expr("(nc * 100) div (nt + 1)") - 512L,
+            lit(250L)).as("f"))
+        .withColumn("y", (col("f")(0) > 0L).cast("int"))
       train.persist()
-      val model = Classifier.trainLogistic(train, "f", "y", iters = 60, lr = 0.5)
+      val w = Classifier.trainLinearInt(train, "f", "y", iters = 4)
       val scored = train.select(col("doc_id"), col("y"),
-          (Classifier.predictProb(col("f"), model) > 0.5).cast("int").as("pred"))
+          (Classifier.marginInt(col("f"), w) > 0L).cast("int").as("pred"))
         .withColumn("correct", (col("y") === col("pred")).cast("int"))
-        .orderBy(col("doc_id"))
       scored.count() // materialize before unpersist
       train.unpersist()
       scored

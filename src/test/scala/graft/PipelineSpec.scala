@@ -201,4 +201,26 @@ class PipelineSpec extends AnyFunSuite {
     val b = ProductQuant.train(emb, "embedding", "vec_id", m = 4, k = 8, iters = 2)
     assert(a.codebooks.flatten.flatten.toSeq == b.codebooks.flatten.flatten.toSeq)
   }
+
+  test("deterministic integer-grid PQ: self-match top-1, reproducible, sane recall") {
+    import graft.llm.{ProductQuant, Similarity}
+    val emb = graft.sources.Catalog.table(spark, sfDir, "embeddings")
+    def run() = ProductQuant.deterministicPqTopK(emb, "embedding", "vec_id",
+        m = 8, k = 16, iters = 2, seedIds = 0L until 16L,
+        queryId = 0L, shortlist = 100, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val a = run()
+    // the query matches itself with cosine exactly 1.0 at the top
+    assert(a.head._1 == 0L && a.head._3 == 1.0, a.head.toString)
+    // bit-identical across runs (the oracle-replay precondition)
+    assert(a == run())
+    // the exact-cosine re-rank keeps the shortlist honest: recall@10
+    // vs brute force through a 100-wide shortlist over 50 vectors
+    // (sf0.001) must be high
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id",
+        emb.filter(col("vec_id") === 0), "embedding", 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = a.map(_._1).toSet
+    assert((exact & got).size >= 8, s"int-PQ recall@10 = ${(exact & got).size}/10")
+  }
 }
