@@ -100,8 +100,37 @@ object GraftSql {
   private val CommentOn =
     """(?is)^\s*COMMENT\s+ON\s+(\w+)\s+([\w.`"]+)\s+IS\s+('(?:[^']|'')*'|NULL)\s*;?\s*$""".r
 
-  def sql(spark: SparkSession, text0: String): DataFrame = {
-    spark.conf.set("spark.graft.current_query", text0)
+  /** The reference's lexer maps invisible unicode spaces to plain
+    * spaces BEFORE parsing (test/sql/parser/invisible_spaces.test:
+    * U+2000–U+200B, U+202F, U+3000, U+205F, U+FEFF, U+00A0) — inside
+    * string literals they are data and must survive. */
+  private def mapInvisibleSpaces(s: String): String =
+    if (!s.exists(isInvisibleSpace)) s
+    else {
+      val out = new StringBuilder(s.length)
+      var inStr = false
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\'') { inStr = !inStr; out += c }
+        else if (!inStr && isInvisibleSpace(c)) out += ' '
+        else out += c
+        i += 1
+      }
+      out.toString
+    }
+  private def isInvisibleSpace(c: Char): Boolean =
+    (c >= '\u2000' && c <= '\u200B') || c == '\u202F' ||
+      c == '\u3000' || c == '\u205F' || c == '\uFEFF' || c == '\u00A0'
+
+  def sql(spark: SparkSession, text00: String): DataFrame = {
+    val text0 = mapInvisibleSpaces(text00)
+    spark.conf.set("spark.graft.current_query", text00)
+    // an empty / whitespace-only / comment-only statement is a no-op
+    // (the reference's `statement ok` on a lone invisible space)
+    if (text0.linesIterator.map(_.trim).forall(
+        l => l.isEmpty || l.startsWith("--")))
+      return spark.emptyDataFrame
     // CREATE MACRO registers; every other statement gets macro calls
     // textually inlined first (the reference binder does the same)
     graft.plans.DuckDialect.nativeTime =
@@ -135,6 +164,12 @@ object GraftSql {
     }
     locally {
       val v = positionalJoinPass(spark, text)
+      if (v != text) return sql(spark, v)
+    }
+    // postgres deferred-ON join nesting (`A join B join C on cInner
+    // on cOuter`): parenthesize the inner joins for Spark's grammar
+    locally {
+      val v = graft.plans.SqlPasses.nestedJoinPass(text)
       if (v != text) return sql(spark, v)
     }
     // query()/query_table()/repeat()/repeat_row() table functions
@@ -405,6 +440,11 @@ object GraftSql {
             case (name, None)     => spark.catalog.dropTempView(name)
           }
         }
+      // ASOF … USING (col) — at any depth — rewrites LAZILY to a
+      // LATERAL top-1 probe (composes with correlated subqueries,
+      // which the eager statement rewrite below cannot)
+      case _ if graft.plans.AsofSql.usingPass(text).isDefined =>
+        return sql(spark, graft.plans.AsofSql.usingPass(text).get)
       // ASOF [LEFT] JOIN statement syntax → the union+window plan
       // (plans/AsofSql → operators/Joins.asofJoin), then the rewritten
       // statement continues through the normal path

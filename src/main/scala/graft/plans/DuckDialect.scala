@@ -337,6 +337,11 @@ object DuckDialect {
         case None =>
       }
       val out = ArrayBuffer.empty[String]
+      // tracks "currently inside this level's FROM list" for the
+      // implicit-LATERAL comma rule — lastGlue is clobbered by nested
+      // subquery parsing on the same P instance, so it cannot be the
+      // signal (r14: `SELECT (SELECT ...), (SELECT 42)` regression)
+      var fromListCtx = false
       // FROM-first: `FROM t ...` with no leading SELECT. If a SELECT
       // clause appears later at depth 0, move it in front; else
       // prepend SELECT *.
@@ -397,14 +402,41 @@ object DuckDialect {
             // reference, an identifier in Spark
             next(); val __astr = next().text
             out += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'")) + strColList()
+          case TWord(w) if lastGlue == "FROM" && !GLUE(w.toUpperCase) &&
+              out.nonEmpty && out.last.matches("[A-Za-z_][\\w.]*") &&
+              !GLUE(out.last.toUpperCase) && strAliasListAhead =>
+            // bare relation alias carrying a QUOTED column list
+            // (`FROM integers t('k')`, table_alias_single_quotes
+            // corpus): the previous part is the relation, so this is
+            // NOT a function call — keep the alias, identifier-ize
+            // the quoted columns
+            next(); out += w + strColList()
           case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) && !peekAt(1).contains(TOp(".")) =>
             next(); lastGlue = w.toUpperCase; out += w
+            val __up = w.toUpperCase
+            if (__up == "FROM") fromListCtx = true
+            else if (Set("SELECT", "WHERE", "GROUP", "HAVING", "ORDER",
+                "LIMIT", "OFFSET", "WINDOW", "QUALIFY", "UNION",
+                "EXCEPT", "INTERSECT", "VALUES")(__up)) fromListCtx = false
           case TOp(",") =>
             // the reference tolerates trailing commas in clause lists
             // (VALUES …, / SELECT a, b, FROM): drop one before a
             // closer or end of input
             next()
-            if (more && !peekOp(")") && !peekOp(";") && !peekWord("FROM")) out += ","
+            if (more && !peekOp(")") && !peekOp(";") && !peekWord("FROM")) {
+              out += ","
+              // comma subqueries in a FROM list are implicitly
+              // LATERAL in the reference (lateral_qualify corpus —
+              // `FROM t(x), (SELECT x …)`); Spark needs the keyword.
+              // For uncorrelated subqueries LATERAL ≡ the plain comma
+              // join, so the insertion is semantics-preserving.
+              if (fromListCtx && peekOp("(") && peekAt(1).exists {
+                  case TWord(w) =>
+                    Set("SELECT", "FROM", "WITH")(w.toUpperCase)
+                  case _ => false
+                })
+                out += "LATERAL"
+            }
           case TOp(";") => next(); out += t.text
           // `(` falls through to expr(): its prefix handles both
           // subquery parens and parenthesized predicates — a special
@@ -420,6 +452,7 @@ object DuckDialect {
       */
     def clause(): String = {
       val out = ArrayBuffer.empty[String]
+      var fromListCtx = false
       while (more && !peekOp(")")) {
         val t = peek
         t match {
@@ -452,12 +485,30 @@ object DuckDialect {
             out += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'")) + strColList()
           case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) && !peekAt(1).contains(TOp(".")) =>
             next(); lastGlue = w.toUpperCase; out += w
+            val __up = w.toUpperCase
+            if (__up == "FROM") fromListCtx = true
+            else if (Set("SELECT", "WHERE", "GROUP", "HAVING", "ORDER",
+                "LIMIT", "OFFSET", "WINDOW", "QUALIFY", "UNION",
+                "EXCEPT", "INTERSECT", "VALUES")(__up)) fromListCtx = false
           case TOp(",") =>
             // the reference tolerates trailing commas in clause lists
             // (VALUES …, / SELECT a, b, FROM): drop one before a
             // closer or end of input
             next()
-            if (more && !peekOp(")") && !peekOp(";") && !peekWord("FROM")) out += ","
+            if (more && !peekOp(")") && !peekOp(";") && !peekWord("FROM")) {
+              out += ","
+              // comma subqueries in a FROM list are implicitly
+              // LATERAL in the reference (lateral_qualify corpus —
+              // `FROM t(x), (SELECT x …)`); Spark needs the keyword.
+              // For uncorrelated subqueries LATERAL ≡ the plain comma
+              // join, so the insertion is semantics-preserving.
+              if (fromListCtx && peekOp("(") && peekAt(1).exists {
+                  case TWord(w) =>
+                    Set("SELECT", "FROM", "WITH")(w.toUpperCase)
+                  case _ => false
+                })
+                out += "LATERAL"
+            }
           case TOp(";") => next(); out += t.text
           case _ => out += expr(0)
         }
@@ -829,20 +880,28 @@ object DuckDialect {
         }
         k += 1
       }
-      if (qualifyAt < 0 || fromAt < 0 || fromAt > qualifyAt) return None
+      // FROM-less QUALIFY (`SELECT x * 2 QUALIFY row_number() OVER ()
+      // < 10` inside a lateral comma subquery, lateral_qualify corpus)
+      // is legal in the reference — the inner scope just has no FROM
+      if (qualifyAt < 0 || (fromAt >= 0 && fromAt > qualifyAt)) return None
       val end = k
       if (tailAt < 0) tailAt = end
       // translate the four segments independently (clause(): the glue
       // loop WITHOUT the FROM-first statement heuristic, which would
       // otherwise re-wrap the FROM segment in a fresh SELECT *)
-      val selPart = new P(toks.slice(i, fromAt)).clause()
-      val fromPart = new P(toks.slice(fromAt, qualifyAt)).clause()
+      val selEnd = if (fromAt >= 0) fromAt else qualifyAt
+      val selPart = new P(toks.slice(i, selEnd)).clause()
+      val fromPart =
+        if (fromAt >= 0) new P(toks.slice(fromAt, qualifyAt)).clause() else ""
       val pred = new P(toks.slice(qualifyAt + 1, tailAt)).expr(0)
       val tail = if (tailAt < end) new P(toks.slice(tailAt, end)).clause() else ""
       i = end
       require(!selPart.toUpperCase.startsWith("SELECT DISTINCT"),
         "duck-dialect: QUALIFY with DISTINCT is not supported")
-      Some((s"SELECT * EXCEPT (__qualify) FROM ($selPart, ($pred) AS __qualify " +
+      // CAST: `QUALIFY NULL` is legal in the reference (typeless NULL
+      // filters everything); Spark's filter demands a BOOLEAN
+      Some((s"SELECT * EXCEPT (__qualify) FROM ($selPart, " +
+        s"CAST(($pred) AS BOOLEAN) AS __qualify " +
         s"$fromPart) WHERE __qualify $tail").trim)
     }
 
@@ -925,7 +984,16 @@ object DuckDialect {
             fromPart += "AS " + quoteIdent(__astr.substring(1, __astr.length - 1).replace("''", "'")) + strColList()
           case TWord(w) if GLUE(w.toUpperCase) && !(w.equalsIgnoreCase("ROW") && peekAt(1).contains(TOp("("))) && !peekAt(1).contains(TOp(".")) =>
             next(); lastGlue = w.toUpperCase; fromPart += w
-          case TOp(",") => next(); fromPart += ","
+          case TOp(",") =>
+            next(); fromPart += ","
+            // implicit LATERAL for comma subqueries (see the glue
+            // loop's comma case)
+            if (peekOp("(") && peekAt(1).exists {
+                case TWord(w2) =>
+                  Set("SELECT", "FROM", "WITH")(w2.toUpperCase)
+                case _ => false
+              })
+              fromPart += "LATERAL"
           case TOp("(") => fromPart += primaryParen()
           case _ => fromPart += expr(0)
         }
@@ -1613,6 +1681,25 @@ object DuckDialect {
     }
 
     private def quoteIdent(s: String): String = "`" + s.replace("`", "``") + "`"
+
+    /** True when the upcoming tokens are `( 'a' [, 'b']* )` — a
+      * quoted column-alias list rather than a function call's
+      * argument list (at least one string, nothing but strings and
+      * commas). Current token is the alias word itself. */
+    private def strAliasListAhead: Boolean = {
+      if (!peekAt(1).contains(TOp("("))) return false
+      var idx = 2
+      var sawStr = false
+      while (true) {
+        peekAt(idx) match {
+          case Some(TStr(_)) => sawStr = true; idx += 1
+          case Some(TOp(",")) => idx += 1
+          case Some(TOp(")")) => return sawStr
+          case _ => return false
+        }
+      }
+      false
+    }
 
     /** A following `('a', 'b')` column-alias list with string-literal
       * members (`AS 't'('k')`, the reference's quoted alias columns):
@@ -3044,6 +3131,10 @@ object DuckDialect {
     out.append(f(sql.substring(segStart)))
     out.toString
   }
+  private val BareOverRe =
+    ("""(?i)\b(row_number\s*\(\s*\)|rank\s*\(\s*\)|dense_rank\s*\(\s*\)|""" +
+      """percent_rank\s*\(\s*\)|cume_dist\s*\(\s*\)|ntile\s*\([^()]*\))""" +
+      """\s*OVER\s*\(\s*\)""").r
   private val InsertByPosRe =
     """(?is)\b(INSERT\s+(?:OR\s+\w+\s+)?INTO\s+[\w."`]+)\s+BY\s+POSITION\b""".r
   private val InsertParenValuesRe =
@@ -3082,20 +3173,26 @@ object DuckDialect {
     // `… GROUP BY … USING SAMPLE n` — the reference samples the
     // RESULT when the clause trails an aggregation; Spark's
     // TABLESAMPLE binds to relations only, so wrap (r13)
+    // rank-family window calls over an EMPTY spec (`row_number()
+    // OVER ()`, lateral_qualify corpus): the reference orders
+    // arbitrarily; Spark requires an ORDER BY — a constant literal
+    // order is the same contract (partition order decides)
+    val out0b = mapOutsideQuotes(out0)(seg =>
+      BareOverRe.replaceAllIn(seg, m => s"${m.group(1)} OVER (ORDER BY 1)"))
     // positional split on quote-aware top-level keyword scans — a raw
     // regex would also match keywords inside string literals (r13
     // advice, same surface as MainSchemaFnRe)
-    val gi = graft.sources.DmlSql.topIndexOf(out0, "GROUP BY")
-    val ti = graft.sources.DmlSql.topIndexOf(out0, "TABLESAMPLE")
+    val gi = graft.sources.DmlSql.topIndexOf(out0b, "GROUP BY")
+    val ti = graft.sources.DmlSql.topIndexOf(out0b, "TABLESAMPLE")
     val out =
       if (gi >= 0 && ti > gi &&
-          out0.substring(ti).matches(
+          out0b.substring(ti).matches(
             "(?is)TABLESAMPLE\\s*\\([^)]*\\)\\s*;?\\s*")) {
-        val bodyPart = out0.substring(0, ti).trim
+        val bodyPart = out0b.substring(0, ti).trim
         val samplePart =
-          out0.substring(ti).trim.stripSuffix(";").trim
+          out0b.substring(ti).trim.stripSuffix(";").trim
         s"SELECT * FROM ($bodyPart) $samplePart"
-      } else out0
+      } else out0b
     out
   }
 }

@@ -779,4 +779,118 @@ object SqlPasses {
     val replacement = s"graft_frame_agg($vals, '$kfn'$qArg)"
     sql.substring(0, fnStart) + replacement + sql.substring(close + 1)
   }
+
+  /** Postgres deferred-ON join nesting
+    * (`A join B join C on cInner on cOuter`, pg_lateral corpus):
+    * each ON closes the MOST RECENT open join, so the inner joins
+    * nest — a grammar Spark lacks (it needs the inner group
+    * parenthesized). Parses the statement's top-level FROM segment as
+    * that join tree and re-emits `A join (B join C on cInner) on
+    * cOuter`. Returns the input UNCHANGED unless a deferred ON was
+    * actually found (every join's ON directly following its right
+    * side is the normal left-assoc grammar — untouched).
+    */
+  private[graft] def nestedJoinPass(sql: String): String = try {
+    import graft.sources.DmlSql.topIndexOf
+    val fromIdx = topIndexOf(sql, "FROM")
+    if (fromIdx < 0) return sql
+    val rest = sql.substring(fromIdx + 4)
+    val segEnd = Seq("WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY",
+        "ORDER", "LIMIT", "OFFSET", "UNION", "EXCEPT", "INTERSECT")
+      .map(k => topIndexOf(rest, k)).filter(_ >= 0)
+      .reduceOption(_ min _).getOrElse(rest.length)
+    val seg = rest.substring(0, segEnd)
+
+    // tokenize: paren groups atomic (quote-aware), quoted literals
+    // atomic, commas their own token, words split on whitespace
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < seg.length) {
+      val ch = seg.charAt(i)
+      if (ch.isWhitespace) i += 1
+      else if (ch == '(') {
+        val close = matchParen(seg, i)
+        toks += seg.substring(i, close + 1); i = close + 1
+      } else if (ch == '\'') {
+        var j = i + 1
+        while (j < seg.length && seg.charAt(j) != '\'') j += 1
+        toks += seg.substring(i, (j + 1).min(seg.length)); i = j + 1
+      } else if (ch == ',') { toks += ","; i += 1 }
+      else {
+        var j = i
+        while (j < seg.length && !seg.charAt(j).isWhitespace &&
+            seg.charAt(j) != '(' && seg.charAt(j) != ',' &&
+            seg.charAt(j) != '\'') j += 1
+        toks += seg.substring(i, j); i = j
+      }
+    }
+
+    val JoinHead = Set("JOIN", "INNER", "LEFT", "RIGHT", "FULL",
+      "CROSS", "NATURAL", "SEMI", "ANTI")
+    var p = 0
+    var deferred = false
+    def peekU: String = if (p < toks.length) toks(p).toUpperCase else ""
+    def atJoin: Boolean = JoinHead(peekU) &&
+      // the join keyword sequence must actually reach a JOIN word
+      (0 to 3).exists(k => p + k < toks.length &&
+        toks(p + k).equalsIgnoreCase("JOIN"))
+    def joinWords(): String = {
+      val sb = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (p < toks.length && !toks(p).equalsIgnoreCase("JOIN")) {
+        sb += toks(p); p += 1
+      }
+      sb += toks(p); p += 1 // JOIN
+      sb.mkString(" ")
+    }
+    def primary(): String = {
+      val sb = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (p < toks.length && !atJoin && peekU != "," &&
+          peekU != "ON" && peekU != "USING") {
+        sb += toks(p); p += 1
+      }
+      sb.mkString(" ")
+    }
+    def condition(): String = {
+      val sb = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (p < toks.length && !atJoin && peekU != "," && peekU != "ON") {
+        sb += toks(p); p += 1
+      }
+      sb.mkString(" ")
+    }
+    def chainFrom(first: String, nested: Boolean): String = {
+      var node = first
+      while (p < toks.length && atJoin) {
+        val jw = joinWords()
+        val right0 = primary()
+        val noOn = "(?i)\\b(CROSS|NATURAL)\\b".r.findFirstIn(jw).isDefined
+        val right =
+          if (atJoin && !noOn) {
+            deferred = true
+            "(" + chainFrom(right0, nested = true) + ")"
+          } else right0
+        val on =
+          if (peekU == "ON") { p += 1; " ON " + condition() }
+          else if (peekU == "USING") {
+            p += 1; val u = if (p < toks.length) { val t = toks(p); p += 1; t }
+            else ""
+            s" USING $u"
+          } else ""
+        node = s"$node $jw $right$on"
+        if (nested && peekU == "ON") return node
+      }
+      node
+    }
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (p < toks.length) {
+      val before = p
+      items += chainFrom(primary(), nested = false)
+      if (peekU == ",") p += 1
+      // stray ON/USING the chain could not attach: not the deferred
+      // grammar — bail out unchanged rather than spin
+      if (p == before) return sql
+    }
+    if (!deferred) sql
+    else sql.substring(0, fromIdx) + "FROM " + items.mkString(", ") +
+      " " + rest.substring(segEnd)
+  } catch { case _: Exception => sql }
 }

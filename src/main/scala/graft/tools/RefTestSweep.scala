@@ -185,6 +185,9 @@ object RefTestSweep {
             "(?is)^\\s*(UPDATE|DELETE|MERGE)\\b".r.findFirstIn(rest).isDefined }
          catch { case _: Exception => false }) ||
         (try graft.plans.AsofSql.matches(sql) catch { case _: Exception => false }) ||
+        // ASOF … USING at any depth: GraftSql's lazy LATERAL rewrite
+        (try graft.plans.AsofSql.usingPass(sql).isDefined
+         catch { case _: Exception => false }) ||
         // UNION BY NAME / LIMIT n% / comment-only blocks: GraftSql
         // statement-layer passes
         "(?is)\\bUNION\\s+(ALL\\s+)?BY\\s+NAME\\b".r.findFirstIn(sql).isDefined ||
@@ -207,7 +210,12 @@ object RefTestSweep {
         // GraftSql's subStatementPass (s16/s10-gated) — same reasoning
         "(?i)\\(\\s*(DESCRIBE|SUMMARIZE|SHOW)\\b".r.findFirstIn(sql).isDefined ||
         "(?is)\\bLIMIT\\s+(\\d+(\\.\\d+)?|\\w+\\s*\\((?:[^()]|\\([^()]*\\))*\\)|\\((?:[^()]|\\([^()]*\\))*\\))\\s*(%|PERCENT)\\s*(OFFSET\\s+.+?)?\\s*;?\\s*$".r.findFirstIn(sql).isDefined ||
-        sql.linesIterator.map(_.trim).forall(l => l.isEmpty || l.startsWith("--"))
+        // comment-only blocks AND invisible-unicode-space-only
+        // statements (invisible_spaces.test): GraftSql maps the
+        // reference's invisible-space set to ' ' and no-ops blanks
+        sql.linesIterator.map(_.trim).forall(l =>
+          l.isEmpty || l.startsWith("--") ||
+            l.forall(c => c.isWhitespace || c == '﻿' || c == ' '))
       if (layerRouted) routed += 1
       else {
         val t =
@@ -216,7 +224,8 @@ object RefTestSweep {
               graft.plans.SqlPasses.windowExcludePass(
                 graft.plans.SqlPasses.emptyGroupingPass(
                   graft.plans.DuckDialect.translate(
-                    graft.plans.MacroReg.expand(sql)))))))
+                    graft.plans.MacroReg.expand(
+                      graft.plans.SqlPasses.nestedJoinPass(sql))))))))
           catch {
             case e: Throwable =>
               val key = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -241,7 +250,8 @@ object RefTestSweep {
               val key = Option(e.getMessage).getOrElse(e.getClass.getName)
                 .linesIterator.find(_.trim.nonEmpty).getOrElse("").take(90)
               val (n, ex) = parseFails.getOrElse(key, (0, ""))
-              parseFails(key) = (n + 1, if (ex.isEmpty) sql.take(160) else ex)
+              parseFails(key) =
+                (n + 1, if (ex.isEmpty) s"[$file] " + sql.take(160) else ex)
           }
         }
       }

@@ -241,8 +241,8 @@ class DuckDialectSpec extends AnyFunSuite {
 
   test("QUALIFY rewrites to the window-column-then-filter shape") {
     val out = t("SELECT a, b FROM t WHERE c = 1 QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1 ORDER BY a")
-    assert(out.startsWith("SELECT * EXCEPT (__qualify) FROM (SELECT a , b, ("))
-    assert(out.contains("AS __qualify FROM t WHERE"))
+    assert(out.startsWith("SELECT * EXCEPT (__qualify) FROM (SELECT a , b, CAST(("))
+    assert(out.contains("AS BOOLEAN) AS __qualify FROM t WHERE"))
     assert(out.endsWith(") WHERE __qualify ORDER BY a"))
     // executes: top-1 order per customer on real data
     graft.sources.Catalog.registerAll(spark, sfDir)

@@ -141,4 +141,63 @@ class SweepTailSpec extends AnyFunSuite {
     assert(one("SELECT (TIMESTAMP '2000-01-01 00:00:00' + interval '00:00:01')::VARCHAR t") ==
       Seq("2000-01-01 00:00:01"))
   }
+
+  // ---- r14 singleton burn-down (the last 7 sweep residuals) ----
+
+  test("bare alias with quoted column list: integers t('k')") {
+    // table_alias_single_quotes.test — both the AS 't'('k') (r13) and
+    // the bare t('k') forms
+    GraftSql.sql(spark, "CREATE OR REPLACE TEMP VIEW sq_int AS " +
+      "SELECT * FROM (VALUES (1), (2), (3)) v(i)")
+    assert(rows("SELECT t.k FROM sq_int t('k') ORDER BY ALL") ==
+      Seq(Seq(1), Seq(2), Seq(3)))
+    assert(rows("SELECT t.k FROM sq_int AS 't'('k') ORDER BY ALL") ==
+      Seq(Seq(1), Seq(2), Seq(3)))
+    // a genuine table function after FROM is untouched
+    assert(one("SELECT * FROM query('SELECT 7')") == Seq(7))
+  }
+
+  test("ASOF JOIN ... USING — lazy LATERAL rewrite, correlated-subquery-safe") {
+    // test_asof_join_subquery.test: the full correlated statement,
+    // DuckDB-pinned rows (1,3,6,8 all true)
+    GraftSql.sql(spark, "CREATE OR REPLACE TEMP VIEW au_events AS SELECT * " +
+      "FROM (VALUES (1.0, 0),(3.0, 1),(6.0, 2),(8.0, 3)) t(begin, value)")
+    assert(rows("SELECT e1.value FROM au_events e1 ASOF JOIN range(1, 10) " +
+      "tbl(begin) USING (begin) ORDER BY 1") ==
+      Seq(Seq(0), Seq(1), Seq(2), Seq(3)))
+    val corr = rows(
+      """SELECT begin, value IN (
+        | SELECT e1.value FROM (
+        |  SELECT * FROM au_events e1 WHERE e1.value = au_events.value) e1
+        | ASOF JOIN range(1, 10) tbl(begin) USING (begin))
+        |FROM au_events ORDER BY ALL""".stripMargin)
+    assert(corr.map(_(1)) == Seq(true, true, true, true))
+    // backward semantics: left rows BEFORE every right time drop (inner)
+    assert(rows("SELECT e1.value FROM (SELECT 0.5 AS begin, 9 AS value) e1 " +
+      "ASOF JOIN range(1, 10) tbl(begin) USING (begin)").isEmpty)
+  }
+
+  test("postgres deferred-ON join nesting parenthesizes inner joins") {
+    // pg_lateral.test shapes: each ON closes the most recent open join
+    GraftSql.sql(spark, "CREATE OR REPLACE TEMP VIEW nj_a AS SELECT 1 AS x")
+    GraftSql.sql(spark, "CREATE OR REPLACE TEMP VIEW nj_b AS SELECT 1 AS y")
+    GraftSql.sql(spark, "CREATE OR REPLACE TEMP VIEW nj_c AS SELECT 1 AS z")
+    // a join (b join c on b.y=c.z) on a.x=b.y
+    assert(rows("SELECT * FROM nj_a JOIN nj_b JOIN nj_c ON y = z ON x = y") ==
+      Seq(Seq(1, 1, 1)))
+    // left-outer outer level with empty inner side keeps the left row
+    assert(rows("SELECT x, y FROM nj_a LEFT JOIN nj_b JOIN nj_c " +
+      "ON y = z + 1 ON x = y") == Seq(Seq(1, null)))
+    // normal left-assoc chains are untouched by the pass
+    assert(rows("SELECT * FROM nj_a JOIN nj_b ON x = y JOIN nj_c ON y = z") ==
+      Seq(Seq(1, 1, 1)))
+  }
+
+  test("FROM-less QUALIFY inside a lateral comma subquery") {
+    // lateral_qualify.test — both statements, DuckDB-pinned
+    assert(rows("FROM (SELECT 42) t(x), " +
+      "(SELECT x, row_number() OVER () QUALIFY NULL)").isEmpty)
+    assert(rows("FROM (SELECT 42) t(x), " +
+      "(SELECT x * 2 QUALIFY row_number() OVER () < 10)") == Seq(Seq(42, 84)))
+  }
 }
