@@ -41,6 +41,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    // scale-adaptive scan splits (r14): ~4 splits/core over the input
+    // dir, clamped [2m, 128m] — see GraftSession.adaptScanParallelism
+    GraftSession.adaptScanParallelism(spark, sfDir)
     // ERROR, not WARN: the dedup pipelines' checkpoint-cleanup WARNs
     // (hundreds of lines) can swamp a log capture that only keeps the
     // tail — the one JSON line below must stay findable.

@@ -59,6 +59,19 @@ object GraftSession {
       // default for multi-file buckets, which never occur here.
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "400m")
+      // Never use the bypass-merge shuffle writer (r14): it creates
+      // one FILE per reduce partition per map task — a bucketed-fact
+      // join stage (32 map tasks × 32 partitions) creates and then
+      // mmap/transferTo-merges 1024 tiny files, and the mmap/munmap
+      // storm serializes all 32 cores in the kernel (thread dumps:
+      // map0/unmap0/write0; q10_bucketed join stage sumRun 23 s vs
+      // sumCpu 2.6 s). The serialized (Unsafe) writer buffers in
+      // memory, writes ONE file per map task, and is what every
+      // >200-partition production shuffle uses anyway — this just
+      // removes the small-partition-count special case. A/B sf0.1:
+      // q10_bucketed 1.79→1.23 s, q5_bucketed 1.60→1.31 s; dedup
+      // family unchanged within noise.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       // spark.sql.objectHashAggregate.sortBased.fallbackThreshold
       // stays at Spark's default (128): raising it session-wide would
       // disable the sort-based spill valve for EVERY
@@ -83,5 +96,34 @@ object GraftSession {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  /** Scale-adaptive scan split sizing (r14, guide §2/§6): derive
+    * spark.sql.files.maxPartitionBytes from the INPUT size instead of
+    * a constant tuned for one scale. A fixed 16m split packs a whole
+    * sf0.1 table into one task (single-threaded scans on a 32-core
+    * box: tpch_q1 scan+partial-agg was ONE 2-second task) yet is
+    * already too fine at sf10+ (70 splits of a 1.1 GB fact). Target
+    * ~4 splits per core over the directory's total bytes, clamped to
+    * [2m, 128m]: sf0.1 → 2m (tpch_q1 1.35→0.84 s, p12 1.78→0.94 s,
+    * d04 2.86→2.31 s measured), sf10 → ~17m (the previously tuned
+    * value — receipts stay comparable), sf100+ → 128m (Spark's
+    * default: fewer, bigger tasks, §2.2). Runtime SQL conf, so the
+    * perf entry points (Bench/profilers) set it per input dir;
+    * Verify keeps the session default — correctness runs don't
+    * depend on split size.
+    */
+  def adaptScanParallelism(s: SparkSession, dir: String): Unit = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles match {
+        case null => 0L
+        case fs   => fs.map(sizeOf).sum
+      } else f.length
+    val total = sizeOf(new java.io.File(dir))
+    val cores = s.sparkContext.defaultParallelism.toLong
+    val split = math.max(2L << 20, math.min(128L << 20, total / (4L * cores)))
+    s.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+    s.conf.set("spark.sql.files.openCostInBytes",
+      math.max(256L << 10, split / 8).toString)
   }
 }
