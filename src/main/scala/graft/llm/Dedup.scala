@@ -29,6 +29,24 @@ object Dedup {
   private[llm] def lshJoinHint: String =
     sys.props.getOrElse("graft.lsh.joinHint", "shuffle_hash")
 
+  /** Hint for the PAIR-ATTACH joins (star-verified pairs, jaccard
+    * verify): pairs ⋈ payload keyed on one pair id. Unlike the bucket
+    * joins above, the pairs side here is typically FAR smaller than
+    * the corpus payload (near-dup edges ≪ docs), so the forced
+    * shuffle_hash robbed AQE of its broadcast upgrade — with no hint
+    * the tiny pair set broadcasts and the KB-wide payload side is
+    * never exchanged at all. A/B sf0.1: d07 2.76→1.79 s; sf10: 14.7→
+    * 13.1 s (no sort-merge regression — the session-level
+    * preferSortMergeJoin=false still steers oversized cases to
+    * shuffled-hash, and AQE re-plans from real sizes).
+    */
+  private[llm] def attachJoin(
+      pairs: DataFrame, payload: DataFrame, key: String): DataFrame =
+    sys.props.get("graft.lsh.attachHint") match {
+      case Some(h) if h.nonEmpty => pairs.join(payload.hint(h), Seq(key))
+      case _                     => pairs.join(payload, Seq(key))
+    }
+
   /* Recompute-vs-materialize, measured twice so nobody retries the
    * losing side: the stop-band pass and the payload pass each re-run
    * the scan→reps→shingle→minhash prefix (zero ReusedExchange — the
@@ -312,9 +330,9 @@ object Dedup {
         graft.plans.ArrayAgreeCount(
           graft.plans.HashExpressions.exprOf(a),
           graft.plans.HashExpressions.exprOf(b)))
-    pairs
-      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")).hint(lshJoinHint), Seq("id_a"))
-      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")).hint(lshJoinHint), Seq("id_b"))
+    attachJoin(attachJoin(pairs,
+        sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a"),
+        sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (agree(col("sig_a"), col("sig_b")).cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
@@ -370,11 +388,11 @@ object Dedup {
         graft.plans.SortedIntersectCount(
           graft.plans.HashExpressions.exprOf(a),
           graft.plans.HashExpressions.exprOf(b)))
-    pairs
-      .join(payload.select(col("id").as("id_a"), col("sig").as("sig_a"),
-        col("grams").as("grams_a")).hint(lshJoinHint), Seq("id_a"))
-      .join(payload.select(col("id").as("id_b"), col("sig").as("sig_b"),
-        col("grams").as("grams_b")).hint(lshJoinHint), Seq("id_b"))
+    attachJoin(attachJoin(pairs,
+        payload.select(col("id").as("id_a"), col("sig").as("sig_a"),
+          col("grams").as("grams_a")), "id_a"),
+        payload.select(col("id").as("id_b"), col("sig").as("sig_b"),
+          col("grams").as("grams_b")), "id_b")
       // est gate first: the O(numHashes) int compare rejects before
       // any gram work, exactly like the bucket-local generator
       .filter((agree(col("sig_a"), col("sig_b")).cast("double") / numHashes)
@@ -434,10 +452,9 @@ object Dedup {
     val grams = df.select(
       col(idCol).as("id"),
       TextOps.wordNgramHashes(col(textCol), n).as("grams"))
-    // merge-join hint: gram arrays run to KBs per row, so a hashed
-    // build side means multi-hundred-MB maps per partition — measured
-    // 60% slower + GC-noisy at sf10 when the session-level shuffled-
-    // hash preference picks them. Sort-merge streams the wide rows.
+    // pair-attach joins via attachJoin (r14): no forced hint — the
+    // pair set is usually far smaller than the gram table, so AQE's
+    // broadcast upgrade applies; see attachJoin's scale notes.
     // intersection via fused merge scan over the (sorted distinct)
     // hash arrays — array_intersect builds a per-row hash set, which
     // at millions of pairs × KB-sized arrays is allocation-bound
@@ -446,9 +463,9 @@ object Dedup {
         graft.plans.SortedIntersectCount(
           graft.plans.HashExpressions.exprOf(a),
           graft.plans.HashExpressions.exprOf(b)))
-    pairs.select(col("id_a"), col("id_b"))
-      .join(grams.select(col("id").as("id_a"), col("grams").as("grams_a")).hint(lshJoinHint), Seq("id_a"))
-      .join(grams.select(col("id").as("id_b"), col("grams").as("grams_b")).hint(lshJoinHint), Seq("id_b"))
+    attachJoin(attachJoin(pairs.select(col("id_a"), col("id_b")),
+        grams.select(col("id").as("id_a"), col("grams").as("grams_a")), "id_a"),
+        grams.select(col("id").as("id_b"), col("grams").as("grams_b")), "id_b")
       .withColumn("inter", inter(col("grams_a"), col("grams_b")).cast("int"))
       .withColumn("uni", size(col("grams_a")) + size(col("grams_b")) - col("inter"))
       .select(col("id_a"), col("id_b"),
@@ -513,9 +530,18 @@ object Dedup {
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
+    // Round 0 fused (r14): with identity initial labels, the first
+    // hash-min round's join degenerates to label(v) = min(v, min
+    // neighbor id) — ONE groupBy over the symmetric edge set instead
+    // of the identity-labels checkpoint + a full edges⋈labels join
+    // round + its convergence count (3 driver actions and a join
+    // pass saved at every scale; the round-0 count is pointless
+    // anyway — it can only be 0 when the edge set is empty, and then
+    // the loop below exits on its first count).
     var (labels, liveBlocks) = checkpointed(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("label")))
+      edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("nbr"))
+        .select(col("src").as("id"), least(col("src"), col("nbr")).as("label")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -529,6 +555,8 @@ object Dedup {
           .select(col("id"), col("label"),
             least(col("label"), coalesce(col("nbr"), col("label"))).as("next")))
       changed = next.filter(col("next") < col("label")).count()
+      if (sys.props.contains("graft.cc.debug"))
+        println(s"[cc] round $i changed=$changed")
       labels = next.select(col("id"), col("next").as("label"))
       liveBlocks.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       liveBlocks = nextBlocks
