@@ -184,8 +184,7 @@ object RelationalB {
         |SELECT e.event_id, e.user_id, CAST(ou.o_orderdate AS DATE) AS last_od,
         |       ou.last_ok, ou.last_tp
         |FROM events e ASOF LEFT JOIN ou
-        |  ON e.user_id = ou.o_custkey AND e.ts >= ou.o_orderdate
-        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+        |  ON e.user_id = ou.o_custkey AND e.ts >= ou.o_orderdate""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
       val ou = t(s, dir, "orders")
         .groupBy(col("o_custkey"), col("o_orderdate"))
@@ -196,7 +195,9 @@ object RelationalB {
           payload = Seq("o_orderdate", "last_ok", "last_tp"))
         .select(col("event_id"), col("user_id"),
           to_date(col("o_orderdate")).as("last_od"), col("last_ok"), col("last_tp"))
-        .orderBy(col("event_id"))
+      // no trailing display sort (r14): corpus-sized output, the
+      // oracle gate sorts rows itself — dropped from BOTH texts
+      // (r10/r13 discipline; A/B sf0.1 and sf10 before landing)
     },
 
     // R32: range (band) self-join on events: pairs within 1 hour.

@@ -29,8 +29,7 @@ object RelationalD {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-        |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+        |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(unix_timestamp(col("o_orderdate")))
         .rangeBetween(-2592000L, 0L)
@@ -39,7 +38,9 @@ object RelationalD {
         count(lit(1)).over(w).cast("bigint").as("n_30d"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
           .cast("double").as("spend_30d"))
-        .orderBy(col("o_custkey"), col("o_orderkey"))
+      // no trailing display sort (r14): orders-sized output already
+      // partition-sorted by the window; gate sorts rows itself —
+      // dropped from BOTH texts (r10/r13 discipline, A/B'd)
     },
 
     // R49: recursive CTE (series + running product shape).
