@@ -29,6 +29,21 @@ object Dedup {
   private[llm] def lshJoinHint: String =
     sys.props.getOrElse("graft.lsh.joinHint", "shuffle_hash")
 
+  /** The sig⋈masked join in [[minhashPairs]]: unlike the grams case
+    * above, the payload is the 512-byte signature only, light enough
+    * that un-hinted planning (AQE broadcast of the masked side when
+    * small, shuffled-hash otherwise via the session preference) beats
+    * the forced shuffle: A/B d02 sf0.1 2.37→2.11 s, sf10 14.3→11.1 s.
+    * lshJaccardPairs keeps [[lshJoinHint]] — its rows carry the KB
+    * gram arrays and the same A/B REGRESSED there (11.5→13.8 s sf10).
+    */
+  private[llm] def sigJoin(
+      payload: DataFrame, masked: DataFrame, key: String): DataFrame =
+    sys.props.get("graft.lsh.sigJoinHint").filter(_.nonEmpty) match {
+      case Some(h) => payload.join(masked.hint(h), Seq(key))
+      case None    => payload.join(masked, Seq(key))
+    }
+
   /** Hint for the PAIR-ATTACH joins (star-verified pairs, jaccard
     * verify): pairs ⋈ payload keyed on one pair id. Unlike the bucket
     * joins above, the pairs side here is typically FAR smaller than
@@ -176,10 +191,8 @@ object Dedup {
     // re-joined the sig onto every candidate pair — shuffle
     // proportional to the PAIR count, quadratic in near-dup cluster
     // size (the same disease lshJaccardPairs documents for the gram
-    // arrays).
-    // shuffle_hash with the NARROW masked side as build: sort-merge
-    // would sort the KB-wide sig side (measured +4–5 s at sf10)
-    val capped = sig.join(masked.hint(lshJoinHint), Seq("id"))
+    // arrays). Join strategy left to AQE (see sigJoin's A/B notes).
+    val capped = sigJoin(sig, masked, "id")
       .select(col("id"), col("sig"), col("m"),
         explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
       .filter(element_at(col("m"), col("bk.band") + 1) === col("bk.bh"))

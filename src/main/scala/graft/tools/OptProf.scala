@@ -20,6 +20,7 @@ object OptProf {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val s = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.GraftSession.adaptScanParallelism(s, dir) // match Bench
 
     val jobs = new AtomicInteger
     val stages = new AtomicInteger
