@@ -447,8 +447,15 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         TextOps.simhashHamming(col("blocks_a"), col("blocks_b")).as("hamming"))
-      .distinct()
+      // hamming gate BEFORE the pair-dedup distinct (r14, guide §2.3):
+      // the distinct's exchange then carries only the pairs that pass
+      // (same output set — the filter is on row values the distinct
+      // preserves; a pair repeated across blocks has one hamming).
+      // Candidate pairs failing hamming ≤ k are the vast majority at
+      // any scale, and they previously crossed the wire just to be
+      // deduplicated and then dropped.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact word n-gram Jaccard verification of an (id_a, id_b)
