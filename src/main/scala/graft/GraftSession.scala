@@ -125,5 +125,18 @@ object GraftSession {
     s.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
     s.conf.set("spark.sql.files.openCostInBytes",
       math.max(256L << 10, split / 8).toString)
+    // AQE's coalesce floor (minPartitionSize, default 1m) must scale
+    // with the input too: post-shuffle partition counts are decided by
+    // BYTES, but the dedup/text operators' per-byte CPU is ~100× a
+    // relational projection's — at sf0.1 the whole corpus compresses
+    // under 1 MB, so AQE coalesced the post-exchange shingle/minhash
+    // stages to ONE task (ScanProf: d04's kernel stage = 1 task,
+    // 1.2 s CPU, 31 cores idle). split/32 keeps the floor ≥ 64k and
+    // ≥ 4m at the 128m production split, where real shuffle partitions
+    // are far bigger and the floor never binds — scale-adaptive, not a
+    // local[32] constant (guide §2.2: partition-count targets must
+    // derive from input, and byte targets misprice CPU-heavy stages).
+    s.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      math.max(256L << 10, split / 8).toString)
   }
 }

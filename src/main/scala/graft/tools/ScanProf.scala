@@ -14,6 +14,7 @@ object ScanProf {
     val mode = args.headOption.getOrElse("flat")
     val s = graft.GraftSession.builder().getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.GraftSession.adaptScanParallelism(s, dir) // match Bench (r14)
     val q = graft.SparkEntry.queries
     mode match {
       case "flat" =>
