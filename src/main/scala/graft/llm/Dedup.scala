@@ -62,6 +62,21 @@ object Dedup {
       case _                     => pairs.join(payload, Seq(key))
     }
 
+  /** Shared bucket-key exchange for exploded band/block relations that
+    * have SEVERAL consumers keyed on the bucket (cap/rep aggregate +
+    * join probe [+ self-join side]) — guide §2.4. Without it each
+    * consumer is its own physical subtree and the text kernels (the
+    * pipelines' dominant CPU) re-run once per consumer: the only
+    * shared node was the corpus-text exchange BELOW them. Only applied
+    * where every consumer needs the bucket partitioning anyway (star
+    * variants, simhash) — minhashPairs/lshJaccardPairs documented why
+    * not. -Dgraft.lsh.sharedBucketEx=0 restores the recompute shape
+    * (A/B probes, before-plan dumps).
+    */
+  private[llm] def sharedBucketEx(df: DataFrame, keys: Column*): DataFrame =
+    if (sys.props.get("graft.lsh.sharedBucketEx").contains("0")) df
+    else df.repartition(keys: _*)
+
   /* Recompute-vs-materialize, measured twice so nobody retries the
    * losing side: the stop-band pass and the payload pass each re-run
    * the scan→reps→shingle→minhash prefix (zero ReusedExchange — the
@@ -160,6 +175,14 @@ object Dedup {
     // individual value. Dropping those buckets bounds worst-case work;
     // members still pair through their other, more selective bands.
     // The cap is decided on narrow (id, bk) rows only.
+    //
+    // NOT shared via an explicit bk repartition (r14 A/B): the star/
+    // simhash variants share their exploded exchange across consumers
+    // (guide §2.4) because every consumer there needs bk partitioning
+    // anyway. HERE the masked groupBy(id) rides the text exchange's
+    // id partitioning for free, so sharing would trade one kernel
+    // recompute for TWO new narrow exchanges (bk + id) — measured a
+    // wash at sf0.1 and a ~2 s REGRESSION at sf10 (13.8 vs 11.6 s).
     val narrow = sig.select(col("id"),
       explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
     val okBuckets = narrow.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
@@ -268,7 +291,11 @@ object Dedup {
       TextOps.minhashFromHashes(
         TextOps.charShingleHashes(col("__text"), shingleSize), numHashes).as("sig"),
       TextOps.wordNgramHashes(col("__text"), gramN).as("grams"))
-    // stop-band cap decided on narrow (id, bk) rows only
+    // stop-band cap decided on narrow (id, bk) rows only; not shared
+    // via an explicit bk repartition — same trade-off as minhashPairs
+    // (the masked groupBy(id) rides the text exchange partitioning,
+    // so sharing would add two narrow exchanges for one kernel pass;
+    // A/B at sf10 regressed ~2 s)
     val narrow = payload.select(col("id"),
       explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
     val okBuckets = narrow.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
@@ -324,8 +351,12 @@ object Dedup {
       .select(col("id"),
         TextOps.charShingleHashes(col("__text"), shingleSize).as("hs"))
       .select(col("id"), TextOps.minhashFromHashes(col("hs"), numHashes).as("sig"))
-    val banded = sig.select(
-      col("id"), explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
+    // one bk exchange shared by bucketRep and the edge join probe —
+    // without it the charShingle/minhash kernels run once per consumer
+    // (guide §2.4; see minhashPairs)
+    val banded = sharedBucketEx(sig.select(
+      col("id"), explode(TextOps.lshBands(col("sig"), bands, r)).as("bk")),
+      col("bk"))
     // star edges are linear in bucket size, so NO stop-band cap here —
     // a >4096-member boilerplate bucket is exactly the cluster this
     // variant exists to collapse, and capping it would silently emit
@@ -382,8 +413,13 @@ object Dedup {
       TextOps.minhashFromHashes(
         TextOps.charShingleHashes(col("__text"), shingleSize), numHashes).as("sig"),
       TextOps.wordNgramHashes(col("__text"), gramN).as("grams"))
-    val banded = payload.select(
-      col("id"), explode(TextOps.lshBands(col("sig"), bands, r)).as("bk"))
+    // shared bk exchange: bucketRep + edge join probe run over ONE
+    // banded pass instead of re-running the kernels per consumer
+    // (guide §2.4; see minhashPairs). Column pruning keeps the heavy
+    // grams array out of this exchange — only (id, bk) rows cross.
+    val banded = sharedBucketEx(payload.select(
+      col("id"), explode(TextOps.lshBands(col("sig"), bands, r)).as("bk")),
+      col("bk"))
     val bucketRep = banded.groupBy(col("bk"))
       .agg(min(col("id")).as("rep"))
       .select(col("bk"), col("rep"))
@@ -431,9 +467,17 @@ object Dedup {
       .select(col("id"),
         TextOps.tokenHashes(TextOps.wordTokens(col("__text"))).as("hs"))
       .select(col("id"), TextOps.simhashBlocks(col("hs")).as("blocks"))
-    val exploded = fp.select(
+    // one (block_idx, block_val) exchange shared by ALL THREE
+    // consumers — the cap aggregate and BOTH sides of the self-join
+    // (guide §2.4). Without it the tokenize/simhash kernels re-ran
+    // once per consumer (the shared node was the text exchange below
+    // them), and the self-join exchanged the capped rows twice more;
+    // now the kernels run once and the self-join is co-partitioned
+    // with zero further exchanges at any scale.
+    val exploded = sharedBucketEx(fp.select(
       col("id"), col("blocks"),
-      posexplode(col("blocks")).as(Seq("block_idx", "block_val")))
+      posexplode(col("blocks")).as(Seq("block_idx", "block_val"))),
+      col("block_idx"), col("block_val"))
     val okBlocks = exploded.groupBy(col("block_idx"), col("block_val"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)

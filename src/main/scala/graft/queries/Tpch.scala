@@ -77,11 +77,17 @@ object Tpch {
     */
   private[graft] def q5PlanV2(tab: String => DataFrame,
                               bucketed: Boolean = false): DataFrame = {
+    // region⋈nation is driver-bounded at any scale (≤5 and ≤25 rows),
+    // so do the join IN THE DRIVER: two single-stage collects instead
+    // of a broadcast-exchange build + join job chain. OptProf (r14)
+    // counted 17 driver actions for q5 — each a scheduling round —
+    // and this subtree was 3 of them plus a broadcast build.
+    val euroRk = tab("region").filter(col("r_name") === "EUROPE")
+      .select(col("r_regionkey")).collect().map(_.get(0)).toSet
     val euroN = tab("nation")
-      .join(broadcast(tab("region").filter(col("r_name") === "EUROPE")),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey"), col("n_name"))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .collect() // bounded: ≤ the 25-row nation dimension
+      .filter(r => euroRk.contains(r.get(2)))
     val euroKeys = euroN.map(_.get(0)).toSeq
     val euroSup = tab("supplier")
       .filter(col("s_nationkey").isin(euroKeys: _*))
