@@ -478,6 +478,16 @@ object Dedup {
       col("id"), col("blocks"),
       posexplode(col("blocks")).as(Seq("block_idx", "block_val"))),
       col("block_idx"), col("block_val"))
+    // NOTE (r14): the cap aggregate's column pruning gives its subtree
+    // a different canonical form (no id/blocks), so it does NOT reuse
+    // the shared exchange — the kernels run once for the a/b join
+    // sides and once more for the cap (plans/r14/d03 final plan shows
+    // its second REPARTITION_BY_COL exchange). A window-count cap over
+    // the shared exchange (kernels strictly once, no join-back) was
+    // A/B'd and REJECTED: sf0.1 interleaved medians 1.135→1.249 s —
+    // the window sort runs on both self-join sides and costs more than
+    // the simhash kernel pass it saves (simhash kernels are ~5× lighter
+    // than minhash shingling).
     val okBlocks = exploded.groupBy(col("block_idx"), col("block_val"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)

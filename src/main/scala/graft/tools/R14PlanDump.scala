@@ -37,9 +37,12 @@ object R14PlanDump {
       }
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      // AQE-final plan too: execute through the noop sink, then the
-      // executed plan shows the runtime join strategies
-      df.write.format("noop").mode("overwrite").save()
+      // AQE-final plan too: execute THIS QueryExecution (a noop write
+      // would execute a different one and leave this plan
+      // isFinalPlan=false) — toRdd.count() runs the already-planned
+      // tree, so the executed plan then shows runtime join strategies,
+      // AQEShuffleReads and stage/exchange reuse.
+      df.queryExecution.toRdd.count()
       val fin = df.queryExecution.executedPlan.toString
       Files.write(outDir.resolve(s"${name}_$tag.txt"),
         (txt + "\n\n== AQE final (executed) plan ==\n" + fin).getBytes)
